@@ -1,0 +1,60 @@
+"""Cross-engine deterministic hashing primitives.
+
+Dedup/LSH operators need hash functions that (a) run JVM-side in
+Spark and (b) can be replicated exactly by the DuckDB oracle. Spark's
+``hash()``/``xxhash64()`` have no DuckDB twin, so everything here is
+built on ``md5()`` hex strings, which both engines produce
+identically. Hex strings compare lexicographically the same way in
+both engines, so "min over hashes" (MinHash) works on the strings
+directly — no integer conversion needed.
+
+Also provides the **fixed-point integer summation** helpers that make
+double aggregations order-independent: round each deterministic
+scalar term to an integer at a fixed scale, sum as BIGINT (exact,
+associative), divide at the end. This is how every oracle-checked
+aggregate in this repo dodges float-summation nondeterminism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_seeded(value: Column, seed: int) -> Column:
+    """Seeded md5 hex digest: md5('<seed>:' || value)."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), value))
+
+
+def md5_seeded_sql(value_sql: str, seed: int) -> str:
+    return f"md5('{seed}:' || {value_sql})"
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature: array of per-seed min md5-hex over shingles.
+
+    ``array_min`` over the hex digests == min-hash under a family of
+    string-valued hash functions; band-compare works on the strings.
+    """
+    sigs = [
+        F.array_min(F.transform(shingles, lambda s, i=i: md5_seeded(s, i)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def fixed_point(col: Column, scale: int) -> Column:
+    """Deterministic-scalar double -> BIGINT at 10^scale (for exact sums)."""
+    return F.round(col * F.lit(float(10**scale))).cast("long")
+
+
+def fixed_point_sql(expr: str, scale: int) -> str:
+    return f"CAST(round(({expr}) * {float(10 ** scale)!r}) AS BIGINT)"
+
+
+def unfix_sql(expr: str, scale: int) -> str:
+    return f"(CAST({expr} AS DOUBLE) / {float(10 ** scale)!r})"
+
+
+def unfix(col: Column, scale: int) -> Column:
+    return col.cast("double") / F.lit(float(10**scale))

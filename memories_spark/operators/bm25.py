@@ -1,0 +1,148 @@
+"""BM25 (Okapi) scoring as pure DataFrame algebra.
+
+Reproduces the exact rank_bm25 0.2.2 ``BM25Okapi`` variant the
+reference depends on (reference memory_engine.py:224-232,
+pyproject.toml:17): k1=1.5, b=0.75 and the epsilon floor — IDFs are
+``ln((N - df + 0.5) / (df + 0.5))`` and *negative* IDFs are replaced
+by ``eps * average_idf`` with eps=0.25, where ``average_idf`` is the
+mean IDF over the whole vocabulary (including the negatives).
+
+Scale design: the reference rebuilds BM25 over the full corpus on
+every write — O(N) per write. Here the term statistics are derived
+DataFrames (``terms``, ``doc_stats``, corpus scalars) produced by one
+shuffle each and joinable against any query set. At 100 TB the
+``terms`` table is the big one; it partitions by term for the
+df-aggregation and the query join is a broadcast of the (tiny) query
+term list — no full-corpus pass per query, and incremental
+maintenance is a MERGE of term deltas instead of a rebuild.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from memories_spark.functions.hashing import fixed_point, unfix
+from memories_spark.functions.texttools import tokens_expr
+
+K1 = 1.5
+B = 0.75
+EPSILON = 0.25
+SCORE_SCALE = 9  # fixed-point digits for order-independent score sums
+
+
+def build_term_stats(docs: DataFrame, id_col: str, text_col: str) -> dict[str, DataFrame]:
+    """Derive the BM25 statistics tables from a document corpus.
+
+    Returns ``terms(id, term, tf)``, ``doc_stats(id, dl)`` and
+    ``term_idf(term, idf)`` (epsilon-floored, vocabulary-wide).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    terms = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    doc_stats = terms.groupBy("id").agg(F.sum("tf").alias("dl"))
+
+    n_docs = docs.count()
+    df_tab = terms.groupBy("term").agg(F.countDistinct("id").alias("df"))
+    raw_idf = F.log((F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    with_idf = df_tab.select("term", raw_idf.alias("raw_idf"))
+    # average over the whole vocabulary, negatives included (rank_bm25 semantics)
+    avg_idf = with_idf.agg(F.avg("raw_idf")).first()[0] or 0.0
+    term_idf = with_idf.select(
+        "term",
+        F.when(F.col("raw_idf") < 0, F.lit(EPSILON * avg_idf))
+        .otherwise(F.col("raw_idf"))
+        .alias("idf"),
+    )
+    return {"terms": terms, "doc_stats": doc_stats, "term_idf": term_idf, "n_docs": n_docs}
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    stats: dict | None = None,
+) -> DataFrame:
+    """Score every matching document for a bag of query terms.
+
+    Returns ``(id, score)`` with ``score`` rounded from an exact
+    fixed-point sum (order-independent across engines/partitionings).
+    Query term multiplicity counts, like rank_bm25's per-token loop.
+    """
+    spark = docs.sparkSession
+    stats = stats or build_term_stats(docs, id_col, text_col)
+    terms, doc_stats, term_idf = stats["terms"], stats["doc_stats"], stats["term_idf"]
+
+    avgdl = doc_stats.agg(F.avg("dl")).first()[0] or 0.0
+    qdf = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    qcount = qdf.groupBy("term").agg(F.count("*").alias("qtf"))
+
+    contrib = (
+        terms.join(F.broadcast(qcount), "term")
+        .join(F.broadcast(term_idf), "term")
+        .join(doc_stats, "id")
+        .select(
+            "id",
+            fixed_point(
+                F.col("qtf")
+                * F.col("idf")
+                * (F.col("tf") * (K1 + 1))
+                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(float(avgdl)))),
+                SCORE_SCALE,
+            ).alias("c"),
+        )
+    )
+    return contrib.groupBy("id").agg(unfix(F.sum("c"), SCORE_SCALE).alias("score"))
+
+
+def bm25_sql(
+    docs_view: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int | None = None,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB oracle SQL mirroring :func:`bm25_scores` exactly.
+
+    The fixed-point trick makes the per-doc sum identical regardless
+    of each engine's aggregation order.
+    """
+    qvals = ", ".join(f"('{t}')" for t in query_terms)
+    limit = (
+        f"ORDER BY score DESC, {id_col} ASC LIMIT {k}" if k else f"ORDER BY {id_col}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(list_filter(regexp_split_to_array(lower(trim({text_col})), '\\s+'), t -> t != '')) AS term
+  FROM {docs_view}
+),
+terms AS (SELECT {id_col}, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+doc_stats AS (SELECT {id_col}, CAST(sum(tf) AS BIGINT) AS dl FROM terms GROUP BY 1),
+corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM doc_stats),
+dfreq AS (SELECT term, CAST(count(DISTINCT {id_col}) AS DOUBLE) AS df FROM terms GROUP BY 1),
+rawidf AS (SELECT term, ln(((SELECT n FROM corpus) - df + 0.5) / (df + 0.5)) AS raw_idf FROM dfreq),
+avgidf AS (SELECT avg(raw_idf) AS a FROM rawidf),
+idf AS (
+  SELECT term,
+         CASE WHEN raw_idf < 0 THEN {EPSILON} * (SELECT a FROM avgidf) ELSE raw_idf END AS idf
+  FROM rawidf
+),
+q AS (SELECT term, CAST(count(*) AS BIGINT) AS qtf FROM (VALUES {qvals}) v(term) GROUP BY 1),
+contrib AS (
+  SELECT t.{id_col},
+         CAST(round((q.qtf * i.idf * (t.tf * ({K1} + 1))
+              / (t.tf + {K1} * (1 - {B} + {B} * d.dl / (SELECT avgdl FROM corpus))))
+              * 1e{SCORE_SCALE}) AS BIGINT) AS c
+  FROM terms t
+  JOIN q ON q.term = t.term
+  JOIN idf i ON i.term = t.term
+  JOIN doc_stats d ON d.{id_col} = t.{id_col}
+)
+SELECT {id_col}, round(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 1e{SCORE_SCALE}, {round_dp}) AS score
+FROM contrib
+GROUP BY {id_col}
+{limit}
+"""

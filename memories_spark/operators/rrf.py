@@ -1,0 +1,91 @@
+"""Reciprocal Rank Fusion of ranked signal DataFrames.
+
+Reference semantics (reference memory_engine.py:1787-1858): each
+signal contributes ``weight * 1 / (rank + rrf_k)`` with rrf_k=60;
+candidates missing from a signal contribute 0; the fused score is the
+sum over signals, and the reference's weight-normalization algebra
+(memory_engine.py:1795-1807) rescales vector/bm25/recency weights so
+auxiliary signals (feedback, confidence) never exceed their budget.
+
+Spark shape: each signal is a ``(id, rank)`` DataFrame (ranks already
+deterministic via ``ORDER BY score DESC, id ASC``); fusion is a
+union → groupBy(id) → sum — one shuffle on id regardless of how many
+signals participate. At scale each signal list is already top-N
+truncated (the reference oversamples 3k, memory_engine.py:1752-1753),
+so the fused relation is tiny compared to the corpus.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from memories_spark.functions.hashing import fixed_point, unfix
+
+RRF_K = 60
+SCORE_SCALE = 12  # 1/(rank+60) needs more fixed-point digits
+
+
+def rank_signal(df: DataFrame, id_col: str, score_col: str, limit: int | None = None) -> DataFrame:
+    """Turn a scored DataFrame into (id, rank) with deterministic ties."""
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    ranked = df.select(F.col(id_col).alias("id"), F.row_number().over(w).alias("rank"))
+    if limit is not None:
+        ranked = ranked.filter(F.col("rank") <= limit)
+    return ranked
+
+
+def rrf_fuse(
+    signals: dict[str, tuple[DataFrame, float]],
+    rrf_k: int = RRF_K,
+    k: int | None = None,
+) -> DataFrame:
+    """Fuse ``{name: ((id, rank) DataFrame, weight)}`` into rrf scores.
+
+    Returns ``(id, rrf_score, <name>_rank ...)``. Contributions are
+    summed in exact fixed-point so the result is order-independent.
+    """
+    parts = []
+    for name, (ranked, weight) in signals.items():
+        contrib = fixed_point(
+            F.lit(float(weight)) / (F.col("rank") + F.lit(rrf_k)).cast("double"),
+            SCORE_SCALE,
+        )
+        parts.append(
+            ranked.select(
+                "id", contrib.alias("c"), F.col("rank").alias(f"{name}_rank")
+            )
+        )
+
+    def outer(a: DataFrame, b: DataFrame) -> DataFrame:
+        a_c = [c for c in a.columns if c not in ("id",)]
+        b_c = [c for c in b.columns if c not in ("id",)]
+        joined = a.withColumnRenamed("c", "_ca").join(
+            b.withColumnRenamed("c", "_cb"), "id", "full_outer"
+        )
+        return joined.select(
+            "id",
+            (F.coalesce(F.col("_ca"), F.lit(0)) + F.coalesce(F.col("_cb"), F.lit(0))).alias("c"),
+            *[c for c in a_c if c != "c"],
+            *[c for c in b_c if c != "c"],
+        )
+
+    fused = reduce(outer, parts)
+    rank_cols = [c for c in fused.columns if c.endswith("_rank")]
+    out = fused.select(
+        "id", unfix(F.col("c"), SCORE_SCALE).alias("rrf_score"), *rank_cols
+    )
+    if k is not None:
+        w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+        out = out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+    return out
+
+
+def rrf_contrib_sql(rank_expr: str, weight: float, rrf_k: int = RRF_K) -> str:
+    """Oracle mirror of one signal's fixed-point RRF contribution."""
+    return (
+        f"CAST(round(({weight!r} / CAST(({rank_expr}) + {rrf_k} AS DOUBLE))"
+        f" * 1e{SCORE_SCALE}) AS BIGINT)"
+    )

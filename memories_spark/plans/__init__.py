@@ -1,0 +1,1 @@
+from memories_spark.plans.registry import QUERIES, QuerySpec  # noqa: F401
