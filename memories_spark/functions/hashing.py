@@ -36,9 +36,11 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     ``array_min`` over the hex digests == min-hash under a family of
     string-valued hash functions; band-compare works on the strings.
     """
+    def _hasher(i: int):
+        return lambda s: md5_seeded(s, i)
+
     sigs = [
-        F.array_min(F.transform(shingles, lambda s, i=i: md5_seeded(s, i)))
-        for i in range(num_hashes)
+        F.array_min(F.transform(shingles, _hasher(i))) for i in range(num_hashes)
     ]
     return F.array(*sigs)
 

@@ -1,0 +1,201 @@
+"""Near-duplicate detection: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine.
+
+Reference semantics: all-pairs cosine >= 0.90, delete the larger id
+of each pair (reference memory_engine.py:2199-2272); smart-import
+novelty bands sim>=0.95 skip / <0.80 add / else borderline
+(memory_engine.py:2564-2637). The training-data-pipeline additions
+(MinHash/SimHash/Jaccard families) follow the standard sketch
+constructions, built so every hash is md5-based and reproducible in
+any engine.
+
+Scale design: nothing here is O(N^2) on the full corpus —
+- MinHash pairs only form inside an LSH band bucket (banding theory:
+  b bands of r rows catch pairs with J >~ (1/b)^(1/r));
+- SimHash pairs only form inside a prefix block;
+- n-gram Jaccard pairs only form inside a caller-supplied block
+  (e.g. source);
+- embedding pairs only form inside a sign-projection bucket.
+Each family is: per-doc sketch (one narrow shuffle-free projection) →
+groupBy bucket → within-bucket pair join → exact re-verification of
+candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from memories_spark.functions.texttools import tokens_expr
+
+NUM_HASHES = 8
+BAND_ROWS = 2  # 4 bands x 2 rows
+
+
+# --- MinHash + LSH ----------------------------------------------------
+
+def minhash_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, seed, h): per-seed MinHash over the distinct token set.
+
+    Tokens-as-shingles (w=1): right for short-text corpora where
+    vocabulary overlap IS the duplication signal; swap in
+    word_shingles_expr(text, n) for long documents.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok"),
+    )
+    seeds = docs.sparkSession.range(NUM_HASHES).select(F.col("id").alias("seed"))
+    return (
+        toks.crossJoin(F.broadcast(seeds))
+        .select("id", "seed", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("tok"))).alias("h"))
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("h"))
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """LSH banding: (id_a, id_b, est_sim) — est = matching sigs / K."""
+    sig = minhash_rows(docs, id_col, text_col)
+    banded = sig.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
+    band_keys = banded.groupBy("id", "band").agg(
+        F.array_join(F.array_sort(F.collect_list(F.concat_ws("@", F.col("seed"), F.col("h")))), "|").alias("key")
+    )
+    a = band_keys.select(F.col("id").alias("id_a"), "band", "key")
+    b = band_keys.select(F.col("id").alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), "seed", F.col("h").alias("ha"))
+    sb = sig.select(F.col("id").alias("id_b"), "seed", F.col("h").alias("hb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "seed"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            (F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0)) / F.lit(float(NUM_HASHES))).alias("est_sim")
+        )
+    )
+
+
+def minhash_pairs_sql(docs_view: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle ending in ``pairs(id_a, id_b, est_sim)``."""
+    toks = (
+        f"SELECT {id_col} AS id, unnest(list_distinct(list_filter("
+        f"regexp_split_to_array(lower(trim({text_col})), '\\s+'), t -> t != ''))) AS tok "
+        f"FROM {docs_view}"
+    )
+    return f"""
+WITH toks AS ({toks}),
+seeds AS (SELECT unnest(range({NUM_HASHES})) AS seed),
+sig AS (
+  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS h
+  FROM toks CROSS JOIN seeds GROUP BY id, seed
+),
+band_keys AS (
+  SELECT id, CAST(seed // {BAND_ROWS} AS INT) AS band,
+         string_agg(CAST(seed AS VARCHAR) || '@' || h, '|' ORDER BY CAST(seed AS VARCHAR) || '@' || h) AS key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM band_keys a JOIN band_keys b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / {float(NUM_HASHES)!r} AS est_sim
+  FROM cand c
+  JOIN sig sa ON sa.id = c.id_a
+  JOIN sig sb ON sb.id = c.id_b AND sb.seed = sa.seed
+  GROUP BY c.id_a, c.id_b
+)
+"""
+
+
+# --- exact Jaccard (verification / n-gram family) ---------------------
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    shingles: F.Column,
+    block: F.Column,
+    threshold: float,
+) -> DataFrame:
+    """Blocked exact Jaccard: pairs within a block with J >= threshold.
+
+    J = |A∩B| / (|A| + |B| - |A∩B|) computed from exact integer
+    counts — cross-engine deterministic without fixed-point tricks.
+    """
+    base = docs.select(F.col(id_col).alias("id"), shingles.alias("sh"), block.alias("blk"))
+    sized = base.select("id", "blk", "sh", F.size("sh").alias("n"))
+    ex = sized.select("id", "blk", "n", F.explode("sh").alias("s"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("blk"), F.col("n").alias("na"), "s")
+    b = ex.select(F.col("id").alias("id_b"), F.col("blk"), F.col("n").alias("nb"), "s")
+    inter = (
+        a.join(b, ["blk", "s"]).filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("i"))
+    )
+    j = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+    return inter.select("id_a", "id_b", F.round(j, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# --- SimHash ----------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_expr(text_col: str, bits: int = SIMHASH_BITS) -> F.Column:
+    """Bit-string SimHash over the distinct token set.
+
+    Bit j of a token = parity of hex digit j of md5(token); the doc
+    bit is the sign of sum(+1/-1) over tokens. Pure integer counts →
+    engine-agnostic.
+    """
+    toks = F.array_distinct(tokens_expr(text_col))
+
+    def _voter(j: int):
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), j + 1, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for j in range(bits):
+        vote = F.aggregate(toks, F.lit(0), _voter(j))
+        bit_cols.append(F.when(vote > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)
+
+
+def simhash_sql(text_col: str, bits: int = SIMHASH_BITS) -> str:
+    """DuckDB mirror of :func:`simhash_expr`."""
+    toks = (
+        f"list_distinct(list_filter(regexp_split_to_array(lower(trim({text_col})), '\\s+'),"
+        " t -> t != ''))"
+    )
+    bit_exprs = []
+    for j in range(bits):
+        vote = (
+            f"list_sum(list_transform({toks}, t -> CASE WHEN substr(md5(t), {j + 1}, 1)"
+            f" IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END))"
+        )
+        bit_exprs.append(f"CASE WHEN ({vote}) > 0 THEN '1' ELSE '0' END")
+    return "(" + " || ".join(bit_exprs) + ")"
+
+
+def hamming_sql(a: str, b: str, bits: int = SIMHASH_BITS) -> str:
+    terms = " + ".join(
+        f"CASE WHEN substr({a}, {j}, 1) != substr({b}, {j}, 1) THEN 1 ELSE 0 END"
+        for j in range(1, bits + 1)
+    )
+    return f"({terms})"
+
+
+def hamming_expr(a: F.Column, b: F.Column, bits: int = SIMHASH_BITS) -> F.Column:
+    out = F.lit(0)
+    for j in range(1, bits + 1):
+        out = out + F.when(F.substring(a, j, 1) != F.substring(b, j, 1), 1).otherwise(0)
+    return out

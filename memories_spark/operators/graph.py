@@ -1,0 +1,228 @@
+"""Graph expansion: personalized PageRank + bounded label propagation.
+
+Reference semantics (reference memory_engine.py:1541-1642): truncated
+Personalized PageRank over the memory-link graph — seeds are the RRF
+candidates max-normalized, alpha=0.85, exactly 3 iterations, dangling
+mass redistributed to the personalization vector. Adjacency is the
+``related_to`` edge set made bidirectional with dangling targets
+dropped (memory_engine.py:1490-1508).
+
+Spark shape: a fixed-iteration driver loop of (join edges → groupBy
+sum). Each iteration is one shuffle on node id; the edge DataFrame is
+cached across iterations. At cluster scale you'd checkpoint every few
+iterations to truncate lineage — with exactly 3 iterations lineage
+stays shallow. All mass arithmetic is in fixed-point BIGINT (scale
+12) so the result is bit-identical regardless of partitioning or
+engine (see functions/hashing.py).
+
+Clustering (reference find_similar_clusters union-find,
+memory_engine.py:2274-2342) is re-expressed as *bounded* min-label
+propagation: k rounds of "adopt the smallest neighbor label". With k
+>= graph diameter this is exact connected components; bounded k keeps
+it deterministic and oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALPHA = 0.85
+ITERATIONS = 3
+SCALE = 12
+_UNIT = float(10**SCALE)
+
+
+def bidirectional(edges: DataFrame, src: str = "from_id", dst: str = "to_id") -> DataFrame:
+    """Undirected adjacency: union of both directions, deduped."""
+    fwd = edges.select(F.col(src).alias("from_id"), F.col(dst).alias("to_id"))
+    rev = edges.select(F.col(dst).alias("from_id"), F.col(src).alias("to_id"))
+    return fwd.union(rev).distinct()
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = ALPHA,
+    iterations: int = ITERATIONS,
+) -> DataFrame:
+    """Fixed-point PPR. ``seeds`` is (id, sw_fp: BIGINT seed weight).
+
+    Returns (id, ppr_fp: BIGINT) — divide by 1e12 for the score.
+    The personalization p(v) = sw_fp(v) / sum(sw_fp) as a double;
+    each iteration term is rounded back to fixed-point before the
+    exact integer sum, so engines/partitionings agree bit-for-bit.
+    """
+    adj = bidirectional(edges).cache()
+    deg = adj.groupBy("from_id").agg(F.count("*").alias("deg"))
+
+    s_total = seeds.agg(F.sum("sw_fp")).first()[0]
+    p = seeds.select(
+        F.col("id"), (F.col("sw_fp").cast("double") / F.lit(float(s_total))).alias("p")
+    ).cache()
+
+    # r0 = p, in fixed point
+    r = p.select("id", F.round(F.col("p") * _UNIT).cast("long").alias("r_fp"))
+
+    base = p.select("id", F.round(F.lit(1.0 - alpha) * F.col("p") * _UNIT).cast("long").alias("term"))
+
+    for _ in range(iterations):
+        with_deg = (
+            r.alias("r")
+            .join(deg.alias("d"), F.col("r.id") == F.col("d.from_id"), "left")
+            .select(
+                F.col("r.id").alias("id"),
+                F.col("r.r_fp").alias("r_fp"),
+                F.coalesce(F.col("d.deg"), F.lit(0)).alias("deg"),
+            )
+        )
+        contrib = (
+            with_deg.filter(F.col("deg") > 0)
+            .alias("wd")
+            .join(adj.alias("a"), F.col("wd.id") == F.col("a.from_id"))
+            .select(
+                F.col("a.to_id").alias("id"),
+                F.round(
+                    F.lit(alpha)
+                    * (F.col("wd.r_fp").cast("double") / _UNIT)
+                    / F.col("wd.deg")
+                    * _UNIT
+                )
+                .cast("long")
+                .alias("term"),
+            )
+        )
+        dangling_fp = (
+            with_deg.filter(F.col("deg") == 0).agg(F.sum("r_fp")).first()[0] or 0
+        )
+        dangling = p.select(
+            "id",
+            F.round(
+                F.lit(alpha) * (F.lit(float(dangling_fp)) / _UNIT) * F.col("p") * _UNIT
+            )
+            .cast("long")
+            .alias("term"),
+        )
+        r = (
+            base.unionByName(contrib)
+            .unionByName(dangling)
+            .groupBy("id")
+            .agg(F.sum("term").alias("r_fp"))
+        )
+    return r
+
+
+def ppr_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    alpha: float = ALPHA,
+    iterations: int = ITERATIONS,
+) -> str:
+    """DuckDB oracle mirroring :func:`personalized_pagerank`.
+
+    ``edges_cte`` must yield (from_id, to_id) directed;
+    ``seeds_cte`` must yield (id, sw_fp BIGINT). Returns CTE chain
+    ending in ``ppr(id, r_fp)``.
+    """
+    unit = f"1e{SCALE}"
+    it_ctes = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        it_ctes.append(
+            f"""d{i} AS (
+  SELECT CAST(coalesce(sum(r.r_fp), 0) AS BIGINT) AS m FROM {prev} r
+  LEFT JOIN deg ON deg.from_id = r.id WHERE deg.deg IS NULL
+),
+r{i} AS (
+  SELECT id, CAST(sum(term) AS BIGINT) AS r_fp FROM (
+    SELECT id, CAST(round({1.0 - alpha} * p * {unit}) AS BIGINT) AS term FROM p
+    UNION ALL
+    SELECT adj.to_id AS id,
+           CAST(round({alpha} * (CAST(r.r_fp AS DOUBLE) / {unit}) / deg.deg * {unit}) AS BIGINT) AS term
+    FROM {prev} r JOIN deg ON deg.from_id = r.id JOIN adj ON adj.from_id = r.id
+    UNION ALL
+    SELECT p.id, CAST(round({alpha} * (CAST((SELECT m FROM d{i}) AS DOUBLE) / {unit}) * p.p * {unit}) AS BIGINT) AS term
+    FROM p
+  ) GROUP BY id
+)"""
+        )
+        prev = f"r{i}"
+    its = ",\n".join(it_ctes)
+    return f"""
+WITH edges AS ({edges_cte}),
+adj AS (
+  SELECT DISTINCT from_id, to_id FROM (
+    SELECT from_id, to_id FROM edges UNION ALL SELECT to_id AS from_id, from_id AS to_id FROM edges
+  )
+),
+deg AS (SELECT from_id, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY from_id),
+seeds AS ({seeds_cte}),
+p AS (
+  SELECT id, CAST(sw_fp AS DOUBLE) / CAST((SELECT sum(sw_fp) FROM seeds) AS DOUBLE) AS p
+  FROM seeds
+),
+r0 AS (SELECT id, CAST(round(p * {unit}) AS BIGINT) AS r_fp FROM p),
+{its},
+ppr AS (SELECT id, r_fp FROM {prev})
+"""
+
+
+def min_label_propagation(
+    edges: DataFrame, nodes: DataFrame, rounds: int, id_col: str = "id"
+) -> DataFrame:
+    """Bounded connected-components: k rounds of min-label adoption.
+
+    Exact CC when k >= component diameter; always deterministic.
+    Returns (id, label) where label = min reachable-in-k-hops id.
+    """
+    adj = bidirectional(edges).cache()
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    for _ in range(rounds):
+        neighbor_min = (
+            labels.alias("l")
+            .join(adj.alias("a"), F.col("l.id") == F.col("a.from_id"))
+            .groupBy(F.col("a.to_id").alias("id"))
+            .agg(F.min(F.col("l.label")).alias("nmin"))
+        )
+        labels = (
+            labels.alias("lb")
+            .join(neighbor_min.alias("nm"), F.col("lb.id") == F.col("nm.id"), "left")
+            .select(
+                F.col("lb.id").alias("id"),
+                F.least(
+                    F.col("lb.label"), F.coalesce(F.col("nm.nmin"), F.col("lb.label"))
+                ).alias("label"),
+            )
+        )
+    return labels
+
+
+def label_propagation_sql(edges_cte: str, nodes_cte: str, rounds: int) -> str:
+    """DuckDB oracle for :func:`min_label_propagation`; ends in
+    ``labels(id, label)``."""
+    ctes = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+  FROM {prev} l
+  LEFT JOIN adj ON adj.to_id = l.id
+  LEFT JOIN {prev} n ON n.id = adj.from_id
+  GROUP BY l.id, l.label
+)"""
+        )
+        prev = f"l{i}"
+    its = ",\n".join(ctes)
+    return f"""
+WITH edges AS ({edges_cte}),
+adj AS (
+  SELECT DISTINCT from_id, to_id FROM (
+    SELECT from_id, to_id FROM edges UNION ALL SELECT to_id AS from_id, from_id AS to_id FROM edges
+  )
+),
+nodes AS ({nodes_cte}),
+l0 AS (SELECT id, id AS label FROM nodes),
+{its},
+labels AS (SELECT id, label FROM {prev})
+"""

@@ -100,13 +100,14 @@ def _basis_component(dim_idx: Column, plane: int) -> Column:
 def lsh_bucket_expr(vec_col: str | Column, dim: int, n_planes: int) -> Column:
     """Bit-string bucket id: sign of the projection on each plane."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    def _projector(p: int):
+        return lambda i: F.element_at(vec, i).cast("double") * _basis_component(i, p)
+
     bits = []
     for p in range(n_planes):
         idx = F.sequence(F.lit(1), F.lit(dim))
-        prods = F.transform(
-            idx,
-            lambda i, p=p: F.element_at(vec, i).cast("double") * _basis_component(i, p),
-        )
+        prods = F.transform(idx, _projector(p))
         proj = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)

@@ -1,0 +1,359 @@
+"""Dedup / similarity-search queries: MinHash LSH, SimHash, n-gram
+Jaccard, embedding near-dup pairs, IVF-style bucketed ANN, smart
+import, dedup victim selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from memories_spark.functions.texttools import char_shingles_expr, tokens_expr
+from memories_spark.functions.vectors import cosine_expr, cosine_sql
+from memories_spark.operators import dedup as dedup_op
+from memories_spark.operators import similarity as sim_op
+from memories_spark.plans.registry import register
+from memories_spark.sources.tables import load_tables
+
+# ---------------------------------------------------------------------
+# MinHash + LSH near-duplicates
+# ---------------------------------------------------------------------
+
+_MINHASH_PAIRS_CTE = dedup_op.minhash_pairs_sql("documents", "doc_id", "text")
+
+_MINHASH_ORACLE = _MINHASH_PAIRS_CTE + """
+SELECT id_a, id_b, round(est_sim, 6) AS est_sim
+FROM pairs WHERE est_sim >= 0.75
+"""
+
+
+@register(
+    "minhash_near_dups",
+    oracle=_MINHASH_ORACLE,
+    doc="MinHash (8 hashes) + LSH banding (4 bands x 2 rows) "
+    "candidate pairs with estimated Jaccard >= 0.75. The scale path "
+    "for exact-dup families (reference J3/C1 all-pairs dedup, "
+    "memory_engine.py:2199-2272, re-expressed sub-quadratically).",
+    tags=("dedup", "minhash"),
+)
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = dedup_op.minhash_candidate_pairs(docs, "doc_id", "text")
+    return pairs.filter(F.col("est_sim") >= 0.75).select(
+        "id_a", "id_b", F.round("est_sim", 6).alias("est_sim")
+    )
+
+
+_DELETE_ORACLE = _MINHASH_PAIRS_CTE + """
+SELECT DISTINCT id_b AS victim_id
+FROM pairs WHERE est_sim >= 0.75
+ORDER BY victim_id
+"""
+
+
+@register(
+    "dedup_victims",
+    oracle=_DELETE_ORACLE,
+    doc="Dedup victim selection: for each near-dup pair keep the "
+    "smaller id, delete the larger (reference C1 deduplicate, "
+    "memory_engine.py:2239-2272).",
+    tags=("dedup",),
+)
+def dedup_victims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = dedup_op.minhash_candidate_pairs(docs, "doc_id", "text")
+    return (
+        pairs.filter(F.col("est_sim") >= 0.75)
+        .select(F.col("id_b").alias("victim_id"))
+        .distinct()
+        .orderBy("victim_id")
+    )
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+
+_SIMHASH_ORACLE = f"""
+SELECT doc_id, {dedup_op.simhash_sql('text')} AS simhash
+FROM documents ORDER BY doc_id
+"""
+
+
+@register(
+    "simhash_sketch",
+    oracle=_SIMHASH_ORACLE,
+    doc="16-bit SimHash sketch per document (token md5-parity votes); "
+    "the constant-size near-dup fingerprint family.",
+    tags=("dedup", "simhash"),
+)
+def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id", dedup_op.simhash_expr("text").alias("simhash")
+    ).orderBy("doc_id")
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH sk AS (
+  SELECT doc_id, {dedup_op.simhash_sql('text')} AS simhash FROM documents
+),
+blocked AS (SELECT doc_id, simhash, substr(simhash, 1, 8) AS blk FROM sk),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         {dedup_op.hamming_sql('a.simhash', 'b.simhash')} AS hamming
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= 2
+"""
+
+
+@register(
+    "simhash_near_dups",
+    oracle=_SIMHASH_PAIRS_ORACLE,
+    doc="SimHash near-dup pairs: block on the first 8 bits, keep "
+    "hamming <= 2. Blocking keeps the pair join sub-quadratic.",
+    tags=("dedup", "simhash"),
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    sk = docs.select("doc_id", dedup_op.simhash_expr("text").alias("simhash"))
+    blocked = sk.withColumn("blk", F.substring("simhash", 1, 8))
+    a = blocked.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sha"), "blk"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("shb"), "blk"
+    )
+    pairs = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b"))
+    ham = dedup_op.hamming_expr(F.col("sha"), F.col("shb"))
+    return pairs.select(
+        "id_a", "id_b", ham.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= 2)
+
+
+# ---------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(length(lower(text)) - 2, 0) + 1),
+           i -> substr(lower(text), CAST(i AS INT), 3))) AS s
+  FROM documents
+),
+ex AS (SELECT doc_id, source, len(s) AS n, unnest(s) AS g FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         CAST(count(*) AS BIGINT) AS i
+  FROM ex a JOIN ex b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE), 6) AS jaccard
+FROM inter
+WHERE round(CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE), 6) >= 0.62
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=_JACCARD_ORACLE,
+    doc="Character 3-gram Jaccard near-dups, blocked by source "
+    "(exact set similarity from integer intersection counts).",
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return dedup_op.jaccard_pairs(
+        docs,
+        "doc_id",
+        shingles=char_shingles_expr("text", 3),
+        block=F.col("source"),
+        threshold=0.62,
+    )
+
+
+# ---------------------------------------------------------------------
+# Embedding near-dups + bucketed ANN
+# ---------------------------------------------------------------------
+
+_EMB_DIM = 64
+_N_PLANES = 4
+
+_EMB_PAIRS_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         {sim_op.lsh_bucket_sql('embedding', _EMB_DIM, _N_PLANES)} AS b
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({cosine_sql('a.embedding', 'b.embedding', _EMB_DIM)}, 6) AS sim
+  FROM bucketed a JOIN bucketed b ON a.b = b.b AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.3
+"""
+
+
+@register(
+    "embedding_near_dups",
+    oracle=_EMB_PAIRS_ORACLE,
+    doc="Embedding-cosine near-dup pairs confined to sign-projection "
+    "LSH buckets (4 deterministic hyperplanes) — the sub-quadratic "
+    "form of the reference's all-pairs E@E.T scan "
+    "(memory_engine.py:2199-2237).",
+    tags=("dedup", "vector"),
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return sim_op.cosine_pairs_blocked(
+        emb,
+        threshold=0.3,
+        block_col=sim_op.lsh_bucket_expr("embedding", _EMB_DIM, _N_PLANES),
+    )
+
+
+_IVF_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         {sim_op.lsh_bucket_sql('embedding', _EMB_DIM, _N_PLANES)} AS b
+  FROM embeddings
+),
+q AS (SELECT vec_id, embedding, b FROM bucketed WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id, round({cosine_sql('c.embedding', 'q.embedding', _EMB_DIM)}, 6) AS sim
+  FROM bucketed c JOIN q ON c.b = q.b
+  WHERE c.vec_id != 0
+)
+SELECT vec_id, sim,
+       CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+FROM scored
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register(
+    "ann_ivf_bucketed",
+    oracle=_IVF_ORACLE,
+    bench=True,
+    doc="IVF/LSH-bucketed approximate nearest neighbors: probe only "
+    "the query's bucket (1/16th of the corpus), exact cosine inside. "
+    "The 100 TB path where brute force stops being free.",
+    tags=("vector", "ann"),
+)
+def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    bucketed = emb.withColumn(
+        "b", sim_op.lsh_bucket_expr("embedding", _EMB_DIM, _N_PLANES)
+    )
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("b").alias("qb")
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), F.col("b") == F.col("qb"))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", F.round(cosine_expr("embedding", "qv"), 6).alias("sim")
+        )
+    )
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Smart import (novelty classification)
+# ---------------------------------------------------------------------
+
+_SMART_IMPORT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t != '')) AS ts
+  FROM documents
+),
+incoming AS (SELECT doc_id, len(ts) AS n, unnest(ts) AS tok FROM toks WHERE source = 'src19'),
+corpus AS (SELECT doc_id, len(ts) AS n, unnest(ts) AS tok FROM toks WHERE source != 'src19'),
+inter AS (
+  SELECT i.doc_id AS in_id, c.doc_id AS cand_id, i.n AS ni, c.n AS nc,
+         CAST(count(*) AS BIGINT) AS ov
+  FROM incoming i JOIN corpus c ON i.tok = c.tok
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT in_id, cand_id,
+         round(CAST(ov AS DOUBLE) / CAST(ni + nc - ov AS DOUBLE), 6) AS sim,
+         row_number() OVER (PARTITION BY in_id ORDER BY
+           round(CAST(ov AS DOUBLE) / CAST(ni + nc - ov AS DOUBLE), 6) DESC, cand_id ASC) AS rn
+  FROM inter
+),
+best AS (SELECT in_id, cand_id, sim FROM scored WHERE rn = 1)
+SELECT t.doc_id,
+       b.cand_id AS best_match_id,
+       coalesce(b.sim, 0.0) AS best_sim,
+       CASE WHEN b.sim >= 0.9 THEN 'skip'
+            WHEN b.sim >= 0.5 THEN 'borderline'
+            ELSE 'add' END AS decision
+FROM (SELECT doc_id FROM documents WHERE source = 'src19') t
+LEFT JOIN best b ON b.in_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "smart_import_classify",
+    oracle=_SMART_IMPORT_ORACLE,
+    doc="Smart-import novelty bands (reference S5 _import_smart, "
+    "memory_engine.py:2564-2637): per incoming doc find the best "
+    "corpus match; >=0.9 skip / >=0.5 borderline / else add "
+    "(token-Jaccard stands in for embedding cosine; same plan shape).",
+    tags=("dedup", "import"),
+)
+def smart_import_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(tokens_expr("text")).alias("ts"),
+    )
+    inc = toks.filter(F.col("source") == "src19").select(
+        F.col("doc_id").alias("in_id"), F.size("ts").alias("ni"), F.explode("ts").alias("tok")
+    )
+    cor = toks.filter(F.col("source") != "src19").select(
+        F.col("doc_id").alias("cand_id"), F.size("ts").alias("nc"), F.explode("ts").alias("tok")
+    )
+    inter = inc.join(cor, "tok").groupBy("in_id", "cand_id", "ni", "nc").agg(
+        F.count("*").alias("ov")
+    )
+    sim = F.round(
+        F.col("ov").cast("double") / (F.col("ni") + F.col("nc") - F.col("ov")).cast("double"), 6
+    )
+    w = Window.partitionBy("in_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    best = (
+        inter.select("in_id", "cand_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    incoming_ids = docs.filter(F.col("source") == "src19").select("doc_id")
+    decision = (
+        F.when(F.col("sim") >= 0.9, "skip")
+        .when(F.col("sim") >= 0.5, "borderline")
+        .otherwise("add")
+    )
+    return (
+        incoming_ids.join(best, incoming_ids.doc_id == best.in_id, "left")
+        .select(
+            "doc_id",
+            F.col("cand_id").alias("best_match_id"),
+            F.coalesce(F.col("sim"), F.lit(0.0)).alias("best_sim"),
+            decision.alias("decision"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,128 @@
+"""Graph queries: PPR expansion and bounded-label-propagation
+clustering over a derived document-link graph.
+
+The synthetic corpus has no explicit edge table, so edges are derived
+deterministically: doc d links to d+20 when both exist (same source —
+sources are assigned round-robin doc_id % 20), giving 20 chains of
+length N/20. This plays the role of the reference's ``related_to``
+edge set (reference memory_engine.py:770-797).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from memories_spark.functions.vectors import cosine_expr, cosine_sql
+from memories_spark.operators import graph as graph_op
+from memories_spark.plans.registry import register
+from memories_spark.sources.tables import load_tables
+
+_PPR_SCALE = graph_op.SCALE
+
+
+def _doc_edges(docs: DataFrame) -> DataFrame:
+    a = docs.select(F.col("doc_id").alias("from_id"))
+    b = docs.select(F.col("doc_id").alias("_b"))
+    return a.withColumn("to_id", F.col("from_id") + 20).join(
+        b, F.col("to_id") == F.col("_b")
+    ).select("from_id", "to_id")
+
+
+_EDGES_CTE = (
+    "SELECT a.doc_id AS from_id, a.doc_id + 20 AS to_id "
+    "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 20"
+)
+
+_SEEDS_CTE = f"""
+SELECT doc_id AS id, CAST(round((1.0 / (rank + 60)) * 1e12) AS BIGINT) AS sw_fp
+FROM (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM (
+    SELECT e.vec_id, round({cosine_sql('e.embedding', 'q.embedding', 64)}, 6) AS sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id != 0
+  )
+)
+WHERE rank <= 10
+"""
+
+_PPR_ORACLE = graph_op.ppr_sql(_EDGES_CTE, _SEEDS_CTE) + f"""
+SELECT id AS doc_id, round(CAST(r_fp AS DOUBLE) / 1e{_PPR_SCALE}, 9) AS ppr
+FROM ppr
+ORDER BY ppr DESC, doc_id ASC
+LIMIT 25
+"""
+
+
+@register(
+    "ppr_graph_expand",
+    oracle=_PPR_ORACLE,
+    bench=True,
+    doc="Truncated Personalized PageRank: vector top-10 seeds "
+    "(1/(rank+60) weights), alpha=0.85, 3 iterations, dangling mass "
+    "to personalization (reference R7 _graph_expand, "
+    "memory_engine.py:1541-1642). Fixed-point mass arithmetic.",
+    tags=("graph", "retrieval"),
+)
+def ppr_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine_expr("embedding", "qv"), 6).alias("sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("sim"), F.asc("id"))
+    seeds = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "id",
+            F.round((F.lit(1.0) / (F.col("rank") + 60)) * 1e12).cast("long").alias("sw_fp"),
+        )
+    )
+    ppr = graph_op.personalized_pagerank(_doc_edges(t["documents"]), seeds)
+    return (
+        ppr.select(
+            F.col("id").alias("doc_id"),
+            F.round(F.col("r_fp").cast("double") / F.lit(10.0**_PPR_SCALE), 9).alias("ppr"),
+        )
+        .orderBy(F.desc("ppr"), F.asc("doc_id"))
+        .limit(25)
+    )
+
+
+_LP_ORACLE = graph_op.label_propagation_sql(
+    _EDGES_CTE, "SELECT doc_id AS id FROM documents", rounds=4
+) + """
+SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+FROM labels GROUP BY label ORDER BY label
+"""
+
+
+@register(
+    "label_propagation_clusters",
+    oracle=_LP_ORACLE,
+    doc="Bounded min-label propagation (4 rounds) as the similarity-"
+    "cluster builder (reference C2 union-find clusters, "
+    "memory_engine.py:2274-2342; exact CC when rounds >= diameter).",
+    tags=("graph", "clustering"),
+)
+def label_propagation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    labels = graph_op.min_label_propagation(
+        _doc_edges(docs), docs.select("doc_id"), rounds=4, id_col="doc_id"
+    )
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy("label")
+    )

@@ -1,0 +1,87 @@
+"""Text-pipeline queries: language ID, quality scoring, token
+counting, fingerprinting, chunking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from memories_spark.operators import chunking as chunk_op
+from memories_spark.operators import textstats as ts_op
+from memories_spark.plans.registry import register
+from memories_spark.sources.tables import load_tables
+
+_LANG_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       {ts_op.predict_lang_sql('text')} AS pred_lang,
+       round({ts_op.quality_score_sql('text')}, 6) AS quality,
+       {ts_op.token_counts_sql('text')['ws_tokens']} AS ws_tokens,
+       {ts_op.token_counts_sql('text')['bpe_ish_tokens']} AS bpe_ish_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+@register(
+    "lang_quality_profile",
+    oracle=_LANG_QUALITY_ORACLE,
+    bench=True,
+    doc="Per-document language-ID heuristic (marker-word argmax), "
+    "composite quality score (Gopher/C4-style rule filter) and "
+    "whitespace + BPE-ish token counts — one corpus scan, all "
+    "codegen expressions.",
+    tags=("text", "quality"),
+)
+def lang_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = ts_op.token_counts("text")
+    return docs.select(
+        "doc_id",
+        ts_op.predict_lang_expr("text").alias("pred_lang"),
+        F.round(ts_op.quality_score_expr("text"), 6).alias("quality"),
+        counts["ws_tokens"].alias("ws_tokens"),
+        counts["bpe_ish_tokens"].alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+_FP = ts_op.fingerprint_sql("text")
+_FINGERPRINT_ORACLE = f"""
+SELECT doc_id, {_FP['fp_min']} AS fp_min, {_FP['fp_max']} AS fp_max,
+       {_FP['n_shingles']} AS n_shingles
+FROM documents ORDER BY doc_id
+"""
+
+
+@register(
+    "doc_fingerprints",
+    oracle=_FINGERPRINT_ORACLE,
+    doc="Winnowing-lite rolling fingerprints: min/max md5 over 8-char "
+    "shingles + distinct-shingle cardinality (MOSS-style dedup key).",
+    tags=("text", "dedup"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    fp = ts_op.fingerprint_exprs("text")
+    return docs.select(
+        "doc_id",
+        fp["fp_min"].alias("fp_min"),
+        fp["fp_max"].alias("fp_max"),
+        fp["n_shingles"].alias("n_shingles"),
+    ).orderBy("doc_id")
+
+
+_CHUNK_ORACLE = chunk_op.chunk_sql("documents", "doc_id", "text")
+
+
+@register(
+    "chunk_documents",
+    oracle=_CHUNK_ORACLE,
+    doc="Fixed-window chunking with overlap (reference S1 "
+    "chunk_markdown, memory_engine.py:370-421): 120-char windows, "
+    "20-char overlap, >=30-char fragments; pure sequence+substring "
+    "explode.",
+    tags=("text", "chunking"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return chunk_op.chunk_documents(docs, "doc_id", "text")

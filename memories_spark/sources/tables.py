@@ -16,7 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -47,8 +47,14 @@ _TS_COLUMNS: dict[str, tuple[str, ...]] = {
 def _restore_timestamps(name: str, df: DataFrame) -> DataFrame:
     for col in _TS_COLUMNS.get(name, ()):
         field = next((f for f in df.schema.fields if f.name == col), None)
-        if field is not None and isinstance(field.dataType, LongType):
+        if field is None:
+            continue
+        if isinstance(field.dataType, LongType):
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+        elif isinstance(field.dataType, TimestampNTZType):
+            # Spark 4 infers parquet micros as TIMESTAMP_NTZ; normalize to
+            # TIMESTAMP so epoch functions work. Session tz is pinned UTC.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
@@ -56,6 +62,7 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Dat
     """Load every synthetic table as a DataFrame keyed by name."""
     sf_dir = sf_dir or DEFAULT_SF_DIR
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return {
         name: _restore_timestamps(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
         for name in TABLE_NAMES
