@@ -1,0 +1,726 @@
+"""Retrieval completeness: the full 5-signal hybrid pipeline and its
+satellites — explain, batch search, graph merge with reserved slots,
+novelty, conflict pairs, evidence packets.
+
+Signal derivations over the synthetic corpus (scale-independent):
+documents play "memories"; per-doc activity anchors come from the
+events table joined on ``user_id = doc_id`` (docs without events are
+simply absent from the time-based signals, like memories without a
+``last_reinforced_at``); feedback net = clicks - errors per entity
+(reference usage_tracker.py:324-341 conditional sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from memories_spark.functions.decay import decay_sql, half_life_decay
+from memories_spark.functions.vectors import cosine_expr, cosine_sql
+from memories_spark.operators import bm25 as bm25_op
+from memories_spark.operators import graph as graph_op
+from memories_spark.operators import rrf as rrf_op
+from memories_spark.plans.queries_graph import _doc_edges, _EDGES_CTE, _SEEDS_CTE
+from memories_spark.plans.registry import register
+from memories_spark.sources.tables import load_tables
+
+_BM25_QUERY = ["spark", "join", "filter", "window", "group"]
+_NOW = "2024-01-31 00:00:00"
+_RECENCY_HL = 7.0
+_CONFIDENCE_HL = 90.0
+
+# Reference weight-normalization algebra (memory_engine.py:1795-1807):
+# aux signals (feedback+confidence) are budgeted first, the remaining
+# "core" is split vector/bm25 after carving out the recency share.
+_VECTOR_W, _RECENCY_W, _FEEDBACK_W, _CONFIDENCE_W = 0.7, 0.2, 0.1, 0.1
+_AUX = min(1.0, _FEEDBACK_W + _CONFIDENCE_W)
+_CORE = 1.0 - _AUX
+V_EFF = _VECTOR_W * _CORE * (1.0 - _RECENCY_W)          # 0.448
+B_EFF = (1.0 - _VECTOR_W) * _CORE * (1.0 - _RECENCY_W)  # 0.192
+R_EFF = _RECENCY_W * _CORE                              # 0.16
+F_EFF = _FEEDBACK_W                                     # 0.1
+C_EFF = _CONFIDENCE_W                                   # 0.1
+
+
+# ---------------------------------------------------------------------
+# Shared signal builders (Spark side)
+# ---------------------------------------------------------------------
+
+def _vec_ranked(emb: DataFrame, query_id: int = 0, limit: int = 30) -> DataFrame:
+    """Vector signal: cosine vs one query embedding, (id, rank)."""
+    qv = emb.filter(F.col("vec_id") == query_id).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine_expr("embedding", "qv"), 6).alias("sim"),
+        )
+    )
+    return rrf_op.rank_signal(scored, "id", "sim", limit=limit)
+
+
+def _bm_ranked(docs: DataFrame, limit: int = 30) -> DataFrame:
+    bm = bm25_op.bm25_scores(docs, "doc_id", "text", _BM25_QUERY)
+    return rrf_op.rank_signal(bm, "id", "score", limit=limit)
+
+
+def _anchors(events: DataFrame) -> DataFrame:
+    """Per-entity activity anchors: last/first event ts (user_id=doc_id)."""
+    return events.groupBy(F.col("user_id").alias("id")).agg(
+        F.max("ts").alias("last_ts"), F.min("ts").alias("first_ts")
+    )
+
+
+def _feedback_net(events: DataFrame) -> DataFrame:
+    net = F.sum(
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", -1)
+        .otherwise(0)
+    )
+    return events.groupBy(F.col("user_id").alias("id")).agg(net.cast("long").alias("net"))
+
+
+def _five_signals(spark: SparkSession, sf_dir: str) -> dict[str, tuple[DataFrame, float]]:
+    """The reference's 5 RRF signals, aux signals ranked **within** the
+    vector∪bm25 candidate set (memory_engine.py:1819-1858)."""
+    t = load_tables(spark, sf_dir)
+    vec = _vec_ranked(t["embeddings"])
+    bm = _bm_ranked(t["documents"])
+    cand = vec.select("id").union(bm.select("id")).distinct()
+    now = F.lit(_NOW).cast("timestamp")
+
+    ca = cand.join(_anchors(t["events"]), "id", "left")
+    rec_scored = ca.select("id", half_life_decay(F.col("last_ts"), now, _RECENCY_HL).alias("s"))
+    conf_scored = ca.select("id", half_life_decay(F.col("first_ts"), now, _CONFIDENCE_HL).alias("s"))
+    fb_scored = (
+        cand.join(_feedback_net(t["events"]), "id").filter(F.col("net") > 0).select("id", "net")
+    )
+    return {
+        "vector": (vec, V_EFF),
+        "bm25": (bm, B_EFF),
+        "recency": (rrf_op.rank_signal(rec_scored, "id", "s", limit=30), R_EFF),
+        "feedback": (rrf_op.rank_signal(fb_scored, "id", "net", limit=30), F_EFF),
+        "confidence": (rrf_op.rank_signal(conf_scored, "id", "s", limit=30), C_EFF),
+    }
+
+
+# ---------------------------------------------------------------------
+# Shared oracle CTE chain for the 5 signals
+# ---------------------------------------------------------------------
+
+def _five_signal_ctes() -> str:
+    bm25_full = bm25_op.bm25_sql("documents", "doc_id", "text", _BM25_QUERY, k=None)
+    cos = cosine_sql("e.embedding", "q.embedding", 64)
+    return f"""
+bm25_all AS ({bm25_full}),
+bm_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm25_all QUALIFY rank <= 30
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+  SELECT e.vec_id AS doc_id, round({cos}, 6) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+),
+vec_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS rank
+  FROM vec_scored QUALIFY rank <= 30
+),
+cand AS (SELECT doc_id FROM vec_ranked UNION SELECT doc_id FROM bm_ranked),
+anchors AS (
+  SELECT user_id AS doc_id, max(ts) AS last_ts, min(ts) AS first_ts
+  FROM events GROUP BY user_id
+),
+cand_anchor AS (
+  SELECT c.doc_id, a.last_ts, a.first_ts
+  FROM cand c LEFT JOIN anchors a ON a.doc_id = c.doc_id
+),
+rec_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM (SELECT doc_id, {decay_sql('last_ts', _NOW, _RECENCY_HL)} AS s FROM cand_anchor)
+  QUALIFY rank <= 30
+),
+conf_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM (SELECT doc_id, {decay_sql('first_ts', _NOW, _CONFIDENCE_HL)} AS s FROM cand_anchor)
+  QUALIFY rank <= 30
+),
+fb AS (
+  SELECT user_id AS doc_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                       WHEN event_type = 'error' THEN -1 ELSE 0 END) AS BIGINT) AS net
+  FROM events GROUP BY user_id
+),
+fb_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY net DESC, doc_id ASC) AS rank
+  FROM (SELECT c.doc_id, f.net FROM cand c JOIN fb f ON f.doc_id = c.doc_id WHERE f.net > 0)
+  QUALIFY rank <= 30
+)"""
+
+
+_SIGNAL_SQL = [
+    ("vector", "vec_ranked", V_EFF),
+    ("bm25", "bm_ranked", B_EFF),
+    ("recency", "rec_ranked", R_EFF),
+    ("feedback", "fb_ranked", F_EFF),
+    ("confidence", "conf_ranked", C_EFF),
+]
+
+
+def _hybrid5_oracle() -> str:
+    contribs = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {rrf_op.rrf_contrib_sql('rank', w)} AS c FROM {cte}"
+        for _, cte, w in _SIGNAL_SQL
+    )
+    scale = rrf_op.SCORE_SCALE
+    return f"""
+WITH {_five_signal_ctes()},
+contribs AS (
+{contribs}
+),
+fused AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS c FROM contribs GROUP BY doc_id)
+SELECT f.doc_id,
+       round(CAST(f.c AS DOUBLE) / 1e{scale}, 6) AS rrf_score,
+       CAST(v.rank AS BIGINT) AS vector_rank,
+       CAST(b.rank AS BIGINT) AS bm25_rank,
+       CAST(r.rank AS BIGINT) AS recency_rank,
+       CAST(fb2.rank AS BIGINT) AS feedback_rank,
+       CAST(cf.rank AS BIGINT) AS confidence_rank
+FROM fused f
+LEFT JOIN vec_ranked v ON v.doc_id = f.doc_id
+LEFT JOIN bm_ranked b ON b.doc_id = f.doc_id
+LEFT JOIN rec_ranked r ON r.doc_id = f.doc_id
+LEFT JOIN fb_ranked fb2 ON fb2.doc_id = f.doc_id
+LEFT JOIN conf_ranked cf ON cf.doc_id = f.doc_id
+ORDER BY rrf_score DESC, f.doc_id ASC
+LIMIT 15
+"""
+
+
+@register(
+    "hybrid_rrf_5signal",
+    oracle=_hybrid5_oracle(),
+    bench=True,
+    doc="Full 5-signal hybrid search: vector + BM25 + recency + "
+    "feedback + confidence fused with RRF under the reference's "
+    "weight-normalization algebra (reference R3 hybrid_search, "
+    "memory_engine.py:1787-1858; signals :1819-1858). Aux signals "
+    "are ranked within the vector∪bm25 candidate set, so their cost "
+    "is O(candidates) not O(corpus).",
+    tags=("retrieval", "rrf", "flagship"),
+)
+def hybrid_rrf_5signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fused = rrf_op.rrf_fuse(_five_signals(spark, sf_dir), k=15)
+    return fused.select(
+        F.col("id").alias("doc_id"),
+        F.round("rrf_score", 6).alias("rrf_score"),
+        *[
+            F.col(f"{s}_rank").cast("long").alias(f"{s}_rank")
+            for s in ("vector", "bm25", "recency", "feedback", "confidence")
+        ],
+    ).orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+
+
+def _explain_oracle() -> str:
+    scale = rrf_op.SCORE_SCALE
+    parts = "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS signal, doc_id, CAST(rank AS BIGINT) AS rank, "
+        f"{rrf_op.rrf_contrib_sql('rank', w)} AS contrib_fp FROM {cte}"
+        for name, cte, w in _SIGNAL_SQL
+    )
+    return f"""
+WITH {_five_signal_ctes()}
+{'SELECT signal, doc_id, rank, contrib_fp FROM ('}
+{parts}
+) ORDER BY signal, rank
+-- contrib_fp is the exact fixed-point (1e{scale}) RRF contribution
+"""
+
+
+@register(
+    "search_explain",
+    oracle=_explain_oracle(),
+    doc="Search explain: the per-signal candidate lists and exact "
+    "fixed-point RRF contributions behind hybrid_rrf_5signal "
+    "(reference R11 hybrid_search_explain, memory_engine.py:"
+    "1938-2185) — the Spark version materializes each signal stage.",
+    tags=("retrieval", "explain"),
+)
+def search_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    signals = _five_signals(spark, sf_dir)
+    parts = []
+    for name, (ranked, w) in signals.items():
+        contrib_fp = (
+            F.round(
+                (F.lit(float(w)) / (F.col("rank") + F.lit(rrf_op.RRF_K)).cast("double"))
+                * F.lit(float(10**rrf_op.SCORE_SCALE))
+            ).cast("long")
+        )
+        parts.append(
+            ranked.select(
+                F.lit(name).alias("signal"),
+                F.col("id").alias("doc_id"),
+                F.col("rank").cast("long").alias("rank"),
+                contrib_fp.alias("contrib_fp"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("signal", "rank")
+
+
+# ---------------------------------------------------------------------
+# Batch search (R12): one pass, many queries
+# ---------------------------------------------------------------------
+
+_BATCH_QUERY_IDS = [0, 7, 42]
+
+
+def _batch_oracle() -> str:
+    bm25_full = bm25_op.bm25_sql("documents", "doc_id", "text", _BM25_QUERY, k=None)
+    cos = cosine_sql("e.embedding", "q.embedding", 64)
+    ids = ", ".join(str(i) for i in _BATCH_QUERY_IDS)
+    vec_c = rrf_op.rrf_contrib_sql("v.rank", 0.7)
+    bm_c = rrf_op.rrf_contrib_sql("b.rank", 0.3)
+    scale = rrf_op.SCORE_SCALE
+    return f"""
+WITH bm25_all AS ({bm25_full}),
+bm_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm25_all QUALIFY rank <= 20
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN ({ids})),
+vec_ranked AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT q.query_id, e.vec_id AS doc_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({cos}, 6) DESC, e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+  ) WHERE rank <= 20
+),
+qb AS (SELECT query_id, doc_id, rank FROM (SELECT DISTINCT query_id FROM q), bm_ranked),
+fused AS (
+  SELECT coalesce(v.query_id, b.query_id) AS query_id,
+         coalesce(v.doc_id, b.doc_id) AS doc_id,
+         coalesce({vec_c}, 0) + coalesce({bm_c}, 0) AS c,
+         v.rank AS vector_rank, b.rank AS bm25_rank
+  FROM vec_ranked v
+  FULL OUTER JOIN qb b ON b.query_id = v.query_id AND b.doc_id = v.doc_id
+)
+SELECT query_id, doc_id,
+       round(CAST(c AS DOUBLE) / 1e{scale}, 6) AS rrf_score,
+       CAST(vector_rank AS BIGINT) AS vector_rank,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, doc_id ASC) AS rn
+  FROM fused
+) WHERE rn <= 5
+ORDER BY query_id, rrf_score DESC, doc_id ASC
+"""
+
+
+@register(
+    "batch_hybrid_search",
+    oracle=_batch_oracle(),
+    bench=True,
+    doc="Batch search: N query vectors fused with a shared BM25 list "
+    "in ONE pass — per-query window top-k instead of a request loop "
+    "(reference R12 batch search, app.py:2163-2209). The plan scans "
+    "the corpus once regardless of the number of queries.",
+    tags=("retrieval", "rrf", "batch"),
+)
+def batch_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb, docs = t["embeddings"], t["documents"]
+    queries = emb.filter(F.col("vec_id").isin(_BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_expr("embedding", "qv"), 6).alias("sim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("doc_id"))
+    vec_ranked = (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    bm_ranked = _bm_ranked(docs, limit=20).select(F.col("id").alias("doc_id"), "rank")
+    qb = queries.select("query_id").crossJoin(bm_ranked)
+
+    contrib = lambda rank, w: F.round(  # noqa: E731
+        (F.lit(w) / (rank + F.lit(rrf_op.RRF_K)).cast("double"))
+        * F.lit(float(10**rrf_op.SCORE_SCALE))
+    ).cast("long")
+    v = vec_ranked.select("query_id", "doc_id", contrib(F.col("rank"), 0.7).alias("vc"),
+                          F.col("rank").alias("vector_rank"))
+    b = qb.select("query_id", "doc_id", contrib(F.col("rank"), 0.3).alias("bc"),
+                  F.col("rank").alias("bm25_rank"))
+    fused = v.join(b, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (F.coalesce("vc", F.lit(0)) + F.coalesce("bc", F.lit(0))).alias("c"),
+        "vector_rank",
+        "bm25_rank",
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("c").cast("double") / F.lit(float(10**rrf_op.SCORE_SCALE)), 6).alias(
+                "rrf_score"
+            ),
+            F.col("vector_rank").cast("long").alias("vector_rank"),
+            F.col("bm25_rank").cast("long").alias("bm25_rank"),
+        )
+        .orderBy("query_id", F.desc("rrf_score"), F.asc("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Graph merge with reserved slots (R8)
+# ---------------------------------------------------------------------
+
+_MERGE_K, _RESERVED = 10, 2
+_GRAPH_CAP = 0.33  # inject/support cap vs the top direct score
+
+
+def _graph_merge_oracle() -> str:
+    scale = graph_op.SCALE
+    return graph_op.ppr_sql(_EDGES_CTE, _SEEDS_CTE) + f""",
+direct AS (
+  SELECT doc_id, rank, 1.0 / (rank + 60) AS dscore FROM (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+    FROM (
+      SELECT e.vec_id, round({cosine_sql('e.embedding', 'q.embedding', 64)}, 6) AS sim
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id != 0
+    )
+  ) WHERE rank <= 10
+),
+mx AS (SELECT CAST(max(r_fp) AS DOUBLE) AS max_ppr FROM ppr),
+topd AS (SELECT max(dscore) AS top_direct FROM direct),
+dmerged AS (
+  SELECT doc_id, score, match_type,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM (
+    SELECT d.doc_id,
+           d.dscore + {_GRAPH_CAP} * (SELECT top_direct FROM topd)
+             * (CAST(coalesce(p.r_fp, 0) AS DOUBLE) / (SELECT max_ppr FROM mx)) AS score,
+           CASE WHEN coalesce(p.r_fp, 0) > 0 THEN 'direct+graph' ELSE 'direct' END AS match_type
+    FROM direct d LEFT JOIN ppr p ON p.id = d.doc_id
+  )
+),
+gonly AS (
+  SELECT doc_id, score, match_type,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM (
+    SELECT p.id AS doc_id,
+           {_GRAPH_CAP} * (SELECT top_direct FROM topd)
+             * (CAST(p.r_fp AS DOUBLE) / (SELECT max_ppr FROM mx)) AS score,
+           'graph' AS match_type
+    FROM ppr p
+    WHERE p.r_fp > 0 AND p.id NOT IN (SELECT doc_id FROM direct)
+  )
+)
+SELECT doc_id, round(score, 9) AS score, match_type FROM (
+  SELECT * FROM dmerged WHERE rn <= {_MERGE_K - _RESERVED}
+  UNION ALL
+  SELECT * FROM gonly WHERE rn <= {_RESERVED}
+)
+ORDER BY score DESC, doc_id ASC
+-- PPR mass is fixed-point at 1e{scale}; merge math is double on those exact ints
+"""
+
+
+@register(
+    "graph_merge_reserved",
+    oracle=_graph_merge_oracle(),
+    bench=True,
+    doc="Graph-merge with reserved slots: direct hits get additive "
+    "graph support capped at 0.33×top score; graph-only hits are "
+    "injected into r=2 reserved slots, HopRAG-style (reference R8 "
+    "_merge_graph_results, memory_engine.py:1644-1723; cap :44-52). "
+    "match_type ∈ {direct, direct+graph, graph}.",
+    tags=("graph", "retrieval"),
+)
+def graph_merge_reserved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    direct = _vec_ranked(t["embeddings"], limit=10).select(
+        F.col("id").alias("doc_id"),
+        "rank",
+        (F.lit(1.0) / (F.col("rank") + 60).cast("double")).alias("dscore"),
+    )
+    seeds = direct.select(
+        F.col("doc_id").alias("id"),
+        F.round(F.col("dscore") * 1e12).cast("long").alias("sw_fp"),
+    )
+    ppr = graph_op.personalized_pagerank(_doc_edges(t["documents"]), seeds)
+
+    scalars = ppr.agg(F.max("r_fp").cast("double").alias("max_ppr")).crossJoin(
+        direct.agg(F.max("dscore").alias("top_direct"))
+    )
+    graph_term = (
+        F.lit(_GRAPH_CAP)
+        * F.col("top_direct")
+        * (F.coalesce(F.col("r_fp"), F.lit(0)).cast("double") / F.col("max_ppr"))
+    )
+
+    dmerged = (
+        direct.join(ppr.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "doc_id",
+            (F.col("dscore") + graph_term).alias("score"),
+            F.when(F.coalesce(F.col("r_fp"), F.lit(0)) > 0, "direct+graph")
+            .otherwise("direct")
+            .alias("match_type"),
+        )
+    )
+    wd = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    dtop = dmerged.withColumn("rn", F.row_number().over(wd)).filter(
+        F.col("rn") <= _MERGE_K - _RESERVED
+    )
+
+    gonly = (
+        ppr.filter(F.col("r_fp") > 0)
+        .join(direct.select(F.col("doc_id").alias("id")), "id", "left_anti")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col("id").alias("doc_id"),
+            graph_term.alias("score"),
+            F.lit("graph").alias("match_type"),
+        )
+    )
+    gtop = gonly.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") <= _RESERVED)
+
+    return (
+        dtop.unionByName(gtop)
+        .select("doc_id", F.round("score", 9).alias("score"), "match_type")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------
+# Novelty check (R10)
+# ---------------------------------------------------------------------
+
+_NOVELTY_IDS = list(range(10))
+_NOVELTY_T = 0.88
+
+
+def _novelty_oracle() -> str:
+    cos = cosine_sql("c.embedding", "q.embedding", 64)
+    ids = ", ".join(str(i) for i in _NOVELTY_IDS)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN ({ids})),
+best AS (
+  SELECT q.query_id, max(round({cos}, 6)) AS top_sim
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id != q.query_id
+  GROUP BY q.query_id
+)
+SELECT query_id, top_sim,
+       CASE WHEN top_sim < {_NOVELTY_T} THEN true ELSE false END AS is_novel
+FROM best ORDER BY query_id
+"""
+
+
+@register(
+    "novelty_check",
+    oracle=_novelty_oracle(),
+    doc="Novelty check: top-1 similarity < 0.88 → novel (reference "
+    "R10 is_novel, memory_engine.py:2187-2193). One corpus scan for "
+    "the whole batch of incoming items.",
+    tags=("retrieval", "dedup"),
+)
+def novelty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    queries = emb.filter(F.col("vec_id").isin(_NOVELTY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    best = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.max(F.round(cosine_expr("embedding", "qv"), 6)).alias("top_sim"))
+    )
+    return best.select(
+        "query_id", "top_sim", (F.col("top_sim") < _NOVELTY_T).alias("is_novel")
+    ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------
+# Conflict pairs (J7) — derived conflicts_with edges
+# ---------------------------------------------------------------------
+
+_CONFLICT_ORACLE = """
+SELECT a.doc_id, a.doc_id - 55 AS conflicts_with,
+       a.source, b.source AS conflicting_source,
+       CASE WHEN a.source != b.source THEN true ELSE false END AS cross_source
+FROM documents a
+JOIN documents b ON b.doc_id = a.doc_id - 55
+WHERE a.doc_id % 11 = 0
+ORDER BY a.doc_id
+"""
+
+
+@register(
+    "conflict_pairs",
+    oracle=_CONFLICT_ORACLE,
+    doc="Conflict-pair join: rows with a conflicts_with pointer "
+    "joined to their counterpart (reference J7, app.py:2273-2299). "
+    "Synthetic pointer: doc_id%11==0 conflicts with doc_id-55.",
+    tags=("join",),
+)
+def conflict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    a = docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id", (F.col("doc_id") - 55).alias("conflicts_with"), "source"
+    )
+    b = docs.select(F.col("doc_id").alias("_bid"), F.col("source").alias("conflicting_source"))
+    return (
+        a.join(b, F.col("conflicts_with") == F.col("_bid"))
+        .select(
+            "doc_id",
+            "conflicts_with",
+            "source",
+            "conflicting_source",
+            (F.col("source") != F.col("conflicting_source")).alias("cross_source"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------
+# Evidence packet (R14)
+# ---------------------------------------------------------------------
+
+_EP_WINDOW_DAYS = 30
+
+
+def _evidence_oracle() -> str:
+    cos = cosine_sql("e.embedding", "q.embedding", 64)
+    rec = decay_sql("c.last_ts", _NOW, _RECENCY_HL)
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+top20 AS (
+  SELECT doc_id, rank FROM (
+    SELECT e.vec_id AS doc_id,
+           row_number() OVER (ORDER BY round({cos}, 6) DESC, e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+  ) WHERE rank <= 20
+),
+anchors AS (SELECT user_id AS doc_id, max(ts) AS last_ts FROM events GROUP BY user_id),
+c0 AS (
+  SELECT t.doc_id, t.rank, a.last_ts FROM top20 t
+  LEFT JOIN anchors a ON a.doc_id = t.doc_id
+),
+ans AS (SELECT max(last_ts) AS answer_ts FROM c0)
+SELECT c.doc_id, CAST(c.rank AS BIGINT) AS rank,
+       CASE
+         WHEN c.last_ts IS NULL THEN 'undated'
+         WHEN c.last_ts = (SELECT answer_ts FROM ans) THEN 'current'
+         WHEN epoch_us((SELECT answer_ts FROM ans)) - epoch_us(c.last_ts)
+              <= {_EP_WINDOW_DAYS} * 86400000000 THEN 'supporting'
+         ELSE 'older'
+       END AS status,
+       CASE
+         WHEN c.last_ts IS NULL THEN 'missing'
+         WHEN {rec} >= 0.5 THEN 'high'
+         WHEN {rec} >= 0.1 THEN 'medium'
+         ELSE 'low'
+       END AS confidence_level
+FROM c0 c ORDER BY rank
+"""
+
+
+@register(
+    "evidence_packet",
+    oracle=_evidence_oracle(),
+    doc="Evidence packet: classify search hits against the current "
+    "answer's date (current / supporting / older / undated) with "
+    "high/medium/low/missing confidence levels (reference R14, "
+    "evidence_packet.py:53-161).",
+    tags=("retrieval", "temporal"),
+)
+def evidence_packet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    top20 = _vec_ranked(t["embeddings"], limit=20).select(F.col("id").alias("doc_id"), "rank")
+    anchors = t["events"].groupBy(F.col("user_id").alias("doc_id")).agg(
+        F.max("ts").alias("last_ts")
+    )
+    c0 = top20.join(anchors, "doc_id", "left")
+    ans = c0.agg(F.max("last_ts").alias("answer_ts"))
+    now = F.lit(_NOW).cast("timestamp")
+    rec = half_life_decay(F.col("last_ts"), now, _RECENCY_HL)
+    age_us = F.unix_micros(F.col("answer_ts")) - F.unix_micros(F.col("last_ts"))
+    return (
+        c0.crossJoin(F.broadcast(ans))
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.when(F.col("last_ts").isNull(), "undated")
+            .when(F.col("last_ts") == F.col("answer_ts"), "current")
+            .when(age_us <= F.lit(_EP_WINDOW_DAYS * 86_400_000_000), "supporting")
+            .otherwise("older")
+            .alias("status"),
+            F.when(F.col("last_ts").isNull(), "missing")
+            .when(rec >= 0.5, "high")
+            .when(rec >= 0.1, "medium")
+            .otherwise("low")
+            .alias("confidence_level"),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------
+# Feedback-score join (J8)
+# ---------------------------------------------------------------------
+
+_FEEDBACK_JOIN_ORACLE = """
+SELECT d.doc_id, d.source,
+       CAST(f.net AS BIGINT) AS feedback_net
+FROM documents d
+JOIN (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                       WHEN event_type = 'error' THEN -1 ELSE 0 END) AS BIGINT) AS net
+  FROM events GROUP BY user_id
+) f ON f.user_id = d.doc_id
+WHERE f.net > 0
+ORDER BY feedback_net DESC, d.doc_id ASC
+LIMIT 50
+"""
+
+
+@register(
+    "feedback_score_join",
+    oracle=_FEEDBACK_JOIN_ORACLE,
+    doc="Feedback net-score join: useful−not_useful conditional sum "
+    "per entity, positive nets only, joined into the entity table "
+    "(reference J8/R6, usage_tracker.py:324-341, app.py:1976-1980).",
+    tags=("join", "events"),
+)
+def feedback_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    fb = _feedback_net(t["events"]).filter(F.col("net") > 0)
+    return (
+        t["documents"]
+        .join(fb, F.col("doc_id") == F.col("id"))
+        .select("doc_id", "source", F.col("net").alias("feedback_net"))
+        .orderBy(F.desc("feedback_net"), F.asc("doc_id"))
+        .limit(50)
+    )
