@@ -1,0 +1,562 @@
+"""MemoriesEngine: the mutation/CRUD surface over parquet tables.
+
+Re-expresses the reference's write path (reference
+memory_engine.py:529-1312) as table-level DataFrame transformations:
+
+- ``memories`` — one wide row per memory (embedding inline).
+- ``links`` — typed edge table (the reference embeds a ``links``
+  array per record, memory_engine.py:770-797; an edge table is the
+  scalable normal form — graph ops become joins, not explodes).
+- ``retrieval_log`` / ``search_feedback`` — append-only event tables
+  (reference usage_tracker.py), feeding the reinforcement and
+  feedback ranking signals.
+
+Concurrency/durability stance: every mutation reads the current
+table, derives the next version, and atomically swaps the parquet
+directory. On a production deployment the same methods map 1:1 onto
+Delta ``MERGE`` / ``UPDATE`` / ``DELETE`` with optimistic
+concurrency — the *semantics* (what rows change and how) are what
+this class pins down, mirroring the reference's single-writer global
+lock model (memory_engine.py:155-156) without any locks on the read
+path. Reads never mutate: the reference's read-time reinforcement
+side effect (memory_engine.py:945-950) is restructured as an event
+log plus an explicit ``apply_reinforcement`` batch job (SURVEY §4
+known-hard item 1).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LINK_TYPES = {"supersedes", "related_to", "blocked_by", "caused_by", "reinforces"}
+
+#: Fields a metadata patch may never overwrite (reference
+#: memory_engine.py:585, :1036-1038: reserved core + entity_key, and
+#: the _policy_* namespace is blocked from PATCH).
+RESERVED_FIELDS = {"id", "text", "source", "created_at", "updated_at", "entity_key"}
+
+MEMORY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("created_at", T.TimestampType()),
+        T.StructField("updated_at", T.TimestampType()),
+        T.StructField("document_at", T.TimestampType()),
+        T.StructField("last_reinforced_at", T.TimestampType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("pinned", T.BooleanType()),
+        T.StructField("archived", T.BooleanType()),
+        T.StructField("is_latest", T.BooleanType()),
+        T.StructField("supersedes", T.LongType()),
+        T.StructField("conflicts_with", T.LongType()),
+        T.StructField("entity_key", T.StringType()),
+        T.StructField("previous_text", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("metadata", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+LINK_SCHEMA = T.StructType(
+    [
+        T.StructField("from_id", T.LongType()),
+        T.StructField("to_id", T.LongType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("created_at", T.TimestampType()),
+    ]
+)
+
+RETRIEVAL_SCHEMA = T.StructType(
+    [
+        T.StructField("memory_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("rank", T.LongType()),
+        T.StructField("query", T.StringType()),
+    ]
+)
+
+FEEDBACK_SCHEMA = T.StructType(
+    [
+        T.StructField("memory_id", T.LongType()),
+        T.StructField("signal", T.StringType()),  # useful | not_useful
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+_SCHEMAS = {
+    "memories": MEMORY_SCHEMA,
+    "links": LINK_SCHEMA,
+    "retrieval_log": RETRIEVAL_SCHEMA,
+    "search_feedback": FEEDBACK_SCHEMA,
+}
+
+
+class MemoriesEngine:
+    """Parquet-backed memory store with reference mutation semantics."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- storage ------------------------------------------------------
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def table(self, name: str) -> DataFrame:
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            return self.spark.createDataFrame([], _SCHEMAS[name])
+        return self.spark.read.schema(_SCHEMAS[name]).parquet(d)
+
+    def _write(self, df: DataFrame, name: str) -> None:
+        """Version swap: write the next table state, then atomic rename.
+
+        Production mapping: Delta MERGE/UPDATE with optimistic
+        concurrency; here the whole (small) table rewrites, which is
+        also the reference's model — it re-serializes metadata.json
+        on every write (memory_engine.py:618-620).
+        """
+        final = self._dir(name)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = f"{final}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    def _append(self, df: DataFrame, name: str) -> None:
+        d = self._dir(name)
+        df.write.mode("append").parquet(d)
+
+    # -- helpers ------------------------------------------------------
+
+    def _next_id(self, n: int) -> int:
+        """Reserve ``n`` monotonic ids. The counter is persisted so
+        ids survive deletes and never regress (reference ``_next_id``
+        + ``_rebuild_id_map``, memory_engine.py:234-238, 583, 616) —
+        a bare max(id)+1 would reuse ids after a tail delete."""
+        counter_file = os.path.join(self.path, "next_id")
+        persisted = 0
+        if os.path.exists(counter_file):
+            with open(counter_file) as f:
+                persisted = int(f.read().strip() or 0)
+        row = self.table("memories").agg(F.max("id")).first()
+        table_next = (int(row[0]) + 1) if row[0] is not None else 0
+        start = max(persisted, table_next)
+        with open(counter_file, "w") as f:
+            f.write(str(start + n))
+        return start
+
+    def count(self, source_prefix: str | None = None, include_archived: bool = False) -> int:
+        """A1: total / prefix-filtered count (memory_engine.py:2348-2369)."""
+        df = self.table("memories")
+        if source_prefix:
+            df = df.filter(F.col("source").startswith(source_prefix))
+        if not include_archived:
+            df = df.filter(~F.coalesce(F.col("archived"), F.lit(False)))
+        return df.count()
+
+    def get(self, ids: list[int]) -> DataFrame:
+        return self.table("memories").filter(F.col("id").isin(ids))
+
+    # -- M1: add ------------------------------------------------------
+
+    def add(self, records: list[dict], now: str) -> list[int]:
+        """Append memories with monotonic sparse ids (ids survive
+        deletes — reference memory_engine.py:583, 616, 234-238)."""
+        next_id = self._next_id(len(records))
+        rows = []
+        for i, rec in enumerate(records):
+            meta = {
+                k: str(v)
+                for k, v in rec.items()
+                if k not in {f.name for f in MEMORY_SCHEMA.fields}
+            }
+            rows.append(
+                {
+                    "id": next_id + i,
+                    "text": rec["text"],
+                    "source": rec.get("source", ""),
+                    "created_at": now,
+                    "updated_at": now,
+                    "document_at": rec.get("document_at"),
+                    "last_reinforced_at": None,
+                    "category": rec.get("category"),
+                    "pinned": bool(rec.get("pinned", False)),
+                    "archived": bool(rec.get("archived", False)),
+                    "is_latest": True,
+                    "supersedes": rec.get("supersedes"),
+                    "conflicts_with": rec.get("conflicts_with"),
+                    "entity_key": rec.get("entity_key"),
+                    "previous_text": rec.get("previous_text"),
+                    "embedding": rec.get("embedding"),
+                    "metadata": meta or None,
+                }
+            )
+        new = self._rows_to_df(rows)
+        self._write(self.table("memories").unionByName(new), "memories")
+        return [r["id"] for r in rows]
+
+    def _rows_to_df(self, rows: list[dict]) -> DataFrame:
+        def conv(field: T.StructField, v):
+            if v is not None and isinstance(field.dataType, T.TimestampType):
+                return datetime.fromisoformat(v) if isinstance(v, str) else v
+            if v is not None and isinstance(field.dataType, T.ArrayType):
+                return [float(x) for x in v]
+            return v
+
+        data = [
+            tuple(conv(f, r.get(f.name)) for f in MEMORY_SCHEMA.fields) for r in rows
+        ]
+        return self.spark.createDataFrame(data, MEMORY_SCHEMA)
+
+    # -- M2: update / PATCH -------------------------------------------
+
+    def update(
+        self,
+        memory_id: int,
+        now: str,
+        text: str | None = None,
+        source: str | None = None,
+        metadata: dict | None = None,
+    ) -> bool:
+        """Field update. Metadata patch skips reserved keys and the
+        ``_policy_*`` namespace (reference memory_engine.py:1036-1038);
+        a text change flags re-embedding (embedding nulled); a
+        source-only change leaves the embedding alone (the reference's
+        source-only fast path, memory_engine.py:999-1023)."""
+        mem = self.table("memories")
+        if mem.filter(F.col("id") == memory_id).count() == 0:
+            return False
+        hit = F.col("id") == memory_id
+        if text is not None:
+            mem = mem.withColumn("text", F.when(hit, F.lit(text)).otherwise(F.col("text")))
+            mem = mem.withColumn(
+                "embedding", F.when(hit, F.lit(None).cast("array<float>")).otherwise(F.col("embedding"))
+            )
+        if source is not None:
+            mem = mem.withColumn("source", F.when(hit, F.lit(source)).otherwise(F.col("source")))
+        if metadata:
+            clean = {
+                k: str(v)
+                for k, v in metadata.items()
+                if k not in RESERVED_FIELDS and not k.startswith("_policy_")
+            }
+            if clean:
+                patch = F.map_from_arrays(
+                    F.array(*[F.lit(k) for k in clean]),
+                    F.array(*[F.lit(v) for v in clean.values()]),
+                )
+                merged = F.map_concat(F.coalesce(F.col("metadata"), F.expr("map()")), patch)
+                mem = mem.withColumn("metadata", F.when(hit, merged).otherwise(F.col("metadata")))
+        mem = mem.withColumn(
+            "updated_at", F.when(hit, F.lit(now).cast("timestamp")).otherwise(F.col("updated_at"))
+        )
+        self._write(mem, "memories")
+        return True
+
+    # -- M3: delete ---------------------------------------------------
+
+    def delete(self, ids: list[int]) -> int:
+        """Single/batch delete with link scrubbing (reference
+        _scrub_links_to, memory_engine.py:818-829)."""
+        mem = self.table("memories")
+        n = mem.filter(F.col("id").isin(ids)).count()
+        if n:
+            self._write(mem.filter(~F.col("id").isin(ids)), "memories")
+            links = self.table("links")
+            self._write(
+                links.filter(~F.col("from_id").isin(ids) & ~F.col("to_id").isin(ids)),
+                "links",
+            )
+        return n
+
+    def delete_by_prefix(self, prefix: str, dry_run: bool = False) -> int:
+        """Bulk delete by source prefix; pinned rows are skipped
+        (reference memory_engine.py:864-918, pinned guard :868-870)."""
+        mem = self.table("memories")
+        victims = mem.filter(
+            F.col("source").startswith(prefix) & ~F.coalesce(F.col("pinned"), F.lit(False))
+        )
+        ids = [r.id for r in victims.select("id").collect()]
+        if dry_run or not ids:
+            return len(ids)
+        return self.delete(ids)
+
+    # -- M4: supersede -------------------------------------------------
+
+    def supersede(self, old_id: int, new_text: str, now: str) -> int | None:
+        """Replace old with new: new row carries ``supersedes`` +
+        ``previous_text``; old row removed (memory_engine.py:719-741)."""
+        old = self.table("memories").filter(F.col("id") == old_id).collect()
+        if not old:
+            return None
+        o = old[0]
+        [new_id] = self.add(
+            [
+                {
+                    "text": new_text,
+                    "source": o.source,
+                    "supersedes": old_id,
+                    "previous_text": o.text,
+                }
+            ],
+            now,
+        )
+        self.delete([old_id])
+        self.add_link(new_id, old_id, "supersedes", now, allow_dangling=True)
+        return new_id
+
+    # -- M5: merge -----------------------------------------------------
+
+    def merge(self, ids: list[int], merged_text: str, now: str) -> int | None:
+        """Add merged memory with ``supersedes`` links to every
+        original; originals archived, not deleted
+        (memory_engine.py:743-764)."""
+        mem = self.table("memories")
+        originals = mem.filter(F.col("id").isin(ids))
+        if originals.count() != len(ids):
+            return None
+        src = originals.select("source").orderBy("id").first().source
+        [new_id] = self.add([{"text": merged_text, "source": src}], now)
+        for old_id in ids:
+            self.add_link(new_id, old_id, "supersedes", now)
+        self.set_flags(ids, now, archived=True)
+        return new_id
+
+    # -- M6: upsert by (source, entity_key) ---------------------------
+
+    def upsert(self, source: str, entity_key: str, text: str, now: str) -> tuple[int, str]:
+        """MERGE ON (source, entity_key): update if present else
+        insert (reference J4 upsert_memory, memory_engine.py:
+        1250-1282). Returns (id, 'updated'|'inserted')."""
+        mem = self.table("memories")
+        hit = mem.filter(
+            (F.col("source") == source) & (F.col("entity_key") == entity_key)
+        ).collect()
+        if hit:
+            mid = hit[0].id
+            self.update(mid, now, text=text)
+            return mid, "updated"
+        [mid] = self.add(
+            [{"text": text, "source": source, "entity_key": entity_key}], now
+        )
+        return mid, "inserted"
+
+    # -- M7: links ----------------------------------------------------
+
+    def add_link(
+        self,
+        from_id: int,
+        to_id: int,
+        link_type: str,
+        now: str,
+        allow_dangling: bool = False,
+    ) -> bool:
+        """Typed edge with reference validation: unknown types and
+        self-links rejected, duplicates rejected, dangling targets
+        skipped (memory_engine.py:772-817)."""
+        if link_type not in LINK_TYPES:
+            raise ValueError(f"unknown link type: {link_type}")
+        if from_id == to_id:
+            raise ValueError("self-links are not allowed")
+        if not allow_dangling:
+            live = {
+                r.id
+                for r in self.table("memories")
+                .filter(F.col("id").isin([from_id, to_id]))
+                .select("id")
+                .collect()
+            }
+            if from_id not in live or to_id not in live:
+                return False
+        links = self.table("links")
+        dup = links.filter(
+            (F.col("from_id") == from_id)
+            & (F.col("to_id") == to_id)
+            & (F.col("type") == link_type)
+        ).count()
+        if dup:
+            return False
+        row = self.spark.createDataFrame(
+            [(from_id, to_id, link_type, now)],
+            "from_id long, to_id long, type string, created_at string",
+        ).withColumn("created_at", F.col("created_at").cast("timestamp"))
+        self._write(links.unionByName(row), "links")
+        return True
+
+    def remove_link(self, from_id: int, to_id: int, link_type: str) -> bool:
+        links = self.table("links")
+        keep = links.filter(
+            ~(
+                (F.col("from_id") == from_id)
+                & (F.col("to_id") == to_id)
+                & (F.col("type") == link_type)
+            )
+        )
+        removed = links.count() - keep.count()
+        if removed:
+            self._write(keep, "links")
+        return bool(removed)
+
+    def get_links(self, memory_id: int, direction: str = "both") -> DataFrame:
+        """Outgoing/incoming/both edges for one node (the incoming
+        scan, memory_engine.py:830-862)."""
+        links = self.table("links")
+        out = links.filter(F.col("from_id") == memory_id)
+        inc = links.filter(F.col("to_id") == memory_id)
+        if direction == "out":
+            return out
+        if direction == "in":
+            return inc
+        return out.unionByName(inc)
+
+    # -- M8: archive / pin --------------------------------------------
+
+    def set_flags(
+        self,
+        ids: list[int],
+        now: str,
+        archived: bool | None = None,
+        pinned: bool | None = None,
+    ) -> int:
+        mem = self.table("memories")
+        hit = F.col("id").isin(ids)
+        n = mem.filter(hit).count()
+        if not n:
+            return 0
+        if archived is not None:
+            mem = mem.withColumn("archived", F.when(hit, F.lit(archived)).otherwise(F.col("archived")))
+        if pinned is not None:
+            mem = mem.withColumn("pinned", F.when(hit, F.lit(pinned)).otherwise(F.col("pinned")))
+        mem = mem.withColumn(
+            "updated_at", F.when(hit, F.lit(now).cast("timestamp")).otherwise(F.col("updated_at"))
+        )
+        self._write(mem, "memories")
+        return n
+
+    # -- C10: folder rename -------------------------------------------
+
+    def rename_folder(self, old_prefix: str, new_prefix: str, now: str) -> int:
+        """Prefix rewrite of ``source`` (reference app.py:2685-2713)."""
+        mem = self.table("memories")
+        hit = F.col("source").startswith(old_prefix)
+        n = mem.filter(hit).count()
+        if not n:
+            return 0
+        new_source = F.concat(
+            F.lit(new_prefix), F.expr(f"substring(source, {len(old_prefix) + 1})")
+        )
+        mem = mem.withColumn("source", F.when(hit, new_source).otherwise(F.col("source")))
+        self._write(mem, "memories")
+        return n
+
+    # -- R9: reinforcement as event log + batch apply -----------------
+
+    def log_retrieval(self, hits: list[tuple[int, int]], now: str, query: str = "") -> None:
+        """Append (memory_id, rank) retrieval events — the pure-read
+        replacement for the reference's read-time mutation
+        (memory_engine.py:945-950, 1438)."""
+        rows = [(mid, now, rank, query) for mid, rank in hits]
+        df = self.spark.createDataFrame(
+            rows, "memory_id long, ts string, rank long, query string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        self._append(df.select(*[f.name for f in RETRIEVAL_SCHEMA.fields]), "retrieval_log")
+
+    def apply_reinforcement(self) -> int:
+        """Batch-apply: last_reinforced_at = max retrieval ts per
+        memory (Delta MERGE in production)."""
+        log = self.table("retrieval_log")
+        latest = log.groupBy("memory_id").agg(F.max("ts").alias("_new_ts"))
+        mem = self.table("memories").join(
+            latest, F.col("id") == F.col("memory_id"), "left"
+        )
+        changed = mem.filter(
+            F.col("_new_ts").isNotNull()
+            & (
+                F.col("last_reinforced_at").isNull()
+                | (F.col("_new_ts") > F.col("last_reinforced_at"))
+            )
+        ).count()
+        out = mem.withColumn(
+            "last_reinforced_at",
+            F.when(
+                F.col("_new_ts").isNotNull()
+                & (
+                    F.col("last_reinforced_at").isNull()
+                    | (F.col("_new_ts") > F.col("last_reinforced_at"))
+                ),
+                F.col("_new_ts"),
+            ).otherwise(F.col("last_reinforced_at")),
+        ).select(*[f.name for f in MEMORY_SCHEMA.fields])
+        self._write(out, "memories")
+        return changed
+
+    def log_feedback(self, memory_id: int, signal: str, now: str) -> None:
+        df = self.spark.createDataFrame(
+            [(memory_id, signal, now)], "memory_id long, signal string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        self._append(df.select(*[f.name for f in FEEDBACK_SCHEMA.fields]), "search_feedback")
+
+    def feedback_net(self) -> DataFrame:
+        """R6: net = useful − not_useful per memory
+        (usage_tracker.py:324-341)."""
+        ev = self.table("search_feedback")
+        net = F.sum(
+            F.when(F.col("signal") == "useful", 1)
+            .when(F.col("signal") == "not_useful", -1)
+            .otherwise(0)
+        )
+        return ev.groupBy("memory_id").agg(net.cast("long").alias("net"))
+
+    # -- S3/S4: NDJSON export / import --------------------------------
+
+    def export_ndjson(
+        self,
+        out_dir: str,
+        source_prefix: str | None = None,
+        since: str | None = None,
+        until: str | None = None,
+    ) -> int:
+        """Filtered NDJSON export, ids/embeddings stripped (reference
+        export_memories, memory_engine.py:2398-2445)."""
+        mem = self.table("memories")
+        if source_prefix:
+            mem = mem.filter(F.col("source").startswith(source_prefix))
+        if since:
+            mem = mem.filter(F.col("created_at") >= F.lit(since).cast("timestamp"))
+        if until:
+            mem = mem.filter(F.col("created_at") <= F.lit(until).cast("timestamp"))
+        out = mem.drop("id", "embedding")
+        n = out.count()
+        out.coalesce(1).write.mode("overwrite").json(out_dir)
+        return n
+
+    def import_ndjson(self, in_dir: str, now: str, source_remap: dict | None = None) -> int:
+        """NDJSON import with optional source-prefix remap (reference
+        import_memories, memory_engine.py:2447-2543)."""
+        df = self.spark.read.json(in_dir)
+        rows = []
+        for r in df.collect():
+            d = r.asDict(recursive=True)
+            src = d.get("source") or ""
+            for old, new in (source_remap or {}).items():
+                if src.startswith(old):
+                    src = new + src[len(old):]
+                    break
+            rows.append({"text": d.get("text") or "", "source": src})
+        if not rows:
+            return 0
+        self.add(rows, now)
+        return len(rows)

@@ -1,0 +1,186 @@
+"""MemoriesEngine mutation-semantics tests (reference SURVEY §2.8).
+
+Each test pins a behavior the reference guarantees: sparse monotonic
+ids, pinned guards, reserved-key patches, link validation, supersede
+chains, upsert merge semantics, reinforcement-as-event-log.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from memories_spark.engine import MemoriesEngine
+
+NOW = "2024-06-01 12:00:00"
+LATER = "2024-06-02 12:00:00"
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(
+        [
+            {"text": "alpha fact", "source": "team/proj/a", "pinned": True},
+            {"text": "beta fact", "source": "team/proj/b"},
+            {"text": "gamma fact", "source": "team/other/c"},
+            {"text": "delta fact", "source": "solo/d", "entity_key": "dkey"},
+            {"text": "epsilon fact", "source": "team/proj/e"},
+        ],
+        NOW,
+    )
+    return eng
+
+
+def test_add_assigns_monotonic_ids(engine):
+    ids = engine.add([{"text": "f1", "source": "x"}, {"text": "f2", "source": "x"}], LATER)
+    assert ids == [5, 6]
+    assert engine.count() == 7
+
+
+def test_ids_survive_deletes(engine):
+    # Deleting the highest id must NOT cause its reuse: the counter
+    # is monotonic like the reference's _next_id.
+    engine.delete([4])
+    assert engine.add([{"text": "new", "source": "x"}], LATER) == [5]
+
+
+def test_sparse_ids_after_middle_delete(engine):
+    engine.delete([2])
+    assert engine.add([{"text": "n", "source": "x"}], LATER) == [5]
+
+
+def test_count_prefix_and_archived(engine):
+    assert engine.count(source_prefix="team/") == 4
+    engine.set_flags([2], LATER, archived=True)
+    assert engine.count(source_prefix="team/") == 3
+    assert engine.count(source_prefix="team/", include_archived=True) == 4
+
+
+def test_update_metadata_skips_reserved_and_policy(engine):
+    ok = engine.update(
+        1,
+        LATER,
+        metadata={"id": "999", "_policy_archived_reason": "x", "topic": "databases"},
+    )
+    assert ok
+    row = engine.get([1]).collect()[0]
+    assert row.metadata == {"topic": "databases"}
+    assert row.id == 1
+    assert str(row.updated_at) == "2024-06-02 12:00:00"
+
+
+def test_update_text_clears_embedding_source_fast_path_keeps_it(engine, spark):
+    engine.update(1, LATER, text="beta fact v2")
+    assert engine.get([1]).collect()[0].embedding is None
+    # source-only update must not touch the embedding column
+    engine.update(1, LATER, source="team/proj/renamed")
+    assert engine.get([1]).collect()[0].source == "team/proj/renamed"
+
+
+def test_delete_scrubs_links(engine):
+    assert engine.add_link(1, 2, "related_to", NOW)
+    assert engine.add_link(3, 1, "caused_by", NOW)
+    engine.delete([1])
+    assert engine.table("links").count() == 0
+
+
+def test_delete_by_prefix_skips_pinned(engine):
+    n = engine.delete_by_prefix("team/proj/")
+    assert n == 2  # ids 1, 4 (id 0 is pinned)
+    assert engine.count(source_prefix="team/proj/") == 1
+    assert engine.get([0]).count() == 1
+
+
+def test_delete_by_prefix_dry_run(engine):
+    n = engine.delete_by_prefix("team/", dry_run=True)
+    assert n == 3  # pinned id 0 excluded
+    assert engine.count() == 5
+
+
+def test_supersede(engine):
+    new_id = engine.supersede(1, "beta fact v2", LATER)
+    assert new_id == 5
+    assert engine.get([1]).count() == 0
+    row = engine.get([new_id]).collect()[0]
+    assert row.supersedes == 1 and row.previous_text == "beta fact"
+    link = engine.table("links").collect()[0]
+    assert (link.from_id, link.to_id, link.type) == (5, 1, "supersedes")
+
+
+def test_merge_archives_originals(engine):
+    new_id = engine.merge([1, 2], "beta+gamma merged", LATER)
+    assert new_id == 5
+    rows = {r.id: r for r in engine.get([1, 2]).collect()}
+    assert rows[1].archived and rows[2].archived
+    links = {(r.from_id, r.to_id) for r in engine.table("links").collect()}
+    assert links == {(5, 1), (5, 2)}
+
+
+def test_upsert_insert_then_update(engine):
+    mid, action = engine.upsert("solo/d", "dkey", "delta v2", LATER)
+    assert (mid, action) == (3, "updated")
+    assert engine.get([3]).collect()[0].text == "delta v2"
+    mid2, action2 = engine.upsert("solo/d", "other", "fresh", LATER)
+    assert action2 == "inserted" and mid2 == 5
+
+
+def test_link_validation(engine):
+    with pytest.raises(ValueError):
+        engine.add_link(1, 1, "related_to", NOW)
+    with pytest.raises(ValueError):
+        engine.add_link(1, 2, "bogus_type", NOW)
+    assert engine.add_link(1, 2, "related_to", NOW) is True
+    assert engine.add_link(1, 2, "related_to", NOW) is False  # duplicate
+    assert engine.add_link(1, 99, "related_to", NOW) is False  # dangling
+    assert engine.get_links(1, "out").count() == 1
+    assert engine.get_links(2, "in").count() == 1
+    assert engine.remove_link(1, 2, "related_to") is True
+    assert engine.remove_link(1, 2, "related_to") is False
+
+
+def test_rename_folder(engine):
+    n = engine.rename_folder("team/proj/", "org/proj/", LATER)
+    assert n == 3
+    assert engine.count(source_prefix="org/proj/") == 3
+    assert engine.count(source_prefix="team/proj/") == 0
+
+
+def test_reinforcement_event_log_apply(engine):
+    engine.log_retrieval([(1, 1), (2, 2)], NOW, query="q1")
+    engine.log_retrieval([(1, 1)], LATER, query="q2")
+    changed = engine.apply_reinforcement()
+    assert changed == 2
+    rows = {r.id: r for r in engine.get([1, 2]).collect()}
+    assert str(rows[1].last_reinforced_at) == "2024-06-02 12:00:00"
+    assert str(rows[2].last_reinforced_at) == "2024-06-01 12:00:00"
+    # idempotent: re-apply changes nothing
+    assert engine.apply_reinforcement() == 0
+
+
+def test_feedback_net(engine):
+    engine.log_feedback(1, "useful", NOW)
+    engine.log_feedback(1, "useful", LATER)
+    engine.log_feedback(1, "not_useful", LATER)
+    engine.log_feedback(2, "not_useful", NOW)
+    net = {r.memory_id: r.net for r in engine.feedback_net().collect()}
+    assert net == {1: 1, 2: -1}
+
+
+def test_export_import_roundtrip(engine, tmp_path, spark):
+    out = str(tmp_path / "export")
+    n = engine.export_ndjson(out, source_prefix="team/")
+    assert n == 4
+    eng2 = MemoriesEngine(spark, str(tmp_path / "store2"))
+    imported = eng2.import_ndjson(out, LATER, source_remap={"team/": "imported/"})
+    assert imported == 4
+    assert eng2.count(source_prefix="imported/") == 4
+    texts = {r.text for r in eng2.table("memories").collect()}
+    assert "alpha fact" in texts
+
+
+def test_export_drops_ids_and_embeddings(engine, tmp_path, spark):
+    out = str(tmp_path / "export2")
+    engine.export_ndjson(out)
+    df = spark.read.json(out)
+    assert "id" not in df.columns and "embedding" not in df.columns
