@@ -1,0 +1,101 @@
+"""Structured Streaming tests: file-source event stream → watermarked
+window agg → memory sink; foreachBatch incremental term stats."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from memories_spark.streaming import (
+    incremental_term_stats_sink,
+    read_event_stream,
+    windowed_event_counts,
+)
+from memories_spark.streaming.events import read_doc_stream
+
+
+def _write_events(path: str, name: str, events: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def test_windowed_event_counts_stream(spark, tmp_path):
+    src = str(tmp_path / "events_in")
+    _write_events(
+        src,
+        "batch1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:10:00Z", "user_id": 1, "event_type": "click", "value": 1.5},
+            {"event_id": 2, "ts": "2024-01-01T00:40:00Z", "user_id": 2, "event_type": "click", "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01T01:10:00Z", "user_id": 1, "event_type": "view", "value": 0.5},
+            {"event_id": 4, "ts": "2024-01-01T01:20:00Z", "user_id": 3, "event_type": "click", "value": 4.25},
+        ],
+    )
+    stream = read_event_stream(spark, src)
+    assert stream.isStreaming
+    counts = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.event_type): (r.n, r.value_cents)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 350)
+    assert got[("2024-01-01 01:00:00", "click")] == (1, 425)
+    assert got[("2024-01-01 01:00:00", "view")] == (1, 50)
+
+
+def test_incremental_term_stats(spark, tmp_path):
+    src = str(tmp_path / "docs_in")
+    stats = str(tmp_path / "term_stats")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(
+        src,
+        "d1.json",
+        [
+            {"doc_id": 1, "text": "spark join filter"},
+            {"doc_id": 2, "text": "join join window"},
+        ],
+    )
+    q = incremental_term_stats_sink(read_doc_stream(spark, src), stats, ckpt)
+    q.awaitTermination(120)
+
+    # second micro-batch: only the delta is tokenized and appended
+    _write_events(src, "d2.json", [{"doc_id": 3, "text": "spark window"}])
+    q2 = incremental_term_stats_sink(read_doc_stream(spark, src), stats, ckpt)
+    q2.awaitTermination(120)
+
+    terms = spark.read.parquet(stats)
+    compact = {
+        (r.id, r.term): r.tf
+        for r in terms.groupBy("id", "term").agg(F.sum("tf").alias("tf")).collect()
+    }
+    assert compact[(2, "join")] == 2
+    assert compact[(1, "spark")] == 1
+    assert compact[(3, "window")] == 1
+    assert len(compact) == 7
+
+
+def test_stream_is_incremental_not_rebuild(spark, tmp_path):
+    """The checkpoint must prevent re-processing batch 1 files."""
+    src = str(tmp_path / "docs_in2")
+    stats = str(tmp_path / "stats2")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_events(src, "d1.json", [{"doc_id": 1, "text": "alpha alpha"}])
+    q = incremental_term_stats_sink(read_doc_stream(spark, src), stats, ckpt)
+    q.awaitTermination(120)
+    q2 = incremental_term_stats_sink(read_doc_stream(spark, src), stats, ckpt)
+    q2.awaitTermination(120)
+    terms = spark.read.parquet(stats)
+    # tf for (1, alpha) must be 2 exactly once — no duplicate append
+    assert [(r.id, r.term, r.tf) for r in terms.collect()] == [(1, "alpha", 2)]
