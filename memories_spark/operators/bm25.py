@@ -31,31 +31,57 @@ EPSILON = 0.25
 SCORE_SCALE = 9  # fixed-point digits for order-independent score sums
 
 
+IDF_SCALE = 12  # fixed-point digits for the vocabulary-average IDF
+
+
 def build_term_stats(docs: DataFrame, id_col: str, text_col: str) -> dict[str, DataFrame]:
     """Derive the BM25 statistics tables from a document corpus.
 
-    Returns ``terms(id, term, tf)``, ``doc_stats(id, dl)`` and
-    ``term_idf(term, idf)`` (epsilon-floored, vocabulary-wide).
+    Fully lazy — no driver actions. Scalar corpus statistics
+    (N, avgdl, avg raw IDF) are 1-row DataFrames that downstream
+    plans broadcast-cross-join, so scoring is ONE Spark job end to
+    end. The vocabulary-average IDF is an exact fixed-point integer
+    mean, making it partition-order independent and identical in the
+    DuckDB oracle.
+
+    Returns ``terms(id, term, tf)``, ``doc_stats(id, dl)``,
+    ``corpus(n, avgdl)`` and ``term_idf(term, idf)``
+    (epsilon-floored, vocabulary-wide).
     """
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("term")
     )
     terms = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     doc_stats = terms.groupBy("id").agg(F.sum("tf").alias("dl"))
+    # dl are BIGINTs: the sum is exact, so avg is engine-identical.
+    corpus = doc_stats.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
 
-    n_docs = docs.count()
-    df_tab = terms.groupBy("term").agg(F.countDistinct("id").alias("df"))
-    raw_idf = F.log((F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-    with_idf = df_tab.select("term", raw_idf.alias("raw_idf"))
-    # average over the whole vocabulary, negatives included (rank_bm25 semantics)
-    avg_idf = with_idf.agg(F.avg("raw_idf")).first()[0] or 0.0
-    term_idf = with_idf.select(
+    df_tab = terms.groupBy("term").agg(F.count("*").alias("df"))
+    with_idf = df_tab.crossJoin(F.broadcast(corpus)).select(
         "term",
-        F.when(F.col("raw_idf") < 0, F.lit(EPSILON * avg_idf))
+        F.log((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))).alias(
+            "raw_idf"
+        ),
+    )
+    # average over the whole vocabulary, negatives included
+    # (rank_bm25 semantics); exact integer mean at 1e12.
+    avg_idf = with_idf.agg(
+        (
+            F.sum(fixed_point(F.col("raw_idf"), IDF_SCALE)).cast("double")
+            / F.count("*")
+            / F.lit(float(10**IDF_SCALE))
+        ).alias("a")
+    )
+    term_idf = with_idf.crossJoin(F.broadcast(avg_idf)).select(
+        "term",
+        F.when(F.col("raw_idf") < 0, F.lit(EPSILON) * F.col("a"))
         .otherwise(F.col("raw_idf"))
         .alias("idf"),
     )
-    return {"terms": terms, "doc_stats": doc_stats, "term_idf": term_idf, "n_docs": n_docs}
+    return {"terms": terms, "doc_stats": doc_stats, "term_idf": term_idf, "corpus": corpus}
 
 
 def bm25_scores(
@@ -70,26 +96,31 @@ def bm25_scores(
     Returns ``(id, score)`` with ``score`` rounded from an exact
     fixed-point sum (order-independent across engines/partitionings).
     Query term multiplicity counts, like rank_bm25's per-token loop.
+
+    Plan shape: the (tiny) query-term list joins the vocabulary IDF
+    table first, the result broadcasts into the posting join — the
+    big ``terms`` relation is filtered to query terms without a
+    shuffle, then joined to per-doc lengths.
     """
     spark = docs.sparkSession
     stats = stats or build_term_stats(docs, id_col, text_col)
     terms, doc_stats, term_idf = stats["terms"], stats["doc_stats"], stats["term_idf"]
 
-    avgdl = doc_stats.agg(F.avg("dl")).first()[0] or 0.0
     qdf = spark.createDataFrame([(t,) for t in query_terms], "term string")
     qcount = qdf.groupBy("term").agg(F.count("*").alias("qtf"))
+    qidf = term_idf.join(F.broadcast(qcount), "term")
 
     contrib = (
-        terms.join(F.broadcast(qcount), "term")
-        .join(F.broadcast(term_idf), "term")
+        terms.join(F.broadcast(qidf), "term")
         .join(doc_stats, "id")
+        .crossJoin(F.broadcast(stats["corpus"].select("avgdl")))
         .select(
             "id",
             fixed_point(
                 F.col("qtf")
                 * F.col("idf")
                 * (F.col("tf") * (K1 + 1))
-                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(float(avgdl)))),
+                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
                 SCORE_SCALE,
             ).alias("c"),
         )
@@ -124,7 +155,11 @@ doc_stats AS (SELECT {id_col}, CAST(sum(tf) AS BIGINT) AS dl FROM terms GROUP BY
 corpus AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM doc_stats),
 dfreq AS (SELECT term, CAST(count(DISTINCT {id_col}) AS DOUBLE) AS df FROM terms GROUP BY 1),
 rawidf AS (SELECT term, ln(((SELECT n FROM corpus) - df + 0.5) / (df + 0.5)) AS raw_idf FROM dfreq),
-avgidf AS (SELECT avg(raw_idf) AS a FROM rawidf),
+avgidf AS (
+  SELECT (CAST(sum(CAST(round(raw_idf * 1e{IDF_SCALE}) AS BIGINT)) AS DOUBLE)
+          / count(*)) / 1e{IDF_SCALE} AS a
+  FROM rawidf
+),
 idf AS (
   SELECT term,
          CASE WHEN raw_idf < 0 THEN {EPSILON} * (SELECT a FROM avgidf) ELSE raw_idf END AS idf

@@ -54,7 +54,7 @@ def personalized_pagerank(
     exact integer sum, so engines/partitionings agree bit-for-bit.
     """
     adj = bidirectional(edges).cache()
-    deg = adj.groupBy("from_id").agg(F.count("*").alias("deg"))
+    deg = adj.groupBy("from_id").agg(F.count("*").alias("deg")).cache()
 
     s_total = seeds.agg(F.sum("sw_fp")).first()[0]
     p = seeds.select(
@@ -67,6 +67,10 @@ def personalized_pagerank(
     base = p.select("id", F.round(F.lit(1.0 - alpha) * F.col("p") * _UNIT).cast("long").alias("term"))
 
     for _ in range(iterations):
+        # Materialize each iteration: the dangling-mass scalar needs an
+        # action anyway, and without a cache that action replays every
+        # previous iteration's joins (lineage recompute blow-up). At
+        # cluster scale this is where you'd checkpoint instead.
         with_deg = (
             r.alias("r")
             .join(deg.alias("d"), F.col("r.id") == F.col("d.from_id"), "left")
@@ -75,11 +79,17 @@ def personalized_pagerank(
                 F.col("r.r_fp").alias("r_fp"),
                 F.coalesce(F.col("d.deg"), F.lit(0)).alias("deg"),
             )
+            .cache()
         )
+        # The rank vector is tiny (seeds + expanding frontier) next to
+        # the edge table: broadcast it into the edge join — no shuffle
+        # of the adjacency at any iteration.
         contrib = (
-            with_deg.filter(F.col("deg") > 0)
-            .alias("wd")
-            .join(adj.alias("a"), F.col("wd.id") == F.col("a.from_id"))
+            adj.alias("a")
+            .join(
+                F.broadcast(with_deg.filter(F.col("deg") > 0)).alias("wd"),
+                F.col("wd.id") == F.col("a.from_id"),
+            )
             .select(
                 F.col("a.to_id").alias("id"),
                 F.round(
@@ -109,6 +119,9 @@ def personalized_pagerank(
             .groupBy("id")
             .agg(F.sum("term").alias("r_fp"))
         )
+    # Iteration caches stay alive: the returned plan's lineage reads the
+    # last cached state; Spark evicts LRU (each state is seeds+frontier
+    # sized — tiny next to the edge table).
     return r
 
 

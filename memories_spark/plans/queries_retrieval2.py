@@ -85,9 +85,11 @@ def _five_signals(spark: SparkSession, sf_dir: str) -> dict[str, tuple[DataFrame
     """The reference's 5 RRF signals, aux signals ranked **within** the
     vector∪bm25 candidate set (memory_engine.py:1819-1858)."""
     t = load_tables(spark, sf_dir)
-    vec = _vec_ranked(t["embeddings"])
-    bm = _bm_ranked(t["documents"])
-    cand = vec.select("id").union(bm.select("id")).distinct()
+    # The ranked lists are <=30 rows but their subplans are corpus
+    # scans; each is reused (contribution + candidate set), so cache.
+    vec = _vec_ranked(t["embeddings"]).cache()
+    bm = _bm_ranked(t["documents"]).cache()
+    cand = vec.select("id").union(bm.select("id")).distinct().cache()
     now = F.lit(_NOW).cast("timestamp")
 
     ca = cand.join(_anchors(t["events"]), "id", "left")
