@@ -4,6 +4,7 @@ from memories_spark.plans.registry import QUERIES, QuerySpec  # noqa: F401
 from memories_spark.plans import (  # noqa: F401, E402
     queries_dedup,
     queries_graph,
+    queries_maintenance,
     queries_retrieval2,
     queries_temporal,
     queries_text,
