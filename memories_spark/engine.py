@@ -31,6 +31,8 @@ import shutil
 import uuid
 from datetime import datetime
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -542,6 +544,92 @@ class MemoriesEngine:
         n = out.count()
         out.coalesce(1).write.mode("overwrite").json(out_dir)
         return n
+
+    def reembed(self, embed_fn, batch_hint: int = 256) -> int:
+        """C9 re-embed / model migration (reference
+        memory_engine.py:2887-2971): rewrite the embedding column for
+        every row via an Arrow-batched pandas transform — one job, no
+        collection re-creation, rollback = the previous table version.
+        """
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<float>")
+        def embed_batch(texts: pd.Series) -> pd.Series:
+            return texts.map(lambda t: embed_fn(t or ""))
+
+        mem = self.table("memories")
+        n = mem.count()
+        out = mem.withColumn("embedding", embed_batch(F.col("text")))
+        self._write(out, "memories")
+        return n
+
+    def import_smart(
+        self, records: list[dict], now: str, embed_fn=None,
+        dup_threshold: float = 0.95, novel_threshold: float = 0.80,
+    ) -> dict:
+        """S5 smart import (reference _import_smart,
+        memory_engine.py:2564-2637): per record, top-1 similarity vs
+        the corpus decides — >=0.95 skip as duplicate, <0.80 add as
+        novel, in between the newer ``created_at`` wins (replace the
+        old row). One batched top-k join for the whole import set.
+        """
+        from memories_spark.operators.similarity import topk_cosine
+
+        embed_fn = embed_fn or (lambda t: None)
+        summary = {"added": 0, "skipped": 0, "replaced": 0}
+        mem = self.table("memories").filter(F.col("embedding").isNotNull())
+        corpus_n = mem.count()
+        embeds = [r.get("embedding") or embed_fn(r["text"]) for r in records]
+
+        best: dict[int, tuple[int, float, str]] = {}
+        if corpus_n and any(e is not None for e in embeds):
+            queries = self.spark.createDataFrame(
+                [
+                    (i, [float(x) for x in e])
+                    for i, e in enumerate(embeds)
+                    if e is not None
+                ],
+                "query_id long, query_vec array<float>",
+            )
+            hits = topk_cosine(
+                mem.select(F.col("id").alias("vec_id"), "embedding"),
+                queries,
+                k=1,
+                exclude_self=False,
+            ).collect()
+            created = {
+                int(r.id): str(r.created_at)
+                for r in mem.select("id", "created_at").collect()
+            }
+            best = {
+                int(r.query_id): (int(r.vec_id), float(r.sim), created[int(r.vec_id)])
+                for r in hits
+            }
+
+        to_add, to_delete = [], []
+        for i, rec in enumerate(records):
+            rec = dict(rec)
+            rec.setdefault("embedding", embeds[i])
+            match = best.get(i)
+            if match is None or match[1] < novel_threshold:
+                to_add.append(rec)
+                summary["added"] += 1
+            elif match[1] >= dup_threshold:
+                summary["skipped"] += 1
+            else:
+                # borderline: newer created_at wins
+                incoming_at = rec.get("created_at", now)
+                if str(incoming_at) > match[2]:
+                    to_delete.append(match[0])
+                    to_add.append(rec)
+                    summary["replaced"] += 1
+                else:
+                    summary["skipped"] += 1
+        if to_delete:
+            self.delete(to_delete)
+        if to_add:
+            self.add(to_add, now)
+        return summary
 
     def import_ndjson(self, in_dir: str, now: str, source_remap: dict | None = None) -> int:
         """NDJSON import with optional source-prefix remap (reference
