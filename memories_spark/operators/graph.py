@@ -57,9 +57,13 @@ def personalized_pagerank(
     deg = adj.groupBy("from_id").agg(F.count("*").alias("deg")).cache()
 
     s_total = seeds.agg(F.sum("sw_fp")).first()[0]
+    # localCheckpoint (not cache): the seed plan may itself be a deep
+    # retrieval pipeline, and the loop below re-embeds `p` in every
+    # iteration's union — without truncating lineage the logical plan
+    # grows multiplicatively and can OOM the *driver* just printing it.
     p = seeds.select(
         F.col("id"), (F.col("sw_fp").cast("double") / F.lit(float(s_total))).alias("p")
-    ).cache()
+    ).localCheckpoint(eager=True)
 
     # r0 = p, in fixed point
     r = p.select("id", F.round(F.col("p") * _UNIT).cast("long").alias("r_fp"))
@@ -67,10 +71,11 @@ def personalized_pagerank(
     base = p.select("id", F.round(F.lit(1.0 - alpha) * F.col("p") * _UNIT).cast("long").alias("term"))
 
     for _ in range(iterations):
-        # Materialize each iteration: the dangling-mass scalar needs an
-        # action anyway, and without a cache that action replays every
-        # previous iteration's joins (lineage recompute blow-up). At
-        # cluster scale this is where you'd checkpoint instead.
+        # Materialize each iteration eagerly AND truncate lineage: the
+        # dangling-mass scalar needs an action anyway, and the rank
+        # vector feeds back into the next iteration — a cache alone
+        # keeps the full logical plan, which compounds per iteration.
+        # On a real cluster this is a reliable checkpoint instead.
         with_deg = (
             r.alias("r")
             .join(deg.alias("d"), F.col("r.id") == F.col("d.from_id"), "left")
@@ -79,7 +84,7 @@ def personalized_pagerank(
                 F.col("r.r_fp").alias("r_fp"),
                 F.coalesce(F.col("d.deg"), F.lit(0)).alias("deg"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         # The rank vector is tiny (seeds + expanding frontier) next to
         # the edge table: broadcast it into the edge join — no shuffle
@@ -190,7 +195,12 @@ def min_label_propagation(
     """
     adj = bidirectional(edges).cache()
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    for _ in range(rounds):
+    for i in range(rounds):
+        if i > 0:
+            # labels appears twice per round (self-join via neighbor
+            # min), so the logical plan doubles each round; truncate
+            # lineage to keep plan size linear in `rounds`.
+            labels = labels.localCheckpoint(eager=True)
         neighbor_min = (
             labels.alias("l")
             .join(adj.alias("a"), F.col("l.id") == F.col("a.from_id"))

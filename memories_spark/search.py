@@ -1,0 +1,285 @@
+"""The serving query: full hybrid search over a MemoriesEngine store.
+
+This is the reference's hot path (reference POST /search,
+app.py:1942-2041 → hybrid_search memory_engine.py:1725-1897)
+re-expressed as one composable DataFrame plan over the engine's
+tables:
+
+1. query-intent rewrite (R13) — caller params always win;
+2. vector branch (R1/J2): broadcast query embedding × corpus scan;
+3. BM25 branch (R2): term-stats join;
+4. 5-signal RRF fusion (R3) with the reference weight algebra —
+   recency (R4), confidence (R5), feedback (R6) ranked within the
+   vector∪bm25 candidate set;
+5. temporal null-pass filter (F4), score threshold (F7),
+   archived/pinned visibility (F2/F5), prefix auth (F1/F6);
+6. optional graph expansion (R7) + reserved-slot merge (R8);
+7. deterministic top-k (T1/T2 clamps, id tie-breaks).
+
+Reads are pure: retrieval logging/reinforcement (R9) is the
+caller's explicit follow-up via ``engine.log_retrieval``.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from memories_spark.engine import MemoriesEngine
+from memories_spark.extraction import mock_embed
+from memories_spark.functions.decay import half_life_decay
+from memories_spark.functions.intent import apply_intent, classify_intent
+from memories_spark.functions.vectors import cosine_expr
+from memories_spark.operators import bm25 as bm25_op
+from memories_spark.operators import graph as graph_op
+from memories_spark.operators import rrf as rrf_op
+from memories_spark.operators.temporal import temporal_filter
+
+RECENCY_HL_DAYS = 30.0   # reference R4 default half-life
+CONFIDENCE_HL_DAYS = 90.0  # reference R5 default
+MAX_K = 100              # reference k clamp (memory_engine.py:1397)
+GRAPH_CAP = 0.33
+RESERVED_SLOTS = 2
+
+
+def _effective_weights(
+    vector_weight: float, recency_weight: float,
+    feedback_weight: float, confidence_weight: float,
+) -> dict[str, float]:
+    """Reference weight-normalization algebra
+    (memory_engine.py:1795-1807)."""
+    aux = min(1.0, feedback_weight + confidence_weight)
+    core = 1.0 - aux
+    return {
+        "vector": vector_weight * core * (1.0 - recency_weight),
+        "bm25": (1.0 - vector_weight) * core * (1.0 - recency_weight),
+        "recency": recency_weight * core,
+        "feedback": feedback_weight,
+        "confidence": confidence_weight,
+    }
+
+
+def hybrid_search(
+    engine: MemoriesEngine,
+    query_text: str,
+    k: int = 5,
+    vector_weight: float = 0.7,
+    recency_weight: float = 0.0,
+    feedback_weight: float = 0.1,
+    confidence_weight: float = 0.1,
+    graph_weight: float = 0.0,
+    source_prefix: str | None = None,
+    since=None,
+    until=None,
+    threshold: float | None = None,
+    include_archived: bool = False,
+    auto_intent: bool = True,
+    now: str | None = None,
+    embed_fn=mock_embed,
+) -> DataFrame:
+    """Full hybrid retrieval; returns a top-k DataFrame of
+    (id, text, source, rrf_score, similarity, match_type, ranks...).
+    """
+    now_dt = datetime.fromisoformat(now) if now else datetime(2024, 1, 1)
+
+    if auto_intent:
+        merged = apply_intent(
+            {"since": since, "until": until, "graph_weight": None
+             if graph_weight == 0.0 else graph_weight,
+             "recency_weight": recency_weight},
+            classify_intent(query_text, now_dt),
+        )
+        since, until = merged.get("since"), merged.get("until")
+        recency_weight = merged.get("recency_weight") or recency_weight
+        if merged.get("graph_weight") is not None and graph_weight == 0.0:
+            graph_weight = 0.0  # intent only ever suppresses graph
+
+    mem = engine.table("memories")
+    if not include_archived:
+        mem = mem.filter(~F.coalesce(F.col("archived"), F.lit(False)))
+    if source_prefix:
+        mem = mem.filter(F.col("source").startswith(source_prefix))
+    mem = mem.cache()
+
+    n = mem.count()
+    if n == 0:
+        return mem.select("id", "text", "source").withColumn(
+            "rrf_score", F.lit(0.0)
+        ).withColumn("similarity", F.lit(0.0)).withColumn("match_type", F.lit("direct"))
+    k = max(1, min(k, n, MAX_K))
+    oversample = min(3 * k, n)  # reference :1752-1753
+
+    # --- vector branch -------------------------------------------------
+    qvec = [float(x) for x in embed_fn(query_text)]
+    with_emb = mem.filter(F.col("embedding").isNotNull())
+    vec_scored = with_emb.select(
+        "id",
+        F.round(
+            cosine_expr(F.col("embedding"), F.array(*[F.lit(x) for x in qvec])), 6
+        ).alias("sim"),
+    ).cache()
+    vec_ranked = rrf_op.rank_signal(vec_scored, "id", "sim", limit=oversample)
+
+    # --- bm25 branch ---------------------------------------------------
+    bm = bm25_op.bm25_scores(mem, "id", "text", query_text.lower().split())
+    bm_ranked = rrf_op.rank_signal(bm, "id", "score", limit=oversample)
+
+    cand = vec_ranked.select("id").union(bm_ranked.select("id")).distinct().cache()
+    now_col = F.lit(str(now_dt)).cast("timestamp")
+
+    # --- aux signals over the candidate set ----------------------------
+    cmeta = cand.join(mem, "id")
+    recency_anchor = F.coalesce(F.col("document_at"), F.col("created_at"))
+    conf_anchor = F.coalesce(
+        F.col("last_reinforced_at"), F.col("updated_at"), F.col("created_at")
+    )
+    rec_scored = cmeta.select(
+        "id", half_life_decay(recency_anchor, now_col, RECENCY_HL_DAYS).alias("s")
+    )
+    conf_scored = cmeta.select(
+        "id", half_life_decay(conf_anchor, now_col, CONFIDENCE_HL_DAYS).alias("s")
+    )
+    fb = engine.feedback_net().filter(F.col("net") > 0)
+    fb_scored = cand.join(fb, cand.id == fb.memory_id).select("id", "net")
+
+    w = _effective_weights(vector_weight, recency_weight, feedback_weight, confidence_weight)
+    fused = rrf_op.rrf_fuse(
+        {
+            "vector": (vec_ranked, w["vector"]),
+            "bm25": (bm_ranked, w["bm25"]),
+            "recency": (rrf_op.rank_signal(rec_scored, "id", "s", limit=oversample), w["recency"]),
+            "feedback": (rrf_op.rank_signal(fb_scored, "id", "net", limit=oversample), w["feedback"]),
+            "confidence": (rrf_op.rank_signal(conf_scored, "id", "s", limit=oversample), w["confidence"]),
+        }
+    )
+
+    # --- temporal + threshold filters ----------------------------------
+    enriched = fused.join(mem.select("id", "text", "source", "document_at",
+                                     "created_at"), "id").join(
+        vec_scored.select("id", F.col("sim").alias("similarity")), "id", "left"
+    )
+    if since or until:
+        anchor = F.coalesce(F.col("document_at"), F.col("created_at"))
+        enriched = temporal_filter(
+            enriched, anchor,
+            since=str(since) if since else None,
+            until=str(until) if until else None,
+        )
+    if threshold is not None:
+        # F7: sub-threshold similarity dropped (graph-only exempt below)
+        enriched = enriched.filter(
+            F.coalesce(F.col("similarity"), F.lit(-1.0)) >= threshold
+        )
+
+    direct = enriched.select(
+        "id", "text", "source", "rrf_score", "similarity",
+        F.col("vector_rank").cast("long").alias("vector_rank"),
+        F.col("bm25_rank").cast("long").alias("bm25_rank"),
+    ).cache()
+
+    wtop = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+
+    if graph_weight <= 0:
+        return (
+            direct.withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+            .withColumn("match_type", F.lit("direct"))
+            .orderBy(F.desc("rrf_score"), F.asc("id"))
+        )
+
+    # --- graph expansion + reserved-slot merge (R7/R8) ------------------
+    # The fused plan is referenced ~5 more times below (seeds, merge,
+    # graph-only branch, scalars); truncate lineage so the final plan
+    # stays driver-printable (a cache alone keeps the logical tree).
+    direct = direct.localCheckpoint(eager=True)
+    edges = engine.table("links").filter(F.col("type") == "related_to")
+    live = mem.select(F.col("id").alias("node_id"))
+    edges = (
+        edges.join(live, edges.from_id == live.node_id, "left_semi")
+        .join(live, edges.to_id == F.col("node_id"), "left_semi")
+        .select("from_id", "to_id")
+    )
+    seeds = direct.select(
+        "id", F.round(F.col("rrf_score") * 1e12).cast("long").alias("sw_fp")
+    ).filter(F.col("sw_fp") > 0)
+    if edges.count() == 0 or seeds.count() == 0:
+        return (
+            direct.withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+            .withColumn("match_type", F.lit("direct"))
+            .orderBy(F.desc("rrf_score"), F.asc("id"))
+        )
+
+    ppr = graph_op.personalized_pagerank(edges, seeds)
+    # "+graph" means the graph actually touched the row: PPR gives
+    # every seed its own teleport mass, so require graph adjacency,
+    # not just r_fp > 0 (reference graph_gain > 0 semantics,
+    # memory_engine.py:1627).
+    linked_nodes = graph_op.bidirectional(edges).select(
+        F.col("from_id").alias("id")
+    ).distinct()
+    scalars = ppr.agg(F.max("r_fp").cast("double").alias("max_ppr")).crossJoin(
+        direct.agg(F.max("rrf_score").alias("top_rrf"))
+    )
+    graph_term = (
+        F.lit(GRAPH_CAP)
+        * F.col("top_rrf")
+        * (F.coalesce(F.col("r_fp"), F.lit(0)).cast("double") / F.col("max_ppr"))
+    )
+    dmerged = (
+        direct.join(ppr.withColumnRenamed("id", "gid"), direct.id == F.col("gid"), "left")
+        .join(linked_nodes.withColumn("_linked", F.lit(True)), "id", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "id", "text", "source", "similarity", "vector_rank", "bm25_rank",
+            (F.col("rrf_score") + F.when(F.col("_linked"), graph_term).otherwise(F.lit(0.0))).alias("rrf_score"),
+            F.when(
+                F.col("_linked") & (F.coalesce(F.col("r_fp"), F.lit(0)) > 0),
+                "direct+graph",
+            )
+            .otherwise("direct")
+            .alias("match_type"),
+        )
+    )
+
+    gonly = (
+        ppr.filter(F.col("r_fp") > 0)
+        .join(direct.select("id"), "id", "left_anti")
+        .crossJoin(F.broadcast(scalars))
+        .join(mem.select("id", "text", "source"), "id")
+        .select(
+            "id", "text", "source",
+            F.lit(None).cast("double").alias("similarity"),
+            F.lit(None).cast("long").alias("vector_rank"),
+            F.lit(None).cast("long").alias("bm25_rank"),
+            graph_term.alias("rrf_score"),
+            F.lit("graph").alias("match_type"),
+        )
+    )
+    if threshold is not None:
+        # F7 carve-out: with a threshold set, graph-only hits
+        # (no similarity) are dropped (memory_engine.py:1707-1714)
+        gonly = gonly.filter(F.lit(False))
+
+    # r = reserved slots actually fillable; unfilled slots return to
+    # the direct list (reference r = min(2, ...), :1670-1687).
+    r = min(RESERVED_SLOTS, max(k - 1, 0), gonly.count())
+    dtop = dmerged.withColumn("rn", F.row_number().over(wtop)).filter(
+        F.col("rn") <= k - r
+    ).drop("rn")
+    gtop = gonly.withColumn("rn", F.row_number().over(wtop)).filter(
+        F.col("rn") <= r
+    ).drop("rn")
+
+    cols = ["id", "text", "source", "rrf_score", "similarity",
+            "vector_rank", "bm25_rank", "match_type"]
+    return (
+        dtop.select(*cols)
+        .unionByName(gtop.select(*cols))
+        .orderBy(F.desc("rrf_score"), F.asc("id"))
+        .limit(k)
+    )

@@ -1,0 +1,144 @@
+"""Serving-layer hybrid_search tests over a seeded engine store."""
+
+from __future__ import annotations
+
+import pytest
+
+from memories_spark.engine import MemoriesEngine
+from memories_spark.extraction import mock_embed
+from memories_spark.search import hybrid_search
+
+NOW = "2024-06-01 12:00:00"
+
+
+def _rec(text, source, **kw):
+    return {"text": text, "source": source, "embedding": mock_embed(text), **kw}
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    # module-scoped: hybrid_search is a pure read, tests never mutate
+    eng = MemoriesEngine(spark, str(tmp_path_factory.mktemp("search") / "store"))
+    eng.add(
+        [
+            _rec("postgres connection pooling settings", "db/config"),          # 0
+            _rec("postgres replication lag monitoring", "db/ops"),              # 1
+            _rec("redis cache eviction policy", "cache/config"),                # 2
+            _rec("frontend bundle size optimization", "web/perf"),              # 3
+            _rec("postgres vacuum schedule tuning", "db/ops", archived=True),   # 4
+            _rec("kafka topic retention settings", "stream/config"),           # 5
+        ],
+        NOW,
+    )
+    # a graph edge from a searchable row to an unrelated row
+    eng.add_link(0, 3, "related_to", NOW)
+    # feedback: row 2 is useful
+    eng.log_feedback(2, "useful", NOW)
+    return eng
+
+
+def test_topk_and_ordering(engine):
+    out = hybrid_search(engine, "postgres settings", k=3, now=NOW).collect()
+    assert len(out) == 3
+    scores = [r.rrf_score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.match_type == "direct" for r in out)
+    # postgres rows dominate
+    assert {out[0].id, out[1].id} <= {0, 1, 5}
+
+
+def test_archived_excluded_unless_requested(engine):
+    ids = {r.id for r in hybrid_search(engine, "postgres vacuum", k=6, now=NOW).collect()}
+    assert 4 not in ids
+    ids2 = {
+        r.id
+        for r in hybrid_search(
+            engine, "postgres vacuum", k=6, include_archived=True, now=NOW
+        ).collect()
+    }
+    assert 4 in ids2
+
+
+def test_source_prefix_filter(engine):
+    out = hybrid_search(engine, "settings", k=6, source_prefix="db/", now=NOW).collect()
+    assert {r.source for r in out} <= {"db/config", "db/ops"}
+
+
+def test_k_clamped_to_corpus(engine):
+    out = hybrid_search(engine, "postgres", k=500, now=NOW).collect()
+    assert len(out) <= 5  # 6 rows minus 1 archived
+
+
+def test_threshold_drops_low_similarity(engine):
+    all_rows = hybrid_search(engine, "postgres connection pooling settings", k=6, now=NOW).collect()
+    thresh = hybrid_search(
+        engine, "postgres connection pooling settings", k=6, threshold=0.9, now=NOW
+    ).collect()
+    assert len(thresh) < len(all_rows)
+    assert all(r.similarity is not None and r.similarity >= 0.9 for r in thresh)
+
+
+def test_graph_support_annotation(engine):
+    # tiny corpus: every row is a candidate, so the linked pair gets
+    # additive graph support ("direct+graph"); unlinked rows stay
+    # "direct"; unfilled reserved slots return to the direct list.
+    out = hybrid_search(
+        engine, "postgres connection pooling settings", k=4,
+        graph_weight=0.1, auto_intent=False, now=NOW,
+    ).collect()
+    assert len(out) == 4
+    by_type = {r.id: r.match_type for r in out}
+    assert by_type.get(0) == "direct+graph"  # linked to 3, has PPR mass
+    assert by_type.get(1) == "direct"        # no links
+
+
+def test_graph_injection_reserved_slots(spark, tmp_path):
+    # target row is OUTSIDE the candidate set (11 competitors, k=2 →
+    # oversample 6) but linked from the top hit → injected via a
+    # reserved slot with match_type "graph".
+    eng = MemoriesEngine(spark, str(tmp_path / "ginj"))
+    words = ["one", "two", "three", "four", "five", "six",
+             "seven", "eight", "nine", "ten", "eleven"]
+    recs = [_rec(f"postgres settings tuning option number {w}", "db") for w in words]
+    recs.append(_rec("frontend bundle size optimization", "web"))  # id 11
+    eng.add(recs, NOW)
+    eng.add_link(0, 11, "related_to", NOW)
+    out = hybrid_search(
+        eng, "postgres settings tuning option", k=2,
+        graph_weight=0.1, auto_intent=False, now=NOW,
+    ).collect()
+    by_type = {r.id: r.match_type for r in out}
+    assert by_type.get(11) == "graph"
+
+
+def test_graph_only_dropped_when_threshold(engine):
+    out = hybrid_search(
+        engine, "postgres connection pooling settings", k=4,
+        graph_weight=0.1, threshold=0.5, auto_intent=False, now=NOW,
+    ).collect()
+    assert all(r.match_type != "graph" for r in out)
+
+
+def test_feedback_boosts(engine):
+    no_fb = hybrid_search(
+        engine, "cache settings", k=6, feedback_weight=0.0, confidence_weight=0.0, now=NOW
+    ).collect()
+    with_fb = hybrid_search(
+        engine, "cache settings", k=6, feedback_weight=0.4, confidence_weight=0.0, now=NOW
+    ).collect()
+    pos = lambda rows, mid: next(i for i, r in enumerate(rows) if r.id == mid)  # noqa: E731
+    assert pos(with_fb, 2) <= pos(no_fb, 2)
+
+
+def test_auto_intent_temporal_window(engine, spark, tmp_path):
+    eng = MemoriesEngine(spark, str(tmp_path / "store2"))
+    eng.add([_rec("deploy happened", "ops", document_at="2024-05-20 00:00:00")], "2024-05-20 10:00:00")
+    eng.add([_rec("deploy planned", "ops", document_at="2024-06-01 09:00:00")], "2024-06-01 09:00:00")
+    out = hybrid_search(eng, "deploy today", k=5, now=NOW).collect()
+    # intent window [today 00:00, -) excludes the May row
+    assert {r.id for r in out} == {1}
+
+
+def test_empty_corpus(engine, spark, tmp_path):
+    eng = MemoriesEngine(spark, str(tmp_path / "empty"))
+    assert hybrid_search(eng, "anything", k=5, now=NOW).count() == 0
