@@ -40,6 +40,11 @@ def main() -> None:
         except Exception as exc:  # keep the bench line intact on partial failure
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            # Queries cache intermediates; without releasing them the
+            # session accumulates storage across the suite and later
+            # queries pay eviction/GC churn instead of their own cost.
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(

@@ -464,6 +464,59 @@ class MemoriesEngine:
         self._write(mem, "memories")
         return n
 
+    # -- S7: snapshot / restore ---------------------------------------
+
+    def snapshot(self, now: str, keep: int = 5) -> str:
+        """Timestamped full-store snapshot with keep-last-N pruning
+        (reference ``_backup`` / auto-backup before destructive ops,
+        memory_engine.py:427-523). On Delta this is table versioning
+        for free; over plain parquet it is a directory copy — a pure
+        metadata/IO operation, no Spark job."""
+        tag = "".join(c for c in now if c.isdigit())
+        snap_root = os.path.join(self.path, "_snapshots")
+        dest = os.path.join(snap_root, tag)
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        os.makedirs(dest, exist_ok=True)
+        for name in _SCHEMAS:
+            d = self._dir(name)
+            if os.path.isdir(d):
+                shutil.copytree(d, os.path.join(dest, name))
+        counter = os.path.join(self.path, "next_id")
+        if os.path.exists(counter):
+            shutil.copy2(counter, os.path.join(dest, "next_id"))
+        for stale in self.list_snapshots()[:-keep] if keep > 0 else []:
+            shutil.rmtree(os.path.join(snap_root, stale))
+        return tag
+
+    def list_snapshots(self) -> list[str]:
+        snap_root = os.path.join(self.path, "_snapshots")
+        if not os.path.isdir(snap_root):
+            return []
+        return sorted(e for e in os.listdir(snap_root) if not e.startswith("."))
+
+    def restore_snapshot(self, tag: str) -> None:
+        """Roll the store back to a snapshot (reference
+        ``restore_from_backup``, memory_engine.py:654-681; Delta
+        ``RESTORE TABLE`` in production). Tables absent from the
+        snapshot are dropped so the restored state is exact."""
+        src = os.path.join(self.path, "_snapshots", tag)
+        if not os.path.isdir(src):
+            raise ValueError(f"no snapshot {tag!r}")
+        for name in _SCHEMAS:
+            cur = self._dir(name)
+            if os.path.isdir(cur):
+                shutil.rmtree(cur)
+            snap_table = os.path.join(src, name)
+            if os.path.isdir(snap_table):
+                shutil.copytree(snap_table, cur)
+        counter_snap = os.path.join(src, "next_id")
+        counter = os.path.join(self.path, "next_id")
+        if os.path.exists(counter_snap):
+            shutil.copy2(counter_snap, counter)
+        elif os.path.exists(counter):
+            os.remove(counter)
+
     # -- R9: reinforcement as event log + batch apply -----------------
 
     def log_retrieval(self, hits: list[tuple[int, int]], now: str, query: str = "") -> None:

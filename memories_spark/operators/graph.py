@@ -124,10 +124,16 @@ def personalized_pagerank(
             .groupBy("id")
             .agg(F.sum("term").alias("r_fp"))
         )
-    # Iteration caches stay alive: the returned plan's lineage reads the
-    # last cached state; Spark evicts LRU (each state is seeds+frontier
-    # sized — tiny next to the edge table).
-    return r
+    # Materialize the final rank vector (tiny: seeds + 3-hop frontier)
+    # and release the adjacency/degree caches — callers reference the
+    # result several times (merge, scalars, graph-only branch) and a
+    # long-lived session would otherwise accumulate cached edge tables
+    # across searches. Iteration checkpoints are freed by the context
+    # cleaner once their DataFrames go out of scope here.
+    out = r.localCheckpoint(eager=True)
+    adj.unpersist()
+    deg.unpersist()
+    return out
 
 
 def ppr_sql(
@@ -217,7 +223,9 @@ def min_label_propagation(
                 ).alias("label"),
             )
         )
-    return labels
+    out = labels.localCheckpoint(eager=True)
+    adj.unpersist()
+    return out
 
 
 def label_propagation_sql(edges_cte: str, nodes_cte: str, rounds: int) -> str:

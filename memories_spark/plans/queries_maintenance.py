@@ -194,3 +194,110 @@ def multi_backend_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "backend")
         .orderBy("doc_id", "backend")
     )
+
+
+# ---------------------------------------------------------------------
+# A5: extraction-quality metrics — per-source outcome rollup
+# ---------------------------------------------------------------------
+
+_A5_ORACLE = """
+SELECT 'j' || CAST(user_id % 7 AS VARCHAR) AS job_source,
+       CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS stored,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS deleted,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS noop,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conflict,
+       round(CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS noop_ratio,
+       CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1 ORDER BY job_source
+"""
+
+
+@register(
+    "extraction_outcome_rollup",
+    oracle=_A5_ORACLE,
+    doc="Extraction-quality metrics (reference A5, usage_tracker.py:"
+    "536-600): per-source conditional sums of each AUDN outcome plus "
+    "noop ratio; event_type plays the outcome, user_id%7 plays the "
+    "job source, and props JSON carries a token-count payload parsed "
+    "with get_json_object.",
+    tags=("agg", "events", "json"),
+)
+def extraction_outcome_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    out = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        ev.groupBy(
+            F.concat(F.lit("j"), (F.col("user_id") % 7).cast("string")).alias("job_source")
+        )
+        .agg(
+            F.count("*").alias("total"),
+            out("click").alias("stored"),
+            out("view").alias("updated"),
+            out("error").alias("deleted"),
+            out("signup").alias("noop"),
+            out("purchase").alias("conflict"),
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        )
+        .select(
+            "job_source", "total", "stored", "updated", "deleted", "noop", "conflict",
+            F.round(F.col("noop").cast("double") / F.col("total"), 6).alias("noop_ratio"),
+            "sum_k",
+        )
+        .orderBy("job_source")
+    )
+
+
+# ---------------------------------------------------------------------
+# A6: graph/temporal search stats — relative period splits
+# ---------------------------------------------------------------------
+
+_A6_NOW = "2024-01-31 00:00:00"
+
+_A6_ORACLE = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '{_A6_NOW}' - INTERVAL 1 DAY  THEN 1 ELSE 0 END) AS BIGINT) AS last_1d,
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '{_A6_NOW}' - INTERVAL 7 DAY  THEN 1 ELSE 0 END) AS BIGINT) AS last_7d,
+       CAST(sum(CASE WHEN ts >= TIMESTAMP '{_A6_NOW}' - INTERVAL 30 DAY THEN 1 ELSE 0 END) AS BIGINT) AS last_30d,
+       round(CAST(CAST(sum(CASE WHEN ts >= TIMESTAMP '{_A6_NOW}' - INTERVAL 7 DAY
+                     THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS DOUBLE) / 100.0, 2) AS value_7d
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "search_period_stats",
+    oracle=_A6_ORACLE,
+    doc="Graph/temporal search stats (reference A6, usage_tracker.py:"
+    "474-534): one scan, conditional counts for relative 1d/7d/30d "
+    "windows (the reference's PERIOD_SQL buckets) plus an exact "
+    "fixed-point value sum for the 7d window.",
+    tags=("agg", "events"),
+)
+def search_period_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    now = F.lit(_A6_NOW).cast("timestamp")
+    in_window = lambda days: F.col("ts") >= now - F.expr(f"INTERVAL {days} DAY")  # noqa: E731
+    bucket = lambda days: F.sum(F.when(in_window(days), 1).otherwise(0)).cast("long")  # noqa: E731
+    v7_cents = F.sum(
+        F.when(in_window(7), F.round(F.col("value") * 100.0).cast("long")).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("total"),
+            bucket(1).alias("last_1d"),
+            bucket(7).alias("last_7d"),
+            bucket(30).alias("last_30d"),
+            v7_cents.alias("_v7c"),
+        )
+        .select(
+            "event_type", "total", "last_1d", "last_7d", "last_30d",
+            F.round(F.col("_v7c").cast("double") / 100.0, 2).alias("value_7d"),
+        )
+        .orderBy("event_type")
+    )

@@ -184,3 +184,26 @@ def test_export_drops_ids_and_embeddings(engine, tmp_path, spark):
     engine.export_ndjson(out)
     df = spark.read.json(out)
     assert "id" not in df.columns and "embedding" not in df.columns
+
+
+def test_snapshot_restore_roundtrip(engine):
+    """S7: snapshot → mutate → restore yields the pre-mutation state,
+    including the id counter (reference memory_engine.py:427-523,
+    654-681)."""
+    tag = engine.snapshot(NOW)
+    assert engine.list_snapshots() == [tag]
+
+    engine.delete([1, 2])
+    engine.add([{"text": "post-snap", "source": "x"}], LATER)
+    assert engine.count() != 5
+
+    engine.restore_snapshot(tag)
+    assert engine.count() == 5
+    assert {r.id for r in engine.table("memories").select("id").collect()} == {0, 1, 2, 3, 4}
+    # id counter restored too: next add continues from 5
+    assert engine.add([{"text": "f", "source": "x"}], LATER) == [5]
+
+
+def test_snapshot_keep_last_n(engine):
+    tags = [engine.snapshot(f"2024-06-0{d} 00:00:00", keep=2) for d in range(1, 5)]
+    assert engine.list_snapshots() == tags[-2:]
