@@ -2,5 +2,6 @@ from memories_spark.streaming.events import (  # noqa: F401
     EVENT_SCHEMA,
     incremental_term_stats_sink,
     read_event_stream,
+    sessionize_stream,
     windowed_event_counts,
 )

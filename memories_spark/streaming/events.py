@@ -124,3 +124,107 @@ def incremental_term_stats_sink(
 def read_doc_stream(spark: SparkSession, in_dir: str) -> DataFrame:
     """NDJSON document stream for ingestion pipelines."""
     return spark.readStream.schema(DOC_SCHEMA).json(in_dir)
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator: gap-based session windows per user via
+    ``applyInPandasWithState`` — the streaming twin of the batch
+    ``sessionize_events`` query (lag + cumulative window).
+
+    A session closes when the next event is > ``gap_minutes`` after the
+    previous one, or when event time passes the session end + gap
+    (event-time timeout keyed to the watermark, so idle sessions flush
+    without waiting for the user's next event). State per key is one
+    open session (start, end, count) — O(active users), not O(events);
+    Spark partitions state by group key so this scales horizontally
+    with no driver involvement.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.to_datetime(start_us, unit="us")],
+                    "session_end": [pd.to_datetime(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+
+        start_us = end_us = None
+        n = 0
+        if state.exists:
+            start_us, end_us, n = state.get
+
+        closed: list[tuple[int, int, int]] = []
+        batches = [pdf for pdf in pdf_iter if len(pdf)]
+        if batches:
+            ts_us = (
+                pd.concat(batches)["ts"].astype("int64").floordiv(1000).sort_values()
+            )
+            for t in ts_us:
+                t = int(t)
+                if start_us is None:
+                    start_us, end_us, n = t, t, 1
+                elif t - end_us <= gap_us:
+                    end_us, n = t, n + 1
+                else:
+                    closed.append((start_us, end_us, n))
+                    start_us, end_us, n = t, t, 1
+
+        if start_us is not None:
+            state.update((start_us, end_us, n))
+            # flush via event-time timeout once the watermark passes
+            # session_end + gap (epoch millis per the GroupState API)
+            state.setTimeoutTimestamp(end_us // 1000 + gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.to_datetime(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.to_datetime(e, unit="us") for _, e, _ in closed],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUTPUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

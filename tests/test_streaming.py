@@ -99,3 +99,53 @@ def test_stream_is_incremental_not_rebuild(spark, tmp_path):
     terms = spark.read.parquet(stats)
     # tf for (1, alpha) must be 2 exactly once — no duplicate append
     assert [(r.id, r.term, r.tf) for r in terms.collect()] == [(1, "alpha", 2)]
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: sessions close when a
+    later event exceeds the gap (within a batch and across batches);
+    the open tail session stays in state."""
+    from memories_spark.streaming import read_event_stream, sessionize_stream
+
+    src = str(tmp_path / "sess_in")
+    # batch file 1: user 1 has a 2-event session then a gap > 30 min
+    _write_events(
+        src,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01T00:10:00Z", "user_id": 1, "event_type": "view", "value": 1.0},
+            {"event_id": 3, "ts": "2024-01-01T02:00:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+        ],
+    )
+    # batch file 2: closes user 1's 02:00 session; user 2 stays open
+    _write_events(
+        src,
+        "b2.json",
+        [
+            {"event_id": 4, "ts": "2024-01-01T05:00:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 5, "ts": "2024-01-01T05:05:00Z", "user_id": 2, "event_type": "view", "value": 1.0},
+        ],
+    )
+    stream = (
+        spark.readStream.schema(read_event_stream(spark, src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == ("2024-01-01 00:10:00", 2)
+    assert got[(1, "2024-01-01 02:00:00")] == ("2024-01-01 02:00:00", 1)
+    # open sessions (user 1 @ 05:00, user 2 @ 05:05) have not flushed
+    assert len(got) == 2
