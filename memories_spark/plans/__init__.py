@@ -6,6 +6,7 @@ from memories_spark.plans import (  # noqa: F401, E402
     queries_dedup,
     queries_graph,
     queries_maintenance,
+    queries_pipeline,
     queries_retrieval2,
     queries_temporal,
     queries_text,
