@@ -115,3 +115,21 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     sort of the corpus for a top-10 would be a full-shuffle mistake."""
     p = plan(QUERIES["top_customers"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_exact_dedup_partial_agg_no_python(spark, sf_dir):
+    """Exact hash dedup is one shuffle on the 16-byte md5 key with
+    map-side combine; the hash itself must stay in codegen."""
+    p = plan(QUERIES["exact_dup_groups"].fn(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_auto_link_broadcasts_new_rows(spark, sf_dir):
+    """Auto-linking joins the tiny new-row set against the corpus:
+    the small side must broadcast (nested-loop on the non-equi sim
+    predicate is fine — the corpus side never shuffles) and the
+    cosine fold must stay JVM-side."""
+    p = plan(QUERIES["auto_link_topk"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
