@@ -30,6 +30,7 @@ FROM pairs WHERE est_sim >= 0.75
 @register(
     "minhash_near_dups",
     oracle=_MINHASH_ORACLE,
+    bench=True,
     doc="MinHash (8 hashes) + LSH banding (4 bands x 2 rows) "
     "candidate pairs with estimated Jaccard >= 0.75. The scale path "
     "for exact-dup families (reference J3/C1 all-pairs dedup, "

@@ -44,6 +44,7 @@ ORDER BY keeper_id
 @register(
     "exact_dup_groups",
     oracle=_EXACT_DEDUP_ORACLE,
+    bench=True,
     doc="Exact dedup via hash-groupBy: md5(text) groups after a "
     "simulated re-import of every 37th doc; keeper = min id, the "
     "rest are victims (reference C1 keep-earliest rule, "
