@@ -34,47 +34,82 @@ BAND_ROWS = 2  # 4 bands x 2 rows
 
 # --- MinHash + LSH ----------------------------------------------------
 
-def minhash_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, seed, h): per-seed MinHash over the distinct token set.
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sig: array<string> of NUM_HASHES minima) in ONE pass.
 
     Tokens-as-shingles (w=1): right for short-text corpora where
     vocabulary overlap IS the duplication signal; swap in
     word_shingles_expr(text, n) for long documents.
+
+    Scale shape: each exploded token row computes all NUM_HASHES md5s
+    as columns, so the shuffle carries one row per (doc, token) — not
+    NUM_HASHES of them — and every per-seed min gets a map-side
+    partial aggregate. The result is one narrow row per doc.
     """
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok"),
     )
-    seeds = docs.sparkSession.range(NUM_HASHES).select(F.col("id").alias("seed"))
-    return (
-        toks.crossJoin(F.broadcast(seeds))
-        .select("id", "seed", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("tok"))).alias("h"))
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("h"))
+    hashed = toks.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("tok"))).alias(f"h{s}")
+            for s in range(NUM_HASHES)
+        ],
+    )
+    mins = hashed.groupBy("id").agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(NUM_HASHES)]
+    )
+    return mins.select(
+        "id", F.array(*[f"h{s}" for s in range(NUM_HASHES)]).alias("sig")
     )
 
 
 def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """LSH banding: (id_a, id_b, est_sim) — est = matching sigs / K."""
-    sig = minhash_rows(docs, id_col, text_col)
-    banded = sig.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
-    band_keys = banded.groupBy("id", "band").agg(
-        F.array_join(F.array_sort(F.collect_list(F.concat_ws("@", F.col("seed"), F.col("h")))), "|").alias("key")
-    )
+    """LSH banding: (id_a, id_b, est_sim) — est = matching sigs / K.
+
+    The signature table is cached: the band self-join and both sides
+    of the verification join reuse it instead of recomputing the
+    tokenize+hash pass (at cluster scale, a written-out sketch table
+    plays this role).
+    """
+    sig = minhash_signatures(docs, id_col, text_col).cache()
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[
+                    F.col("sig").getItem(b * BAND_ROWS + r)
+                    for r in range(BAND_ROWS)
+                ],
+            ).alias("key"),
+        )
+        for b in range(NUM_HASHES // BAND_ROWS)
+    ]
+    band_keys = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = band_keys.select(F.col("id").alias("id_a"), "band", "key")
     b = band_keys.select(F.col("id").alias("id_b"), "band", "key")
     cand = (
         a.join(b, ["band", "key"]).filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b").distinct()
     )
-    sa = sig.select(F.col("id").alias("id_a"), "seed", F.col("h").alias("ha"))
-    sb = sig.select(F.col("id").alias("id_b"), "seed", F.col("h").alias("hb"))
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     return (
         cand.join(sa, "id_a")
-        .join(sb, ["id_b", "seed"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            (F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0)) / F.lit(float(NUM_HASHES))).alias("est_sim")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches / F.lit(float(NUM_HASHES))).alias("est_sim"),
         )
     )
 

@@ -30,7 +30,6 @@ FROM pairs WHERE est_sim >= 0.75
 @register(
     "minhash_near_dups",
     oracle=_MINHASH_ORACLE,
-    bench=True,
     doc="MinHash (8 hashes) + LSH banding (4 bands x 2 rows) "
     "candidate pairs with estimated Jaccard >= 0.75. The scale path "
     "for exact-dup families (reference J3/C1 all-pairs dedup, "
@@ -55,6 +54,7 @@ ORDER BY victim_id
 @register(
     "dedup_victims",
     oracle=_DELETE_ORACLE,
+    bench=True,
     doc="Dedup victim selection: for each near-dup pair keep the "
     "smaller id, delete the larger (reference C1 deduplicate, "
     "memory_engine.py:2239-2272).",
