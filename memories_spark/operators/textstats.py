@@ -29,9 +29,16 @@ EN_STOPWORDS = LANG_MARKERS["en"] + ("it", "that", "this", "for", "on", "with")
 BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
-def lang_scores_expr(text_col: str) -> dict[str, Column]:
-    """Per-language marker-hit ratio over the token stream."""
-    toks = tokens_expr(text_col)
+def lang_scores_expr(text_col: str, toks: Column | None = None) -> dict[str, Column]:
+    """Per-language marker-hit ratio over the token stream.
+
+    Pass a pre-tokenized ``toks`` column when combining several text
+    operators in one projection: tokenization is a regex pass over
+    the full text, and inlining it per-language makes the scan
+    re-split every row N times (codegen CSEs a bound column
+    reference, not N copies of the higher-order expression).
+    """
+    toks = tokens_expr(text_col) if toks is None else toks
     n = F.greatest(F.size(toks), F.lit(1))
     def _matcher(markers: tuple[str, ...]):
         return lambda t: t.isin(*markers)
@@ -45,10 +52,10 @@ def lang_scores_expr(text_col: str) -> dict[str, Column]:
     return out
 
 
-def predict_lang_expr(text_col: str) -> Column:
+def predict_lang_expr(text_col: str, toks: Column | None = None) -> Column:
     """Argmax language over marker ratios; ties break alphabetically;
     all-zero -> 'unknown'."""
-    scores = lang_scores_expr(text_col)
+    scores = lang_scores_expr(text_col, toks)
     pairs = F.array(
         *[F.struct(score.alias("s"), F.lit(lang).alias("l")) for lang, score in sorted(scores.items())]
     )
@@ -88,10 +95,10 @@ def predict_lang_sql(text_col: str) -> str:
     return f"(CASE WHEN ({expr}).s <= 0.0 THEN 'unknown' ELSE ({expr}).l END)"
 
 
-def quality_features(text_col: str) -> dict[str, Column]:
+def quality_features(text_col: str, toks: Column | None = None) -> dict[str, Column]:
     """Deterministic quality signals: token count, avg token length,
     stopword ratio, punctuation ratio, digit ratio."""
-    toks = tokens_expr(text_col)
+    toks = tokens_expr(text_col) if toks is None else toks
     n_toks = F.size(toks)
     n_chars = F.length(F.col(text_col) if isinstance(text_col, str) else text_col)
     total_tok_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
@@ -109,12 +116,12 @@ def quality_features(text_col: str) -> dict[str, Column]:
     }
 
 
-def quality_score_expr(text_col: str) -> Column:
+def quality_score_expr(text_col: str, toks: Column | None = None) -> Column:
     """Composite quality in [0,1]-ish: rewards stopword presence and
     moderate token length, penalizes punctuation/digit noise.
     Fixed weights — a stand-in for a trained classifier, same shape
     as Gopher/C4-style rule filters."""
-    f = quality_features(text_col)
+    f = quality_features(text_col, toks)
     length_ok = F.when((f["n_tokens"] >= 10) & (f["n_tokens"] <= 1000), 1.0).otherwise(0.5)
     return (
         F.lit(0.4) * length_ok
@@ -150,11 +157,11 @@ def quality_score_sql(text_col: str) -> str:
     )
 
 
-def token_counts(text_col: str) -> dict[str, Column]:
+def token_counts(text_col: str, toks: Column | None = None) -> dict[str, Column]:
     """Whitespace token count + BPE-ish sub-token count (regex over
     the lowercased text)."""
     return {
-        "ws_tokens": F.size(tokens_expr(text_col)).cast("long"),
+        "ws_tokens": F.size(tokens_expr(text_col) if toks is None else toks).cast("long"),
         "bpe_ish_tokens": F.regexp_count(F.lower(F.col(text_col)), F.lit(BPE_ISH_PATTERN)).cast("long"),
     }
 

@@ -34,11 +34,18 @@ FROM documents ORDER BY doc_id
 )
 def lang_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    counts = ts_op.token_counts("text")
-    return docs.select(
+    # Tokenize ONCE into a real column: lang-ID, quality and counts all
+    # consume the token array, and inlining the regex split per use
+    # would re-split every row ~10x in the scan.
+    toked = docs.select(
+        "doc_id", "text", ts_op.tokens_expr("text").alias("toks")
+    )
+    toks = F.col("toks")
+    counts = ts_op.token_counts("text", toks)
+    return toked.select(
         "doc_id",
-        ts_op.predict_lang_expr("text").alias("pred_lang"),
-        F.round(ts_op.quality_score_expr("text"), 6).alias("quality"),
+        ts_op.predict_lang_expr("text", toks).alias("pred_lang"),
+        F.round(ts_op.quality_score_expr("text", toks), 6).alias("quality"),
         counts["ws_tokens"].alias("ws_tokens"),
         counts["bpe_ish_tokens"].alias("bpe_ish_tokens"),
     ).orderBy("doc_id")
