@@ -5,6 +5,7 @@ from memories_spark.plans import (  # noqa: F401, E402
     queries_catalog,
     queries_dedup,
     queries_graph,
+    queries_joins,
     queries_maintenance,
     queries_pipeline,
     queries_retrieval2,

@@ -1,0 +1,86 @@
+"""Semantics of the as-of and bucketed range joins on crafted frames:
+inclusive equal-ts matching, tiebreaks, no-match NULLs, interval
+boundary handling across bucket edges.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from memories_spark.operators import joins as join_op
+
+
+def _ts(m: int) -> datetime:
+    return datetime(2024, 1, 1, 10, m, 0)
+
+
+def _asof(spark, left_rows, right_rows):
+    left = spark.createDataFrame(left_rows, "user_id long, ts timestamp, lid long")
+    right = spark.createDataFrame(right_rows, "user_id long, ts timestamp, rid long")
+    out = join_op.asof_join(
+        left, right, key="user_id", ts="ts", right_vals=["rid"], tiebreak="rid"
+    )
+    return {r["lid"]: r["rid"] for r in out.collect()}
+
+
+def test_asof_backward_inclusive(spark):
+    got = _asof(
+        spark,
+        [(1, _ts(5), 100), (1, _ts(10), 101)],
+        [(1, _ts(5), 7), (1, _ts(8), 8), (1, _ts(11), 9)],
+    )
+    # equal-ts right row matches (inclusive); later rights are ignored
+    assert got == {100: 7, 101: 8}
+
+
+def test_asof_no_match_is_null(spark):
+    got = _asof(spark, [(1, _ts(1), 100), (2, _ts(9), 200)], [(1, _ts(3), 7)])
+    assert got == {100: None, 200: None}
+
+
+def test_asof_equal_ts_tie_takes_largest_tiebreak(spark):
+    got = _asof(spark, [(1, _ts(6), 100)], [(1, _ts(6), 3), (1, _ts(6), 9), (1, _ts(2), 1)])
+    assert got == {100: 9}
+
+
+def test_asof_keys_isolated(spark):
+    got = _asof(spark, [(1, _ts(9), 100)], [(2, _ts(1), 7)])
+    assert got == {100: None}
+
+
+def _range(spark, points, intervals, width_s=600):
+    pts = spark.createDataFrame(points, "user_id long, pts timestamp, pid long")
+    ivs = spark.createDataFrame(intervals, "user_id long, s timestamp, e timestamp, iid long")
+    out = join_op.bucketed_range_join(
+        pts, ivs, key="user_id", point_ts="pts", start_ts="s", end_ts="e",
+        bucket_width_s=width_s,
+    )
+    return sorted((r["iid"], r["pid"]) for r in out.collect())
+
+
+def test_range_half_open_bounds(spark):
+    pairs = _range(
+        spark,
+        [(1, _ts(10), 1), (1, _ts(15), 2), (1, _ts(20), 3)],
+        [(1, _ts(10), _ts(20), 50)],
+    )
+    # start inclusive, end exclusive
+    assert pairs == [(50, 1), (50, 2)]
+
+
+def test_range_cross_bucket_match(spark):
+    # interval straddles a 10-min bucket edge; point lands in the
+    # second bucket — the explode side must still find it
+    pairs = _range(spark, [(1, _ts(12), 1)], [(1, _ts(9), _ts(14), 50)])
+    assert pairs == [(50, 1)]
+
+
+def test_range_no_duplicate_pairs(spark):
+    # interval spanning 3 buckets, point matches exactly once
+    pairs = _range(spark, [(1, _ts(15), 1)], [(1, _ts(1), _ts(25), 50)], width_s=600)
+    assert pairs == [(50, 1)]
+
+
+def test_range_key_isolation(spark):
+    pairs = _range(spark, [(2, _ts(12), 1)], [(1, _ts(9), _ts(14), 50)])
+    assert pairs == []

@@ -133,3 +133,23 @@ def test_auto_link_broadcasts_new_rows(spark, sf_dir):
     p = plan(QUERIES["auto_link_topk"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_asof_join_is_joinless_single_shuffle(spark, sf_dir):
+    """The as-of join must compile to the union->window shape: zero
+    join operators (the nested-loop range join it replaces would be
+    the 100TB killer), one Window, and type filters pushed to the
+    parquet scan."""
+    p = plan(QUERIES["asof_last_click"].fn(spark, sf_dir))
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    assert "Window" in p, p
+    assert re.search(r"PushedFilters: \[.*EqualTo\(event_type,error\)", p), p
+
+
+def test_range_join_stays_equi(spark, sf_dir):
+    """The bucketized range join must land on hash/sort-merge equi
+    joins — never BroadcastNestedLoopJoin/CartesianProduct, which is
+    what a naive ts-between-bounds join degenerates to."""
+    p = plan(QUERIES["range_join_incidents"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
