@@ -65,15 +65,8 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
-def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """LSH banding: (id_a, id_b, est_sim) — est = matching sigs / K.
-
-    The signature table is cached: the band self-join and both sides
-    of the verification join reuse it instead of recomputing the
-    tokenize+hash pass (at cluster scale, a written-out sketch table
-    plays this role).
-    """
-    sig = minhash_signatures(docs, id_col, text_col).cache()
+def _band_keys(df: DataFrame, id_col: str) -> DataFrame:
+    """Explode a ``sig`` array column into (id_col, band, key) rows."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -87,9 +80,30 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> Data
         )
         for b in range(NUM_HASHES // BAND_ROWS)
     ]
-    band_keys = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return df.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _sig_matches(sig_a: str, sig_b: str) -> F.Column:
+    """Count of agreeing signature positions (JVM-side fold)."""
+    return F.aggregate(
+        F.zip_with(F.col(sig_a), F.col(sig_b), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """LSH banding: (id_a, id_b, est_sim) — est = matching sigs / K.
+
+    The signature table is cached: the band self-join and both sides
+    of the verification join reuse it instead of recomputing the
+    tokenize+hash pass (at cluster scale, a written-out sketch table
+    plays this role).
+    """
+    sig = minhash_signatures(docs, id_col, text_col).cache()
+    band_keys = _band_keys(sig, "id")
     a = band_keys.select(F.col("id").alias("id_a"), "band", "key")
     b = band_keys.select(F.col("id").alias("id_b"), "band", "key")
     cand = (
@@ -98,19 +112,55 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> Data
     )
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    matches = F.aggregate(
-        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            (matches / F.lit(float(NUM_HASHES))).alias("est_sim"),
+            (_sig_matches("sig_a", "sig_b") / F.lit(float(NUM_HASHES))).alias("est_sim"),
         )
+    )
+
+
+def minhash_dedup_victims(
+    docs: DataFrame, id_col: str, text_col: str, threshold: float = 0.75
+) -> DataFrame:
+    """Victim ids — the larger id of every LSH candidate pair with
+    ``est_sim >= threshold`` — WITHOUT materializing the pair list.
+
+    est_sim is a function of the signatures alone, so the band join
+    runs over DISTINCT signatures (each keyed by its group's min doc
+    id). A doc ``b`` is a victim iff some qualifying partner group
+    (its own included, via the self band match) has ``min_id < b``;
+    per group that reduces to one threshold ``thr = min(partner
+    min_id)`` and victims are the members ``> thr``. In a
+    duplicate-heavy corpus this replaces O(dup²) pair verification
+    with O(distinct-sig²-within-band) — the pair list itself (5.6M
+    pairs at sf0.1 on the synthetic corpus) is never built.
+    """
+    sig = minhash_signatures(docs, id_col, text_col).cache()
+    groups = sig.groupBy("sig").agg(F.min("id").alias("gid")).cache()
+    gb = _band_keys(groups, "gid")
+    cand = (
+        gb.select(F.col("gid").alias("gid_a"), "band", "key")
+        .join(gb.select(F.col("gid").alias("gid_b"), "band", "key"), ["band", "key"])
+        .select("gid_a", "gid_b")
+        .distinct()
+    )
+    qual = (
+        cand.join(groups.select(F.col("gid").alias("gid_a"), F.col("sig").alias("sig_a")), "gid_a")
+        .join(groups.select(F.col("gid").alias("gid_b"), F.col("sig").alias("sig_b")), "gid_b")
+        .filter(
+            (_sig_matches("sig_a", "sig_b") / F.lit(float(NUM_HASHES))) >= F.lit(threshold)
+        )
+    )
+    thr = qual.groupBy("gid_a").agg(F.min("gid_b").alias("thr"))
+    return (
+        sig.join(groups, "sig")
+        .join(thr, F.col("gid") == F.col("gid_a"))
+        .filter(F.col("id") > F.col("thr"))
+        .select(F.col("id").alias("victim_id"))
     )
 
 

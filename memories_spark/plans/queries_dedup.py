@@ -57,17 +57,14 @@ ORDER BY victim_id
     bench=True,
     doc="Dedup victim selection: for each near-dup pair keep the "
     "smaller id, delete the larger (reference C1 deduplicate, "
-    "memory_engine.py:2239-2272).",
+    "memory_engine.py:2239-2272). Computed group-first over distinct "
+    "signatures — the quadratic pair list is never materialized.",
     tags=("dedup",),
 )
 def dedup_victims(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    pairs = dedup_op.minhash_candidate_pairs(docs, "doc_id", "text")
-    return (
-        pairs.filter(F.col("est_sim") >= 0.75)
-        .select(F.col("id_b").alias("victim_id"))
-        .distinct()
-        .orderBy("victim_id")
+    return dedup_op.minhash_dedup_victims(docs, "doc_id", "text", threshold=0.75).orderBy(
+        "victim_id"
     )
 
 

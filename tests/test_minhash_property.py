@@ -71,3 +71,24 @@ def test_minhash_pairs_match_model(spark, corpus):
         for r in dedup_op.minhash_candidate_pairs(docs, "doc_id", "text").collect()
     }
     assert got == model_pairs(corpus)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=corpus_strategy)
+def test_group_first_victims_match_pairwise_model(spark, corpus):
+    """The group-first victim selection (which never builds the pair
+    list) must equal the larger-id-of-each-qualifying-pair set from
+    the pairwise model."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(doc)) for i, doc in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = sorted(
+        r["victim_id"]
+        for r in dedup_op.minhash_dedup_victims(docs, "doc_id", "text", 0.75).collect()
+    )
+    want = sorted({b for (a, b), est in model_pairs(corpus).items() if est >= 0.75})
+    assert got == want
