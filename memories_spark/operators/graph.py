@@ -235,7 +235,7 @@ def label_propagation_sql(edges_cte: str, nodes_cte: str, rounds: int) -> str:
     prev = "l0"
     for i in range(1, rounds + 1):
         ctes.append(
-            f"""l{i} AS (
+            f"""l{i} AS MATERIALIZED (
   SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
   FROM {prev} l
   LEFT JOIN adj ON adj.to_id = l.id
@@ -245,9 +245,12 @@ def label_propagation_sql(edges_cte: str, nodes_cte: str, rounds: int) -> str:
         )
         prev = f"l{i}"
     its = ",\n".join(ctes)
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references the previous one twice — without it the (often
+    # expensive) edges CTE is re-evaluated ~2^rounds times.
     return f"""
-WITH edges AS ({edges_cte}),
-adj AS (
+WITH edges AS MATERIALIZED ({edges_cte}),
+adj AS MATERIALIZED (
   SELECT DISTINCT from_id, to_id FROM (
     SELECT from_id, to_id FROM edges UNION ALL SELECT to_id AS from_id, from_id AS to_id FROM edges
   )
@@ -255,5 +258,5 @@ adj AS (
 nodes AS ({nodes_cte}),
 l0 AS (SELECT id, id AS label FROM nodes),
 {its},
-labels AS (SELECT id, label FROM {prev})
+labels AS MATERIALIZED (SELECT id, label FROM {prev})
 """

@@ -268,6 +268,105 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Tightened similarity clusters (reference C2, complete semantics)
+# ---------------------------------------------------------------------
+
+_TIGHT_EDGES_CTE = f"""
+SELECT id_a AS from_id, id_b AS to_id FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({cosine_sql('a.embedding', 'b.embedding', _EMB_DIM)}, 6) AS sim
+  FROM (SELECT vec_id, embedding, {sim_op.lsh_bucket_sql('embedding', _EMB_DIM, _N_PLANES)} AS b
+        FROM embeddings) a
+  JOIN (SELECT vec_id, embedding, {sim_op.lsh_bucket_sql('embedding', _EMB_DIM, _N_PLANES)} AS b
+        FROM embeddings) b
+    ON a.b = b.b AND a.vec_id < b.vec_id
+) WHERE sim >= 0.3
+"""
+
+_TIGHT_NODES_CTE = (
+    "SELECT DISTINCT id FROM ("
+    "SELECT from_id AS id FROM edges UNION ALL SELECT to_id AS id FROM edges)"
+)
+
+
+def _tightened_oracle() -> str:
+    from memories_spark.operators import graph as graph_op
+
+    lp = graph_op.label_propagation_sql(_TIGHT_EDGES_CTE, _TIGHT_NODES_CTE, rounds=4)
+    return lp + """,
+deg AS (
+  SELECT a.from_id AS id, count(*) AS deg
+  FROM adj a
+  JOIN labels la ON la.id = a.from_id
+  JOIN labels lb ON lb.id = a.to_id AND lb.label = la.label
+  GROUP BY a.from_id
+),
+sizes AS (SELECT label, count(*) AS n FROM labels GROUP BY label),
+kept AS (
+  SELECT l.id, l.label
+  FROM labels l
+  JOIN deg d ON d.id = l.id
+  JOIN sizes s ON s.label = l.label
+  WHERE d.deg >= (s.n - 1) / 2.0
+)
+SELECT label, CAST(count(*) AS BIGINT) AS tight_size
+FROM kept GROUP BY label HAVING count(*) >= 2
+ORDER BY label
+"""
+
+
+@register(
+    "tightened_clusters",
+    oracle=_tightened_oracle(),
+    doc="Similarity clusters with the reference's tighten step "
+    "(find_similar_clusters, memory_engine.py:2274-2342): LSH-blocked "
+    "cosine pairs -> bounded min-label components -> drop members "
+    "similar to fewer than half of the other members (kills "
+    "chain-connected outliers), keep clusters of >= 2. Also the C3 "
+    "consolidation-candidate approximation (consolidator.py:36-124).",
+    tags=("dedup", "clustering"),
+)
+def tightened_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from memories_spark.operators import graph as graph_op
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    pairs = sim_op.cosine_pairs_blocked(
+        emb,
+        threshold=0.3,
+        block_col=sim_op.lsh_bucket_expr("embedding", _EMB_DIM, _N_PLANES),
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("from_id"), F.col("id_b").alias("to_id")
+    ).cache()
+    nodes = (
+        edges.select(F.col("from_id").alias("id"))
+        .union(edges.select(F.col("to_id").alias("id")))
+        .distinct()
+    )
+    labels = graph_op.min_label_propagation(edges, nodes, rounds=4).cache()
+    bi = graph_op.bidirectional(edges)
+    deg = (
+        bi.join(labels.select(F.col("id").alias("from_id"), F.col("label").alias("la")), "from_id")
+        .join(labels.select(F.col("id").alias("to_id"), F.col("label").alias("lb")), "to_id")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy("from_id")
+        .agg(F.count("*").alias("deg"))
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n"))
+    kept = (
+        labels.join(deg, labels["id"] == deg["from_id"])
+        .join(sizes, "label")
+        .filter(F.col("deg") >= (F.col("n") - F.lit(1)) / F.lit(2.0))
+    )
+    return (
+        kept.groupBy("label")
+        .agg(F.count("*").alias("tight_size"))
+        .filter(F.col("tight_size") >= 2)
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------
 # Smart import (novelty classification)
 # ---------------------------------------------------------------------
 
