@@ -3,10 +3,12 @@
 Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
 
-Each headline query is executed twice: a warm-up that also triggers
-JIT/codegen + file listing, then a timed run. The timed number is the
-full plan execution including the action (count of collected rows),
-not just lazy plan construction.
+Each headline query is executed three times: a warm-up that also
+triggers JIT/codegen + file listing, then two timed runs of which the
+minimum is reported — steady-state cost, robust to one-off GC/
+scheduler hiccups. The timed number is the full plan execution
+including the action (collecting the result), not just lazy plan
+construction.
 """
 
 from __future__ import annotations
@@ -34,9 +36,12 @@ def main() -> None:
     for name, spec in bench_queries.items():
         try:
             spec.fn(spark, sf_dir).collect()  # warm-up
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 4)
         except Exception as exc:  # keep the bench line intact on partial failure
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
