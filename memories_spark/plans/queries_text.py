@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from memories_spark.functions.texttools import tokens_sql
 from memories_spark.operators import chunking as chunk_op
 from memories_spark.operators import textstats as ts_op
 from memories_spark.plans.registry import register
@@ -75,6 +76,44 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp["fp_max"].alias("fp_max"),
         fp["n_shingles"].alias("n_shingles"),
     ).orderBy("doc_id")
+
+
+_HEAVY_ORACLE = f"""
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest({tokens_sql('text')}) AS term FROM documents
+)
+GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
+"""
+
+
+@register(
+    "heavy_hitter_terms_salted",
+    oracle=_HEAVY_ORACLE,
+    bench=True,
+    doc="Top-20 corpus terms via explicit two-stage salted "
+    "aggregation: explode tokens, pre-aggregate on (term, "
+    "doc_id%16 salt), then final sum per term. Term frequency is "
+    "Zipf-skewed, so at 100 TB a single-stage groupBy(term) sends "
+    "every occurrence of the hottest term to one reducer; the salt "
+    "stage bounds any reducer's share of a hot key to 1/16 before "
+    "the (tiny) final agg. The salt never reaches the result — "
+    "output is deterministic and oracle-identical.",
+    tags=("text", "agg", "skew"),
+)
+def heavy_hitter_terms_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    exploded = docs.select(
+        (F.col("doc_id") % 16).alias("_salt"),
+        F.explode(ts_op.tokens_expr("text")).alias("term"),
+    )
+    partial = exploded.groupBy("_salt", "term").agg(F.count("*").alias("c"))
+    return (
+        partial.groupBy("term")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
 
 
 _CHUNK_ORACLE = chunk_op.chunk_sql("documents", "doc_id", "text")

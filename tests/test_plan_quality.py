@@ -146,6 +146,43 @@ def test_asof_join_is_joinless_single_shuffle(spark, sf_dir):
     assert re.search(r"PushedFilters: \[.*EqualTo\(event_type,error\)", p), p
 
 
+def test_salted_heavy_hitters_two_stage(spark, sf_dir):
+    """The salted top-k must show BOTH aggregation stages (salted
+    pre-agg + final), each with partial/final HashAggregates, and
+    stay fully JVM-side — that's the skew contract."""
+    p = plan(QUERIES["heavy_hitter_terms_salted"].fn(spark, sf_dir))
+    # 2 logical stages x (partial + final) = at least 4 HashAggregates
+    assert p.count("HashAggregate") >= 4, p
+    assert "Generate" in p, p  # explode stays a Generate, not a UDF
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_reinforcement_apply_no_cartesian(spark, sf_dir):
+    """The log rollup must pre-aggregate (partial+final) and join
+    back broadcast — never cartesian; JSON extraction stays JVM."""
+    p = plan(QUERIES["reinforcement_apply"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_intent_rewrite_stays_codegen(spark, sf_dir):
+    """The regex/CASE classifier is a pure projection: no joins, no
+    Python eval — one scan classifies a billion logged queries."""
+    p = plan(QUERIES["query_intent_rewrite"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "Join" not in p, p
+
+
+def test_events_rollup_single_expand(spark, sf_dir):
+    """ROLLUP must compile to one Expand + partial/final HashAggregate
+    — one shuffle for all three grouping levels."""
+    p = plan(QUERIES["events_rollup"].fn(spark, sf_dir))
+    assert "Expand" in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
 def test_range_join_stays_equi(spark, sf_dir):
     """The bucketized range join must land on hash/sort-merge equi
     joins — never BroadcastNestedLoopJoin/CartesianProduct, which is
