@@ -325,6 +325,63 @@ def dominant_category_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Latency-percentile analytics: nearest-rank, deterministic
+# ---------------------------------------------------------------------
+
+_PCT_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END) AS p90,
+       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "event_value_percentiles",
+    oracle=_PCT_ORACLE,
+    doc="Per-type p50/p90/p99 of event value by nearest-rank "
+    "(ceil(p*n), ties broken by event_id) — the engine twin of the "
+    "reference's rolling latency-percentile /metrics windows "
+    "(README.md:990-991, benchmarks/load_test.py). Nearest-rank "
+    "instead of interpolation keeps the value an actual datum, "
+    "bit-identical across engines; one shuffle on event_type, "
+    "conditional aggregation collapses the ranked rows.",
+    tags=("agg", "events", "percentile"),
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("value"))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            pick(0.50).alias("p50"),
+            pick(0.90).alias("p90"),
+            pick(0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------
 # Rollup analytics: hierarchical totals in one pass
 # ---------------------------------------------------------------------
 
