@@ -616,6 +616,77 @@ class MemoriesEngine:
         self._write(out, "memories")
         return n
 
+    def rebuild_from_files(self, file_paths: list[str], now: str, embed_fn=None) -> int:
+        """S2 file rebuild scan (reference rebuild_from_files,
+        memory_engine.py:2699-2764): read N markdown files, chunk them
+        (S1), embed, and REPLACE the whole memories table — a full
+        index rebuild with fresh ids from 0, like the reference.
+
+        Read + chunk + embed are all distributed: one row per file
+        from the wholetext source, markdown packing via mapInPandas,
+        embedding via the same Arrow-batched stage as :meth:`reembed`.
+        Returns the number of chunks written.
+        """
+        from pyspark.sql import Window
+        from pyspark.sql.functions import pandas_udf
+
+        from memories_spark.operators.chunking import chunk_markdown_df
+
+        if embed_fn is None:
+            from memories_spark.extraction import mock_embed
+
+            embed_fn = mock_embed
+
+        raw = (
+            self.spark.read.format("text")
+            .option("wholetext", "true")
+            .load(file_paths)
+            .select(F.input_file_name().alias("path"), F.col("value").alias("content"))
+        )
+        # the file stem plays the source name (reference Path(...).stem)
+        stem = F.regexp_replace(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"\.[^.]*$", ""
+        )
+        docs = raw.select(
+            F.row_number().over(Window.orderBy("path")).cast("long").alias("doc_id"),
+            stem.alias("source"),
+            F.col("content").alias("text"),
+        )
+        chunks = chunk_markdown_df(docs)
+
+        @pandas_udf("array<float>")
+        def embed_batch(texts: pd.Series) -> pd.Series:
+            return texts.map(lambda t: embed_fn(t or ""))
+
+        # fresh deterministic ids: (file order, numeric chunk order) —
+        # length-then-lexicographic sorts chunk_2 before chunk_10
+        order = Window.orderBy(
+            F.col("doc_id"), F.length("chunk_source"), F.col("chunk_source")
+        )
+        ts = F.lit(now).cast("timestamp")
+        null = lambda t: F.lit(None).cast(t)  # noqa: E731
+        rebuilt = chunks.select(
+            (F.row_number().over(order) - 1).cast("long").alias("id"),
+            F.col("chunk_text").alias("text"),
+            F.col("chunk_source").alias("source"),
+            ts.alias("created_at"),
+            ts.alias("updated_at"),
+            null("timestamp").alias("document_at"),
+            null("timestamp").alias("last_reinforced_at"),
+            null("string").alias("category"),
+            F.lit(False).alias("pinned"),
+            F.lit(False).alias("archived"),
+            F.lit(True).alias("is_latest"),
+            null("long").alias("supersedes"),
+            null("long").alias("conflicts_with"),
+            null("string").alias("entity_key"),
+            null("string").alias("previous_text"),
+            embed_batch(F.col("chunk_text")).alias("embedding"),
+            null("map<string,string>").alias("metadata"),
+        )
+        self._write(rebuilt, "memories")
+        return self.table("memories").count()
+
     def import_smart(
         self, records: list[dict], now: str, embed_fn=None,
         dup_threshold: float = 0.95, novel_threshold: float = 0.80,

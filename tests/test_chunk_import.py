@@ -78,6 +78,24 @@ def engine(spark, tmp_path):
     return eng
 
 
+def test_rebuild_from_files_replaces_table(engine, tmp_path):
+    md_a = tmp_path / "alpha.md"
+    md_b = tmp_path / "beta.md"
+    md_a.write_text(MD)
+    md_b.write_text("# Beta\n\nA single decent paragraph for the beta file.")
+    n = engine.rebuild_from_files([str(md_a), str(md_b)], LATER)
+    rows = sorted(engine.table("memories").collect(), key=lambda r: r.id)
+    # full rebuild: old rows gone, fresh ids from 0
+    assert n == len(rows) and n >= 2
+    assert [r.id for r in rows] == list(range(n))
+    assert all(r.source.startswith(("alpha:chunk_", "beta:chunk_")) for r in rows)
+    assert not any("port 7443" in r.text for r in rows)
+    assert all(r.embedding is not None and len(r.embedding) > 0 for r in rows)
+    # file order then chunk order: every alpha chunk precedes every beta chunk
+    first_beta = min(r.id for r in rows if r.source.startswith("beta"))
+    assert all(r.id < first_beta for r in rows if r.source.startswith("alpha"))
+
+
 def test_reembed_rewrites_all(engine):
     n = engine.reembed(lambda t: mock_embed(t, dim=16))
     assert n == 2
