@@ -125,6 +125,38 @@ def lsh_bucket_sql(vec_col: str, dim: int, n_planes: int) -> str:
     return "(" + " || ".join(bit_exprs) + ")"
 
 
+def multiprobe_buckets_expr(bucket_col: str | Column, n_planes: int) -> Column:
+    """Hamming-radius-1 probe set of a sign-LSH bucket bit-string:
+    the bucket itself plus each single-bit flip (n_planes+1 probes).
+
+    Multi-probe LSH trades a bounded candidate growth
+    ((n+1)/2^n of the corpus in expectation) for a large recall gain —
+    near neighbors that straddle one hyperplane land in a probed
+    bucket. Exploding the probe set keeps the corpus join an exact
+    EQUI-join on the bucket key: no inequality predicate, no
+    nested-loop join, at any corpus size.
+    """
+    b = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    probes = [b]
+    for i in range(1, n_planes + 1):
+        flipped = F.when(F.substring(b, i, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+        probes.append(
+            F.concat(F.substring(b, 1, i - 1), flipped, F.substring(b, i + 1, n_planes - i))
+        )
+    return F.array(*probes)
+
+
+def multiprobe_buckets_sql(bucket_expr: str, n_planes: int) -> str:
+    """DuckDB mirror of :func:`multiprobe_buckets_expr`."""
+    probes = [bucket_expr]
+    for i in range(1, n_planes + 1):
+        flipped = f"CASE WHEN {bucket_expr}[{i}] = '1' THEN '0' ELSE '1' END"
+        probes.append(
+            f"({bucket_expr}[1:{i - 1}] || {flipped} || {bucket_expr}[{i + 1}:{n_planes}])"
+        )
+    return "list_value(" + ", ".join(probes) + ")"
+
+
 def cosine_pairs_blocked(
     corpus: DataFrame,
     threshold: float,

@@ -267,6 +267,67 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MP_BUCKET = sim_op.lsh_bucket_sql("embedding", _EMB_DIM, _N_PLANES)
+
+_MULTIPROBE_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_MP_BUCKET} AS b
+  FROM embeddings
+),
+q AS (
+  SELECT unnest({sim_op.multiprobe_buckets_sql('b', _N_PLANES)}) AS probe, embedding
+  FROM bucketed WHERE vec_id = 0
+),
+scored AS (
+  SELECT c.vec_id, round({cosine_sql('c.embedding', 'q.embedding', _EMB_DIM)}, 6) AS sim
+  FROM bucketed c JOIN q ON c.b = q.probe
+  WHERE c.vec_id != 0
+)
+SELECT vec_id, sim,
+       CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
+FROM scored
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register(
+    "ann_multiprobe",
+    oracle=_MULTIPROBE_ORACLE,
+    bench=True,
+    doc="Multi-probe LSH approximate nearest neighbors: probe the "
+    "query's sign-LSH bucket plus every Hamming-distance-1 bucket "
+    "(5 of 16 — one straddled hyperplane no longer loses the "
+    "neighbor). Measured recall@10 vs brute force: ~0.60 vs ~0.15 "
+    "single-probe on the test embeddings (tests/test_ann_recall.py). "
+    "The probe set explodes query-side, so the corpus join stays an "
+    "exact equi-join on the bucket key — no inequality join at any "
+    "scale; candidates are bounded at (n_planes+1)/2^n_planes of "
+    "the corpus in expectation.",
+    tags=("vector", "ann"),
+)
+def ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    bucketed = emb.withColumn(
+        "b", sim_op.lsh_bucket_expr("embedding", _EMB_DIM, _N_PLANES)
+    )
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        F.explode(sim_op.multiprobe_buckets_expr("b", _N_PLANES)).alias("probe"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), F.col("b") == F.col("probe"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cosine_expr("embedding", "qv"), 6).alias("sim"))
+    )
+    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+    )
+
+
 # ---------------------------------------------------------------------
 # Tightened similarity clusters (reference C2, complete semantics)
 # ---------------------------------------------------------------------
