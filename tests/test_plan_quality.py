@@ -158,6 +158,16 @@ def test_salted_heavy_hitters_two_stage(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
 
 
+def test_multiprobe_ann_is_equi_join(spark, sf_dir):
+    """Multi-probe ANN's probe set explodes query-side precisely so
+    the corpus join is a bucket-key equi-join — a Hamming-distance
+    predicate would be a nested-loop scan of the corpus."""
+    p = plan(QUERIES["ann_multiprobe"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
 def test_reinforcement_apply_no_cartesian(spark, sf_dir):
     """The log rollup must pre-aggregate (partial+final) and join
     back broadcast — never cartesian; JSON extraction stays JVM."""
