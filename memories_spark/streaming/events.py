@@ -90,6 +90,28 @@ def windowed_event_counts(
     )
 
 
+def dedup_event_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Streaming ingest dedup: drop re-delivered events whose dedup
+    key was already seen within the watermark horizon.
+
+    The streaming twin of the batch exact-dedup family (at-least-once
+    delivery makes duplicate events a certainty in any real pipeline).
+    ``dropDuplicatesWithinWatermark`` keys the dedup state on
+    ``keys`` (default the event id) and — unlike a plain
+    ``dropDuplicates`` — expires state older than the watermark, so
+    state size is bounded by the horizon's event volume, not the
+    stream's lifetime. At 100 TB/day that bound is the difference
+    between a working pipeline and an OOM.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def incremental_term_stats_sink(
     docs_stream: DataFrame, stats_dir: str, checkpoint_dir: str
 ):

@@ -9,6 +9,7 @@ import os
 from pyspark.sql import functions as F
 
 from memories_spark.streaming import (
+    dedup_event_stream,
     incremental_term_stats_sink,
     read_event_stream,
     windowed_event_counts,
@@ -53,6 +54,41 @@ def test_windowed_event_counts_stream(spark, tmp_path):
     assert got[("2024-01-01 00:00:00", "click")] == (2, 350)
     assert got[("2024-01-01 01:00:00", "click")] == (1, 425)
     assert got[("2024-01-01 01:00:00", "view")] == (1, 50)
+
+
+def test_dedup_event_stream_drops_redeliveries(spark, tmp_path):
+    src = str(tmp_path / "dup_events_in")
+    # event 1 delivered three times (twice in one file, once in a later
+    # micro-batch file); event 2 once — dedup state must span batches
+    _write_events(
+        src,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:10:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 1, "ts": "2024-01-01T00:10:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01T00:12:00Z", "user_id": 2, "event_type": "view", "value": 2.0},
+        ],
+    )
+    _write_events(
+        src,
+        "b2.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:11:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 3, "ts": "2024-01-01T00:30:00Z", "user_id": 3, "event_type": "click", "value": 3.0},
+        ],
+    )
+    deduped = dedup_event_stream(read_event_stream(spark, src), watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3]
 
 
 def test_incremental_term_stats(spark, tmp_path):
