@@ -12,4 +12,5 @@ from memories_spark.plans import (  # noqa: F401, E402
     queries_serving,
     queries_temporal,
     queries_text,
+    queries_training,
 )

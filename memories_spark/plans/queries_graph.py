@@ -126,3 +126,45 @@ def label_propagation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cluster_size"))
         .orderBy("label")
     )
+
+
+# The +20 chain edges partition documents into exactly the residue
+# classes mod 20 (every doc has a +-20 neighbor once n > 20), so the
+# oracle can state the component of every node in closed form —
+# ground truth by construction, independent of any iterative
+# algorithm. The chains are ~n/20 nodes long: 4-round label
+# propagation CANNOT converge on them (that is the point of the
+# log-round algorithm); components must still come out exact.
+_CC_ORACLE = """
+SELECT doc_id % 20 AS component, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(doc_id) AS BIGINT) AS max_member
+FROM documents GROUP BY 1 ORDER BY component
+"""
+
+
+@register(
+    "connected_components",
+    oracle=_CC_ORACLE,
+    doc="Exact connected components in O(log n) rounds: min-label "
+    "propagation with a path-halving shortcut per round (the "
+    "pointer-doubling idea of the big-star/small-star MapReduce CC "
+    "algorithm). The testdata chain graph has diameter ~n/20 — "
+    "diameter-bounded propagation cannot finish there, log-round "
+    "contraction must. Scale path for union-find clustering "
+    "(reference C2, memory_engine.py:2274-2342) on graphs whose "
+    "diameter is unknown.",
+    tags=("graph", "clustering"),
+)
+def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    comp = graph_op.connected_components(
+        _doc_edges(docs), docs.select("doc_id"), id_col="doc_id"
+    )
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max("id").cast("long").alias("max_member"),
+        )
+        .orderBy("component")
+    )
