@@ -1,5 +1,6 @@
 from memories_spark.streaming.events import (  # noqa: F401
     EVENT_SCHEMA,
+    compact_term_stats,
     dedup_event_stream,
     incremental_term_stats_sink,
     read_event_stream,

@@ -143,6 +143,35 @@ def incremental_term_stats_sink(
     )
 
 
+def compact_term_stats(spark: SparkSession, stats_dir: str) -> int:
+    """Periodic compaction of the appended term-stat deltas: groupBy
+    (id, term) sum into one file set, atomically swapped in.
+
+    Closes the loop on :func:`incremental_term_stats_sink` — appends
+    keep ingestion O(batch), this job bounds read amplification
+    (query-time consumers stop re-aggregating history). At scale this
+    is Delta ``OPTIMIZE``/MERGE on a partitioned-by-term table; here
+    it is the same read-compact-swap in miniature. Returns the
+    compacted row count.
+    """
+    import os
+    import shutil
+    import uuid
+
+    compacted = (
+        spark.read.parquet(stats_dir)
+        .groupBy("id", "term")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    tmp = f"{stats_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    compacted.write.mode("overwrite").parquet(tmp)
+    old = f"{stats_dir}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(stats_dir, old)
+    os.rename(tmp, stats_dir)
+    shutil.rmtree(old)
+    return spark.read.parquet(stats_dir).count()
+
+
 def read_doc_stream(spark: SparkSession, in_dir: str) -> DataFrame:
     """NDJSON document stream for ingestion pipelines."""
     return spark.readStream.schema(DOC_SCHEMA).json(in_dir)

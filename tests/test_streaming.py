@@ -121,6 +121,19 @@ def test_incremental_term_stats(spark, tmp_path):
     assert compact[(3, "window")] == 1
     assert len(compact) == 7
 
+    # periodic compaction: same logical stats, physically one rowset
+    from memories_spark.streaming import compact_term_stats
+
+    n = compact_term_stats(spark, stats)
+    assert n == 7
+    after = {
+        (r.id, r.term): r.tf for r in spark.read.parquet(stats).collect()
+    }
+    assert after == compact
+    # compacted table has exactly one row per (id, term): raw read
+    # equals the groupBy view, so read amplification is gone
+    assert spark.read.parquet(stats).count() == 7
+
 
 def test_stream_is_incremental_not_rebuild(spark, tmp_path):
     """The checkpoint must prevent re-processing batch 1 files."""
