@@ -136,10 +136,16 @@ class MemoriesEngine:
         os.rename(tmp, final)
         if os.path.isdir(old):
             shutil.rmtree(old)
+        # Drop any cached scans of the previous table version: a prior
+        # read may have .cache()'d this path (the serving layer does),
+        # and Spark's cache manager would otherwise serve the STALE
+        # snapshot to the next logically-identical plan.
+        self.spark.catalog.refreshByPath(final)
 
     def _append(self, df: DataFrame, name: str) -> None:
         d = self._dir(name)
         df.write.mode("append").parquet(d)
+        self.spark.catalog.refreshByPath(d)
 
     # -- helpers ------------------------------------------------------
 
