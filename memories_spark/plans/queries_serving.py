@@ -382,6 +382,83 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Running aggregates: per-user cumulative value over time
+# ---------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT user_id, event_id,
+       round(CAST(CAST(sum(CAST(round(value*100.0) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS DOUBLE)/100.0, 2) AS running_value,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS seq
+FROM events
+WHERE user_id < 20
+ORDER BY user_id, seq
+"""
+
+
+@register(
+    "running_user_value",
+    oracle=_RUNNING_ORACLE,
+    doc="Per-user running value total ordered by time (cumulative "
+    "window frame, exact fixed-point cents so partial order inside "
+    "equal timestamps cannot skew the double). One shuffle on "
+    "user_id; the frame is computed in a single sorted pass per "
+    "partition — the running-total shape of billing/cost dashboards.",
+    tags=("window", "events"),
+)
+def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"].filter(F.col("user_id") < 20)
+    order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = F.round(F.col("value") * 100.0).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(cents).over(frame).cast("double") / 100.0, 2).alias("running_value"),
+        F.row_number().over(order).cast("long").alias("seq"),
+    ).orderBy("user_id", "seq")
+
+
+# ---------------------------------------------------------------------
+# Pivot: event types to columns in one pass
+# ---------------------------------------------------------------------
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_PIVOT_ORACLE = f"""
+SELECT user_id % 10 AS user_bucket,
+       {", ".join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in _PIVOT_TYPES)}
+FROM events GROUP BY 1 ORDER BY user_bucket
+"""
+
+
+@register(
+    "event_type_pivot",
+    oracle=_PIVOT_ORACLE,
+    doc="Pivot event types into columns per user bucket — Spark's "
+    "pivot with an explicit value list compiles to ONE aggregation "
+    "pass (no per-column scan); the explicit list also keeps the "
+    "output schema static, which an unlisted pivot (distinct-scan "
+    "first) cannot guarantee at 100 TB.",
+    tags=("agg", "pivot", "events"),
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+        .na.fill(0, _PIVOT_TYPES)
+        .select(
+            "user_bucket", *[F.col(t).cast("long").alias(t) for t in _PIVOT_TYPES]
+        )
+        .orderBy("user_bucket")
+    )
+
+
+# ---------------------------------------------------------------------
 # Rollup analytics: hierarchical totals in one pass
 # ---------------------------------------------------------------------
 
