@@ -150,6 +150,66 @@ def test_stream_is_incremental_not_rebuild(spark, tmp_path):
     assert [(r.id, r.term, r.tf) for r in terms.collect()] == [(1, "alpha", 2)]
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """An event older than the watermark horizon must NOT update its
+    (already-finalized) window — the bounded-state guarantee the
+    module docs claim."""
+    src = str(tmp_path / "late_in")
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+
+    def run():
+        stream = (
+            spark.readStream.schema(read_event_stream(spark, src).schema).json(src)
+        )
+        counts = windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+        q = (
+            counts.writeStream.format("parquet")
+            .outputMode("append")  # append emits a window once finalized
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: events at 00:10 and 01:50 -> watermark 01:20 checkpointed;
+    # the [00:00, 01:00) window finalizes and is emitted with n=1
+    _write_events(
+        src,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:10:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01T01:50:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+        ],
+    )
+    run()
+
+    # run 2: an event 65 min behind the watermark (00:00 window already
+    # finalized -> must be dropped) plus a fresh 02:30 event that
+    # finalizes [01:00, 02:00)
+    _write_events(
+        src,
+        "b2.json",
+        [
+            {"event_id": 3, "ts": "2024-01-01T00:15:00Z", "user_id": 2, "event_type": "click", "value": 1.0},
+            {"event_id": 4, "ts": "2024-01-01T02:30:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+        ],
+    )
+    run()
+
+    rows = [
+        ((str(r.window_start), r.event_type), r.n)
+        for r in spark.read.parquet(out).collect()
+    ]
+    # each finalized window emitted exactly once; the late event never
+    # re-opened or re-emitted the 00:00 window
+    assert sorted(rows) == [
+        (("2024-01-01 00:00:00", "click"), 1),
+        (("2024-01-01 01:00:00", "click"), 1),
+    ]
+
+
 def test_sessionize_stream_stateful(spark, tmp_path):
     """applyInPandasWithState gap sessionization: sessions close when a
     later event exceeds the gap (within a batch and across batches);
