@@ -454,6 +454,110 @@ class MemoriesEngine:
         self._write(mem, "memories")
         return n
 
+    def enforce_policies(
+        self, profiles: list[dict], now: str, dry_run: bool = False
+    ) -> dict:
+        """C6 lifecycle enforcement over the store (reference
+        enforce_policies, memory_engine.py:1080-1248): resolve each
+        row's most-specific profile (longest source prefix), archive
+        when ``age > ttl_days`` OR (``confidence < threshold`` AND
+        ``age > min_age_days``); pinned and already-archived rows are
+        untouched; evidence (reason, at, confidence, age) lands in the
+        metadata map. ``dry_run`` reports candidates without writing.
+
+        ``profiles``: dicts of ``source_prefix`` plus optional
+        ``ttl_days``, ``confidence_threshold``, ``min_age_days``,
+        ``confidence_half_life_days``.
+        """
+        from memories_spark.functions.decay import half_life_decay
+        from memories_spark.operators.lifecycle import archive_decision, resolve_profiles
+
+        prof_df = self.spark.createDataFrame(
+            [
+                (
+                    p["source_prefix"],
+                    float(p["ttl_days"]) if p.get("ttl_days") is not None else None,
+                    float(p["confidence_threshold"])
+                    if p.get("confidence_threshold") is not None
+                    else None,
+                    float(p["min_age_days"]) if p.get("min_age_days") is not None else None,
+                    float(p.get("confidence_half_life_days") or 90.0),
+                )
+                for p in profiles
+            ],
+            "source_prefix string, ttl_days double, confidence_threshold double, "
+            "min_age_days double, confidence_half_life_days double",
+        )
+        now_ts = F.lit(now).cast("timestamp")
+        live = self.table("memories").filter(~F.coalesce(F.col("archived"), F.lit(False)))
+        resolved = resolve_profiles(live, prof_df, "id")
+        age_days = (
+            F.unix_micros(now_ts) - F.unix_micros(F.col("created_at"))
+        ).cast("double") / F.lit(86_400_000_000.0)
+        anchor = F.coalesce(
+            F.col("last_reinforced_at"), F.col("updated_at"), F.col("created_at")
+        )
+        confidence = half_life_decay(
+            anchor, now_ts, F.coalesce(F.col("confidence_half_life_days"), F.lit(90.0))
+        )
+        reason = archive_decision(
+            age_days,
+            confidence,
+            F.col("ttl_days"),
+            F.col("confidence_threshold"),
+            F.col("min_age_days"),
+            F.coalesce(F.col("pinned"), F.lit(False)),
+        )
+        decided = resolved.select(
+            "id",
+            reason.alias("reason"),
+            F.round(confidence, 6).alias("confidence"),
+            F.round(age_days, 3).alias("age_days"),
+        ).filter(F.col("reason").isNotNull())
+        candidates = [r.asDict() for r in decided.orderBy("id").collect()]
+        summary = {"candidates": candidates, "archived": 0}
+        if dry_run or not candidates:
+            return summary
+
+        by_id = {c["id"]: c for c in candidates}
+        mem = self.table("memories")
+        hit = F.col("id").isin(list(by_id))
+        reason_col = F.coalesce(
+            *[
+                F.when(F.col("id") == i, F.lit(c["reason"]))
+                for i, c in by_id.items()
+            ]
+        )
+        evidence = F.map_from_arrays(
+            F.array(
+                F.lit("policy_archived_reason"), F.lit("policy_archived_at")
+            ),
+            F.array(reason_col, F.lit(now)),
+        )
+        mem = (
+            mem.withColumn("archived", F.when(hit, F.lit(True)).otherwise(F.col("archived")))
+            .withColumn(
+                "metadata",
+                F.when(
+                    hit,
+                    F.map_concat(
+                        F.coalesce(
+                            F.col("metadata"),
+                            F.expr("CAST(map() AS map<string,string>)"),
+                        ),
+                        evidence,
+                    ),
+                ).otherwise(F.col("metadata")),
+            )
+            .withColumn(
+                "updated_at",
+                F.when(hit, F.lit(now).cast("timestamp")).otherwise(F.col("updated_at")),
+            )
+        )
+        self._write(mem, "memories")
+        summary["archived"] = len(candidates)
+        return summary
+
     # -- C10: folder rename -------------------------------------------
 
     def rename_folder(self, old_prefix: str, new_prefix: str, now: str) -> int:

@@ -139,6 +139,48 @@ def test_link_validation(engine):
     assert engine.remove_link(1, 2, "related_to") is False
 
 
+def test_enforce_policies(engine):
+    # profiles: team/* has a 10-day TTL; team/proj/* (more specific)
+    # instead archives on low confidence after 5 days; solo untouched
+    profiles = [
+        {"source_prefix": "team/", "ttl_days": 10},
+        {
+            "source_prefix": "team/proj/",
+            "confidence_threshold": 0.9,
+            "min_age_days": 5,
+            "confidence_half_life_days": 30,
+        },
+    ]
+    later = "2024-06-21 12:00:00"  # 20 days after NOW
+    dry = engine.enforce_policies(profiles, later, dry_run=True)
+    assert dry["archived"] == 0
+    reasons = {c["id"]: c["reason"] for c in dry["candidates"]}
+    # id 0 (team/proj/a) is pinned -> immune despite matching
+    assert 0 not in reasons
+    # team/proj rows resolve the MORE SPECIFIC profile: low_confidence
+    # (age 20d > 5d, conf 0.5^(20/30) ~ 0.63 < 0.9), not ttl_expired
+    assert reasons[1] == "low_confidence" and reasons[4] == "low_confidence"
+    # team/other/c resolves the team/ TTL profile (age 20 > 10)
+    assert reasons[2] == "ttl_expired"
+    # solo/d matches no profile
+    assert 3 not in reasons
+    # dry run wrote nothing
+    assert engine.count() == 5
+
+    summary = engine.enforce_policies(profiles, later)
+    assert summary["archived"] == 3
+    archived = {
+        r.id: r.metadata
+        for r in engine.table("memories").filter(F.col("archived")).collect()
+    }
+    assert set(archived) == {1, 2, 4}
+    assert archived[2]["policy_archived_reason"] == "ttl_expired"
+    assert archived[1]["policy_archived_at"] == later
+    # idempotent: archived rows leave the live set
+    again = engine.enforce_policies(profiles, later)
+    assert again["archived"] == 0
+
+
 def test_rename_folder(engine):
     n = engine.rename_folder("team/proj/", "org/proj/", LATER)
     assert n == 3
