@@ -14,4 +14,5 @@ from memories_spark.plans import (  # noqa: F401, E402
     queries_temporal,
     queries_text,
     queries_training,
+    queries_training2,
 )
