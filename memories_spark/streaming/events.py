@@ -90,6 +90,84 @@ def windowed_event_counts(
     )
 
 
+def sliding_event_counts_stream(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked hopping-window counts/sums per event type — the
+    streaming twin of the batch ``sliding_event_counts`` query.
+
+    Each event lands in window/slide overlapping windows (two for the
+    default 10m/5m); state per open window is one aggregate row and
+    the watermark finalizes windows once event time passes
+    window_end + horizon, so state is bounded by
+    (horizon / slide) * |event_types| rows regardless of stream
+    volume.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+
+
+def attribute_clicks_to_views(
+    views: DataFrame,
+    clicks: DataFrame,
+    within_minutes: int = 10,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream attribution join: each click joined to the view
+    event by the same user that happened at most ``within_minutes``
+    before it.
+
+    Both sides are watermarked and the join condition carries an
+    explicit event-time range, so Spark can bound the buffered state
+    on each side to the watermark horizon and emit matches
+    incrementally — the canonical ad-attribution /
+    retrieval-to-feedback correlation shape (the batch analog is the
+    ``asof_last_click`` query; reference feedback joins
+    usage_tracker.py:324-341 do this offline in SQLite).
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {within_minutes} MINUTES")
+        )
+    )
+    return v.join(c, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")).alias("lag_sec"),
+    )
+
+
 def dedup_event_stream(
     events: DataFrame,
     watermark: str = "1 hour",

@@ -258,3 +258,76 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert got[(1, "2024-01-01 02:00:00")] == ("2024-01-01 02:00:00", 1)
     # open sessions (user 1 @ 05:00, user 2 @ 05:05) have not flushed
     assert len(got) == 2
+
+
+def test_sliding_event_counts_stream(spark, tmp_path):
+    """Hopping windows: each event lands in exactly two 10m/5m windows."""
+    from memories_spark.streaming import sliding_event_counts_stream
+
+    src = str(tmp_path / "slide_in")
+    _write_events(
+        src,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:07:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01T00:12:00Z", "user_id": 2, "event_type": "click", "value": 2.0},
+        ],
+    )
+    counts = sliding_event_counts_stream(read_event_stream(spark, src))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("slide_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r.window_start): (r.n, r.value_cents)
+        for r in spark.sql("SELECT * FROM slide_out").collect()
+    }
+    # event1 (00:07) -> windows starting 00:00 and 00:05;
+    # event2 (00:12) -> windows starting 00:05 and 00:10
+    assert got["2024-01-01 00:00:00"] == (1, 100)
+    assert got["2024-01-01 00:05:00"] == (2, 300)
+    assert got["2024-01-01 00:10:00"] == (1, 200)
+    assert len(got) == 3
+
+
+def test_attribute_clicks_to_views_stream(spark, tmp_path):
+    """Stream-stream time-bounded join: clicks attach to the same
+    user's view within 10 minutes; out-of-window or cross-user clicks
+    do not match."""
+    from memories_spark.streaming import attribute_clicks_to_views
+
+    src = str(tmp_path / "attr_in")
+    _write_events(
+        src,
+        "b1.json",
+        [
+            # user 1: view then click 3 min later -> match (lag 180)
+            {"event_id": 10, "ts": "2024-01-01T00:00:00Z", "user_id": 1, "event_type": "view", "value": 0.0},
+            {"event_id": 11, "ts": "2024-01-01T00:03:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+            # user 2: click 20 min after the view -> outside the window
+            {"event_id": 20, "ts": "2024-01-01T00:00:00Z", "user_id": 2, "event_type": "view", "value": 0.0},
+            {"event_id": 21, "ts": "2024-01-01T00:20:00Z", "user_id": 2, "event_type": "click", "value": 1.0},
+            # user 3: click with no view at all
+            {"event_id": 31, "ts": "2024-01-01T00:05:00Z", "user_id": 3, "event_type": "click", "value": 1.0},
+        ],
+    )
+    events = read_event_stream(spark, src)
+    views = events.filter(F.col("event_type") == "view")
+    clicks = events.filter(F.col("event_type") == "click")
+    joined = attribute_clicks_to_views(views, clicks, within_minutes=10)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT user_id, view_id, click_id, lag_sec FROM attr_out").collect()
+    assert [(r.user_id, r.view_id, r.click_id, r.lag_sec) for r in rows] == [
+        (1, 10, 11, 180)
+    ]
