@@ -168,3 +168,67 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------
+# Triangle counting over the ordered edge set
+# ---------------------------------------------------------------------
+
+_TRI_EDGES_CTE = """
+  SELECT a.doc_id AS ea, a.doc_id + 20 AS eb
+  FROM documents a JOIN documents x ON x.doc_id = a.doc_id + 20
+  UNION ALL
+  SELECT a.doc_id AS ea, a.doc_id + 40 AS eb
+  FROM documents a JOIN documents y ON y.doc_id = a.doc_id + 40
+"""
+
+_TRIANGLE_ORACLE = f"""
+WITH edges AS ({_TRI_EDGES_CTE})
+SELECT CAST(e1.ea % 20 AS BIGINT) AS chain,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.eb = e2.ea
+JOIN edges e3 ON e3.ea = e1.ea AND e3.eb = e2.eb
+GROUP BY e1.ea % 20
+ORDER BY chain
+"""
+
+
+@register(
+    "triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    doc="Per-chain triangle counting via the ordered-edge two-join "
+    "(node ids orient every edge low->high, so each triangle is "
+    "counted exactly once with no permutation blowup — the "
+    "standard distributed formulation; at scale the orientation "
+    "is by degree so high-degree hubs never fan out). Edge set is "
+    "the chain graph densified with doc->doc+40 shortcuts, giving "
+    "one triangle per (d, d+20, d+40) run. Two shuffle joins on "
+    "edge endpoints; the grouped count is tiny.",
+    tags=("graph", "join"),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    ids = docs.select("doc_id")
+
+    def shifted(k: int) -> DataFrame:
+        other = ids.select(F.col("doc_id").alias("_b"))
+        return (
+            ids.withColumn("eb", F.col("doc_id") + k)
+            .join(other, F.col("eb") == F.col("_b"))
+            .select(F.col("doc_id").alias("ea"), "eb")
+        )
+
+    edges = shifted(20).unionByName(shifted(40))
+    e1 = edges
+    e2 = edges.select(F.col("ea").alias("e2a"), F.col("eb").alias("e2b"))
+    e3 = edges.select(F.col("ea").alias("e3a"), F.col("eb").alias("e3b"))
+    tri = (
+        e1.join(e2, F.col("eb") == F.col("e2a"))
+        .join(e3, (F.col("e3a") == F.col("ea")) & (F.col("e3b") == F.col("e2b")))
+    )
+    return (
+        tri.groupBy((F.col("ea") % 20).cast("long").alias("chain"))
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy("chain")
+    )
