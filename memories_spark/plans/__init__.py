@@ -12,6 +12,7 @@ from memories_spark.plans import (  # noqa: F401, E402
     queries_relational3,
     queries_retrieval2,
     queries_serving,
+    queries_stats,
     queries_temporal,
     queries_text,
     queries_training,
