@@ -200,3 +200,97 @@ def test_range_join_stays_equi(spark, sf_dir):
     p = plan(QUERIES["range_join_incidents"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    """The EXISTS query must execute as a LeftSemi hash join (each
+    order emitted at most once, no post-join distinct) with the
+    quarter filter pushed to the orders scan."""
+    p = plan(QUERIES["late_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(o_orderdate", p), p
+
+
+def test_order_histogram_aggregates_before_join(spark, sf_dir):
+    """Q13 shape: orders must collapse to per-customer counts before
+    the customer join — the join keys are aggregate output, so the
+    plan has partial+final HashAggregates feeding the join."""
+    p = plan(QUERIES["customer_order_distribution"].fn(spark, sf_dir))
+    assert p.count("HashAggregate") >= 4, p  # per-cust (2) + histogram (2)
+    assert "CartesianProduct" not in p, p
+
+
+def test_star_join_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
+    """Q9 shape: supplier/nation lookups broadcast; at most one
+    big-to-big join (lineitem x orders) may shuffle."""
+    p = plan(QUERIES["nation_year_profit"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert p.count("SortMergeJoin") <= 1, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
+    """Per-group top-k must engage WindowGroupLimit pushdown so
+    per-group state is k rows, not the whole group sorted."""
+    p = plan(QUERIES["top_parts_per_brand"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in p, p
+
+
+def test_decontamination_broadcasts_test_set(spark, sf_dir):
+    """The contamination join must broadcast the held-out shingle set
+    — the training corpus side never shuffles."""
+    p = plan(QUERIES["decontaminate_ngram_overlap"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_tfidf_broadcasts_dictionary(spark, sf_dir):
+    """TF-IDF's document-frequency dictionary join must broadcast;
+    tokenization stays in codegen (Generate), no Python eval."""
+    p = plan(QUERIES["tfidf_top_terms"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "Generate" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_cube_single_expand(spark, sf_dir):
+    """CUBE must compile to ONE Expand + partial/final aggregation —
+    four grouping sets, one shuffle."""
+    p = plan(QUERIES["events_cube"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Expand", p)) == 1, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_sliding_windows_use_expand(spark, sf_dir):
+    """Hopping windows must use the built-in window Expand (each row
+    emitted once per overlapping window) + hash aggregation — not a
+    self-join per offset."""
+    p = plan(QUERIES["sliding_event_counts"].fn(spark, sf_dir))
+    assert "Expand" in p, p
+    assert "Join" not in p, p
+
+
+def test_winsorized_broadcasts_bounds(spark, sf_dir):
+    """The p05/p95 bounds table (|event_types| rows) must broadcast
+    back onto the fact scan — no re-shuffle for the clamp."""
+    p = plan(QUERIES["winsorized_event_stats"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_correlation_is_single_pass(spark, sf_dir):
+    """Exact-moment correlation: one scan, partial+final aggregation,
+    no joins, no Python."""
+    p = plan(QUERIES["value_hour_correlation"].fn(spark, sf_dir))
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    """Triangle counting is two equi-joins on edge endpoints — any
+    nested-loop here would be quadratic in edges."""
+    p = plan(QUERIES["triangle_count"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
