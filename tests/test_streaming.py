@@ -331,3 +331,45 @@ def test_attribute_clicks_to_views_stream(spark, tmp_path):
     assert [(r.user_id, r.view_id, r.click_id, r.lag_sec) for r in rows] == [
         (1, 10, 11, 180)
     ]
+
+
+def test_event_bus_sink_delivers_and_keeps_history(spark, tmp_path):
+    """Lifecycle bus: foreachBatch NDJSON fan-out with checkpointed
+    at-least-once delivery; ring-buffer history query returns the
+    newest n events."""
+    from memories_spark.streaming.bus import (
+        event_bus_sink,
+        read_lifecycle_stream,
+        recent_history,
+    )
+
+    src = str(tmp_path / "bus_in")
+    out = str(tmp_path / "bus_out")
+    ckpt = str(tmp_path / "bus_ckpt")
+    _write_events(
+        src,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:00:00Z", "action": "added", "memory_id": 10, "source": "a/x"},
+            {"event_id": 2, "ts": "2024-01-01T00:01:00Z", "action": "updated", "memory_id": 10, "source": "a/x"},
+        ],
+    )
+    q = event_bus_sink(read_lifecycle_stream(spark, src), out, ckpt)
+    q.awaitTermination(120)
+
+    # replaying the same input must not re-deliver (checkpoint)
+    q2 = event_bus_sink(read_lifecycle_stream(spark, src), out, ckpt)
+    q2.awaitTermination(120)
+
+    _write_events(
+        src,
+        "b2.json",
+        [{"event_id": 3, "ts": "2024-01-01T00:02:00Z", "action": "deleted", "memory_id": 11, "source": "a/y"}],
+    )
+    q3 = event_bus_sink(read_lifecycle_stream(spark, src), out, ckpt)
+    q3.awaitTermination(120)
+
+    hist = recent_history(spark, out, n=2).collect()
+    assert [r.event_id for r in hist] == [3, 2]
+    all_rows = spark.read.json(out).collect()
+    assert sorted(r.event_id for r in all_rows) == [1, 2, 3]
