@@ -80,3 +80,56 @@ def test_multiprobe_beats_single_probe(spark, sf_dir):
     assert all(m >= s for s, m in zip(single, multi)), (single, multi)
     assert mean_multi >= mean_single + 0.15, (mean_single, mean_multi)
     assert mean_multi >= 0.40, multi
+
+
+def test_trained_ivf_recall(spark, sf_dir):
+    """Trained-centroid IVF at nprobe=3 must recover a solid share of
+    the exact top-10 while scanning only ~3/16ths of the corpus."""
+    from memories_spark.plans.queries_ann import _CENTROID_IDS, _NPROBE
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(cosine_expr("embedding", "cv"), 9)), F.asc("cid")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        .cache()
+    )
+    recalls, cand_fracs = [], []
+    n_corpus = emb.count()
+    for qid in QUERY_IDS:
+        qv = emb.filter(F.col("vec_id") == qid).select(F.col("embedding").alias("qv"))
+        exact = _topk_ids(
+            emb.crossJoin(F.broadcast(qv))
+            .filter(F.col("vec_id") != qid)
+            .select("vec_id", cosine_expr("embedding", "qv").alias("sim")),
+            qid,
+        )
+        qw = Window.orderBy(F.desc(F.round(cosine_expr("qv", "cv"), 9)), F.asc("cid"))
+        probes = (
+            qv.crossJoin(F.broadcast(cents))
+            .withColumn("rn", F.row_number().over(qw))
+            .filter(F.col("rn") <= _NPROBE)
+            .select(F.col("cid").alias("probe_cell"), "qv")
+        )
+        cands = assign.join(
+            F.broadcast(probes), F.col("cell") == F.col("probe_cell")
+        ).filter(F.col("vec_id") != qid)
+        cand_fracs.append(cands.count() / n_corpus)
+        got = _topk_ids(
+            cands.select("vec_id", cosine_expr("embedding", "qv").alias("sim")), qid
+        )
+        recalls.append(len(got & exact) / K)
+    assign.unpersist()
+    mean_recall = sum(recalls) / len(recalls)
+    mean_frac = sum(cand_fracs) / len(cand_fracs)
+    # quality floor well under measured mean; candidate bound proves
+    # the index actually prunes (not a disguised brute force)
+    assert mean_recall >= 0.40, recalls
+    assert mean_frac <= 0.45, cand_fracs
