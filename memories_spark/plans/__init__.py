@@ -11,6 +11,7 @@ from memories_spark.plans import (  # noqa: F401, E402
     queries_pipeline,
     queries_relational2,
     queries_relational3,
+    queries_relational4,
     queries_retrieval2,
     queries_serving,
     queries_stats,

@@ -289,6 +289,81 @@ def test_correlation_is_single_pass(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pure-pushdown benchmark: all scan predicates must
+    reach parquet and the ReadSchema must carry only the four used
+    columns."""
+    p = plan(QUERIES["q6_forecast_revenue"].fn(spark, sf_dir))
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", p), p
+    assert re.search(r"PushedFilters: \[.*LessThan\(l_quantity", p), p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_q7_single_fact_shuffle(spark, sf_dir):
+    """Q7: every dimension chain broadcasts; the only big-big join is
+    lineitem x orders on orderkey."""
+    p = plan(QUERIES["q7_volume_shipping"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    # formatted explain prints each operator twice (tree + detail):
+    # exactly one SortMergeJoin operator allowed
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) <= 1, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_q8_share_is_one_aggregate(spark, sf_dir):
+    """Q8: numerator and denominator of the market share must come out
+    of ONE aggregation (conditional sum), not a self-join of two."""
+    p = plan(QUERIES["q8_market_share"].fn(spark, sf_dir))
+    assert p.count("SortMergeJoin") <= 1, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_q10_topk_and_late_dimension_join(spark, sf_dir):
+    """Q10: top-20 compiles to TakeOrderedAndProject and the wide
+    customer name column joins by broadcast after aggregation."""
+    p = plan(QUERIES["q10_returned_items"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert re.search(r"PushedFilters: \[.*EqualTo\(l_returnflag,R\)", p), p
+
+
+def test_q19_disjunction_stays_hash_join(spark, sf_dir):
+    """Q19's OR-of-ANDs must evaluate on broadcast-hash matches, never
+    degrade to a nested-loop join."""
+    p = plan(QUERIES["q19_disjunctive_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_q16_exclusion_is_broadcast_anti(spark, sf_dir):
+    """Q16's NOT-IN supplier exclusion must be a broadcast LeftAnti
+    join and the distinct-agg must be two-phase."""
+    p = plan(QUERIES["q16_supplier_variety"].fn(spark, sf_dir))
+    assert "LeftAnti" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_q22_anti_join_single_shuffle(spark, sf_dir):
+    """Q22: the no-orders test is a LeftAnti join; the global average
+    is a 1-row broadcast (the only nested-loop allowed)."""
+    p = plan(QUERIES["q22_idle_balances"].fn(spark, sf_dir))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_q2_argmin_reuses_partition(spark, sf_dir):
+    """Q2 shape: the per-part min must be a Window over the pair
+    aggregate (same partitioning key), not a re-join of two
+    aggregates of the fact table."""
+    p = plan(QUERIES["q2_min_cost_supplier"].fn(spark, sf_dir))
+    assert "Window" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
 def test_triangle_count_equi_joins_only(spark, sf_dir):
     """Triangle counting is two equi-joins on edge endpoints — any
     nested-loop here would be quadratic in edges."""
