@@ -45,6 +45,32 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     return F.array(*sigs)
 
 
+def hex_prefix_int_sql(hex_expr: str, ndigits: int) -> str:
+    """Engine-portable SQL turning the first ``ndigits`` hex chars of
+    ``hex_expr`` into an exact BIGINT (positional base-16 fold).
+
+    Spark has ``conv()`` but DuckDB does not; both have ``instr`` and
+    ``substring`` with identical semantics, so the digit fold below
+    evaluates bit-identically in both engines. Keep ``ndigits <= 13``
+    so the value (< 16^13 = 2^52) is also exact as a double.
+    """
+    assert 1 <= ndigits <= 13
+    # CAST each term to BIGINT: Spark 4 runs ANSI mode, where an INT
+    # digit times a 16^k weight overflows at k >= 8.
+    terms = [
+        f"CAST(instr('0123456789abcdef', substring({hex_expr}, {i + 1}, 1)) - 1 AS BIGINT)"
+        + (f" * {16 ** (ndigits - 1 - i)}" if i < ndigits - 1 else "")
+        for i in range(ndigits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def hex_frac_sql(hex_expr: str, ndigits: int = 13) -> str:
+    """Engine-portable SQL mapping a hex digest prefix to a uniform
+    fraction in [0, 1): the KMV / sampling primitive."""
+    return f"(CAST({hex_prefix_int_sql(hex_expr, ndigits)} AS DOUBLE) / {float(16 ** ndigits)!r})"
+
+
 def fixed_point(col: Column, scale: int) -> Column:
     """Deterministic-scalar double -> BIGINT at 10^scale (for exact sums)."""
     return F.round(col * F.lit(float(10**scale))).cast("long")

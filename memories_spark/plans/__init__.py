@@ -14,6 +14,7 @@ from memories_spark.plans import (  # noqa: F401, E402
     queries_relational4,
     queries_retrieval2,
     queries_serving,
+    queries_sketches,
     queries_stats,
     queries_temporal,
     queries_text,

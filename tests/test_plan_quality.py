@@ -364,6 +364,34 @@ def test_q2_argmin_reuses_partition(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
 
 
+def test_countmin_sketch_stays_jvm_broadcast(spark, sf_dir):
+    """Count-min: sketch build is a partial+final HashAggregate over
+    (seed, bucket) — constant 1024 cells — and the probe join is a
+    broadcast; the md5 bucketing stays in codegen."""
+    p = plan(QUERIES["countmin_heavy_hitters"].fn(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2, p
+    assert "BroadcastHashJoin" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_bloom_probe_is_broadcast_semi(spark, sf_dir):
+    """Bloom probe: the filter bits join by broadcast LeftSemi — the
+    probe side never shuffles for the membership test."""
+    p = plan(QUERIES["bloom_membership_probe"].fn(spark, sf_dir))
+    assert "LeftSemi" in p, p
+    assert "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_kmv_hash_fold_stays_jvm(spark, sf_dir):
+    """KMV: the 13-digit hex fold and the ranked-minima window are
+    pure Catalyst — no Python eval anywhere."""
+    p = plan(QUERIES["kmv_distinct_estimate"].fn(spark, sf_dir))
+    assert "Window" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
 def test_triangle_count_equi_joins_only(spark, sf_dir):
     """Triangle counting is two equi-joins on edge endpoints — any
     nested-loop here would be quadratic in edges."""
