@@ -20,4 +20,5 @@ from memories_spark.plans import (  # noqa: F401, E402
     queries_text,
     queries_training,
     queries_training2,
+    queries_training3,
 )

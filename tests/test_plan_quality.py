@@ -392,6 +392,36 @@ def test_kmv_hash_fold_stays_jvm(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+def test_pii_scan_is_single_pass_codegen(spark, sf_dir):
+    """PII scanning is scan-bound at 100 TB: the regex extraction and
+    redaction must be a pure projection (no joins, no Python) into
+    one partial+final aggregate."""
+    p = plan(QUERIES["pii_redaction_profile"].fn(spark, sf_dir))
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_crossdoc_dedup_hash_join_topk(spark, sf_dir):
+    """Cross-doc window dedup: window hashing stays a Generate+codegen
+    pipeline, the frequency join is hash-based, and the top-50 is
+    TakeOrderedAndProject."""
+    p = plan(QUERIES["crossdoc_window_dedup"].fn(spark, sf_dir))
+    assert "Generate" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_mixing_weights_single_data_shuffle(spark, sf_dir):
+    """Source mixing: the per-source token aggregate is the only
+    data-sized shuffle; total and normalizer are 1-row broadcasts."""
+    p = plan(QUERIES["source_mixing_weights"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
 def test_triangle_count_equi_joins_only(spark, sf_dir):
     """Triangle counting is two equi-joins on edge endpoints — any
     nested-loop here would be quadratic in edges."""
