@@ -294,6 +294,68 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component"))
 
 
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed, bounded
+    by ``max_hops``. ``seeds`` is (id); returns (id, dist).
+
+    The classic Pregel frontier loop as DataFrames: each round joins
+    the current distance vector to the adjacency and keeps the min.
+    Unreached nodes are absent (no infinity sentinel to shuffle).
+    Rounds are fixed, so the oracle mirrors them as chained CTEs —
+    no recursive CTE, whose path enumeration blows up on cyclic
+    graphs (bidirectional edges always cycle).
+    """
+    adj = bidirectional(edges).cache()
+    dist = seeds.select(F.col("id"), F.lit(0).cast("long").alias("dist"))
+    for i in range(max_hops):
+        if i > 0:
+            dist = dist.localCheckpoint(eager=True)
+        stepped = (
+            dist.alias("d")
+            .join(adj.alias("a"), F.col("d.id") == F.col("a.from_id"))
+            .select(F.col("a.to_id").alias("id"), (F.col("d.dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(stepped).groupBy("id").agg(F.min("dist").alias("dist"))
+        )
+    out = dist.localCheckpoint(eager=True)
+    adj.unpersist()
+    return out
+
+
+def bfs_sql(edges_cte: str, seeds_cte: str, max_hops: int) -> str:
+    """DuckDB oracle for :func:`bfs_distances`; ends in
+    ``bfs(id, dist)``."""
+    ctes = []
+    prev = "b0"
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT id, dist FROM {prev}
+    UNION ALL
+    SELECT adj.to_id AS id, d.dist + 1 AS dist
+    FROM {prev} d JOIN adj ON adj.from_id = d.id
+  ) GROUP BY id
+)"""
+        )
+        prev = f"b{i}"
+    its = ",\n".join(ctes)
+    return f"""
+WITH edges AS MATERIALIZED ({edges_cte}),
+adj AS MATERIALIZED (
+  SELECT DISTINCT from_id, to_id FROM (
+    SELECT from_id, to_id FROM edges UNION ALL SELECT to_id AS from_id, from_id AS to_id FROM edges
+  )
+),
+b0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM ({seeds_cte})),
+{its},
+bfs AS (SELECT id, dist FROM {prev})
+"""
+
+
 def label_propagation_sql(edges_cte: str, nodes_cte: str, rounds: int) -> str:
     """DuckDB oracle for :func:`min_label_propagation`; ends in
     ``labels(id, label)``."""

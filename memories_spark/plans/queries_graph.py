@@ -182,6 +182,15 @@ _TRI_EDGES_CTE = """
   FROM documents a JOIN documents y ON y.doc_id = a.doc_id + 40
 """
 
+def _shifted_edges(ids: DataFrame, k: int, src: str = "ea", dst: str = "eb") -> DataFrame:
+    other = ids.select(F.col("doc_id").alias("_b"))
+    return (
+        ids.withColumn(dst, F.col("doc_id") + k)
+        .join(other, F.col(dst) == F.col("_b"))
+        .select(F.col("doc_id").alias(src), dst)
+    )
+
+
 _TRIANGLE_ORACLE = f"""
 WITH edges AS ({_TRI_EDGES_CTE})
 SELECT CAST(e1.ea % 20 AS BIGINT) AS chain,
@@ -210,16 +219,7 @@ ORDER BY chain
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     ids = docs.select("doc_id")
-
-    def shifted(k: int) -> DataFrame:
-        other = ids.select(F.col("doc_id").alias("_b"))
-        return (
-            ids.withColumn("eb", F.col("doc_id") + k)
-            .join(other, F.col("eb") == F.col("_b"))
-            .select(F.col("doc_id").alias("ea"), "eb")
-        )
-
-    edges = shifted(20).unionByName(shifted(40))
+    edges = _shifted_edges(ids, 20).unionByName(_shifted_edges(ids, 40))
     e1 = edges
     e2 = edges.select(F.col("ea").alias("e2a"), F.col("eb").alias("e2b"))
     e3 = edges.select(F.col("ea").alias("e3a"), F.col("eb").alias("e3b"))
@@ -231,4 +231,104 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.groupBy((F.col("ea") % 20).cast("long").alias("chain"))
         .agg(F.count("*").alias("n_triangles"))
         .orderBy("chain")
+    )
+
+
+# ---------------------------------------------------------------------
+# Multi-source BFS shortest-path distances
+# ---------------------------------------------------------------------
+
+_BFS_SEEDS_CTE = "SELECT doc_id AS id FROM documents WHERE doc_id < 20"
+
+_BFS_ORACLE = graph_op.bfs_sql(_TRI_EDGES_CTE.replace("ea", "from_id").replace("eb", "to_id"),
+                               _BFS_SEEDS_CTE, max_hops=6) + """
+SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+FROM bfs GROUP BY dist ORDER BY dist
+"""
+
+
+@register(
+    "bfs_distance_histogram",
+    oracle=_BFS_ORACLE,
+    doc="Multi-source BFS over the chain+shortcut graph: minimum hop "
+    "distance from the 20 chain heads, bounded at 6 hops, rolled up "
+    "as a per-distance histogram. The Pregel-style frontier loop is "
+    "one join+min-aggregate per round with the adjacency cached and "
+    "lineage truncated; unreached nodes never materialize (no "
+    "infinity sentinels shuffled). The oracle mirrors the fixed "
+    "rounds as chained CTEs — a recursive CTE would enumerate "
+    "exponentially many paths on the (cyclic) bidirectional graph. "
+    "The multi-hop reachability primitive behind the reference's "
+    "graph_via provenance traces (memory_engine.py:55-82).",
+    tags=("graph", "bfs"),
+)
+def bfs_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    ids = docs.select("doc_id")
+    edges = _shifted_edges(ids, 20, "from_id", "to_id").unionByName(
+        _shifted_edges(ids, 40, "from_id", "to_id")
+    )
+    seeds = ids.filter(F.col("doc_id") < 20).select(F.col("doc_id").alias("id"))
+    dist = graph_op.bfs_distances(edges, seeds, max_hops=6)
+    return (
+        dist.groupBy("dist")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("id").cast("long").alias("min_id"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+        .orderBy("dist")
+    )
+
+
+# ---------------------------------------------------------------------
+# Global PageRank (uniform personalization)
+# ---------------------------------------------------------------------
+
+_GPR_SEEDS_CTE = "SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS sw_fp FROM documents"
+
+_GPR_ORACLE = graph_op.ppr_sql(
+    _TRI_EDGES_CTE.replace("ea", "from_id").replace("eb", "to_id"), _GPR_SEEDS_CTE
+) + f"""
+SELECT id AS doc_id, round(CAST(r_fp AS DOUBLE) / 1e{_PPR_SCALE}, 9) AS pagerank
+FROM ppr
+ORDER BY pagerank DESC, doc_id ASC
+LIMIT 25
+"""
+
+
+@register(
+    "global_pagerank",
+    oracle=_GPR_ORACLE,
+    doc="Global PageRank as the uniform-personalization special case "
+    "of the PPR operator (alpha=0.85, 3 fixed iterations, dangling "
+    "mass back to the uniform vector): every node seeds with equal "
+    "weight, so the result ranks structural importance rather than "
+    "query affinity — the corpus-wide 'hub documents' diagnostic. "
+    "Same fixed-point BIGINT mass arithmetic and per-iteration "
+    "plan shape (broadcast rank vector onto cached adjacency, one "
+    "shuffle per iteration) as ppr_graph_expand; one operator "
+    "serves both queries.",
+    tags=("graph", "pagerank"),
+)
+def global_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    ids = docs.select("doc_id")
+    edges = _shifted_edges(ids, 20, "from_id", "to_id").unionByName(
+        _shifted_edges(ids, 40, "from_id", "to_id")
+    )
+    seeds = ids.select(
+        F.col("doc_id").alias("id"), F.lit(1000000).cast("long").alias("sw_fp")
+    )
+    pr = graph_op.personalized_pagerank(edges, seeds)
+    return (
+        pr.select(
+            F.col("id").alias("doc_id"),
+            F.round(F.col("r_fp").cast("double") / F.lit(10.0**_PPR_SCALE), 9).alias(
+                "pagerank"
+            ),
+        )
+        .orderBy(F.desc("pagerank"), F.asc("doc_id"))
+        .limit(25)
     )

@@ -304,3 +304,122 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("user_id") % 13 != 0, 1).otherwise(0)), F.lit(0)
         ).cast("long").alias("n_false_positives"),
     )
+
+
+# ---------------------------------------------------------------------
+# Histogram quantile estimation (mergeable-bin quantile sketch)
+# ---------------------------------------------------------------------
+
+_NBINS = 128
+
+_HISTQ_ORACLE = f"""
+WITH bounds AS (
+  SELECT min(value) AS lo, max(value) AS hi, CAST(count(*) AS BIGINT) AS n FROM events
+),
+binned AS (
+  SELECT least(CAST(floor((value - lo) / ((hi - lo) / {_NBINS})) AS BIGINT), {_NBINS - 1}) AS bin
+  FROM events, bounds
+),
+hist AS (SELECT bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin, c, CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cum
+  FROM hist
+),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+targets AS (
+  SELECT q, CAST(ceil(q * n) AS BIGINT) AS target, lo, hi, n FROM qs, bounds
+),
+est AS (
+  SELECT t.q,
+         min(c2.bin) AS hit_bin,
+         t.lo, t.hi, t.target
+  FROM targets t JOIN cum c2 ON c2.cum >= t.target
+  GROUP BY t.q, t.lo, t.hi, t.target
+),
+exact AS (
+  SELECT q2.q AS q, min(v.value) AS exact_value
+  FROM (
+    SELECT value, row_number() OVER (ORDER BY value ASC, event_id ASC) AS rn
+    FROM events
+  ) v
+  JOIN targets q2 ON v.rn = q2.target
+  GROUP BY q2.q
+)
+SELECT e.q,
+       round(x.exact_value, 6) AS exact_value,
+       round(e.lo + (e.hit_bin + 1) * ((e.hi - e.lo) / {_NBINS}), 6) AS est_upper_edge,
+       round(e.lo + (e.hit_bin + 1) * ((e.hi - e.lo) / {_NBINS}) - x.exact_value, 6) AS est_error
+FROM est e JOIN exact x ON x.q = e.q
+ORDER BY e.q
+"""
+
+
+@register(
+    "histogram_quantile_estimate",
+    oracle=_HISTQ_ORACLE,
+    doc="Mergeable-histogram quantile sketch: 128 fixed-width bins "
+    "over the exact [min, max] envelope, nearest-rank p50/p90/p99 "
+    "estimated as the upper edge of the bin where the cumulative "
+    "count crosses the target rank, reported against the exact "
+    "nearest-rank value with the signed error. Scale contract: bin "
+    "counts merge associatively (map-side combine, 128 longs per "
+    "partition) where the exact path needs a full sort of the "
+    "value column — the estimate costs two scans (bounds + bins) "
+    "at any data size; error is bounded by one bin width. "
+    "Complements event_value_percentiles (exact nearest-rank) the "
+    "way approx_percentile complements percentile in production.",
+    tags=("sketch", "quantile", "agg"),
+)
+def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    bounds = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / _NBINS
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+            F.lit(_NBINS - 1),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("c"))
+    cum = hist.select(
+        "bin",
+        F.sum("c")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    qs = bounds.select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q"),
+        "lo",
+        "hi",
+        "n",
+    ).select("q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("target"), "lo", "hi")
+    est = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("q", "lo", "hi", "target")
+        .agg(F.min("bin").alias("hit_bin"))
+    )
+    ranked = ev.select(
+        "value",
+        F.row_number()
+        .over(Window.orderBy(F.asc("value"), F.asc("event_id")))
+        .alias("rn"),
+    )
+    exact = ranked.join(
+        qs.select(F.col("q").alias("q2"), "target"), F.col("rn") == F.col("target")
+    ).groupBy(F.col("q2").alias("q")).agg(F.min("value").alias("exact_value"))
+    edge = F.col("lo") + (F.col("hit_bin") + 1) * ((F.col("hi") - F.col("lo")) / _NBINS)
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            F.round(F.col("exact_value"), 6).alias("exact_value"),
+            F.round(edge, 6).alias("est_upper_edge"),
+            F.round(edge - F.col("exact_value"), 6).alias("est_error"),
+        )
+        .orderBy("q")
+    )

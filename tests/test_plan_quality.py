@@ -422,6 +422,15 @@ def test_mixing_weights_single_data_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+def test_histogram_quantile_no_python_broadcast_bins(spark, sf_dir):
+    """Histogram quantile: bin counts aggregate partial+final, bounds
+    and targets are broadcast scalars, everything JVM-side."""
+    p = plan(QUERIES["histogram_quantile_estimate"].fn(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2, p
+    assert "BroadcastExchange" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
 def test_triangle_count_equi_joins_only(spark, sf_dir):
     """Triangle counting is two equi-joins on edge endpoints — any
     nested-loop here would be quadratic in edges."""
