@@ -373,3 +373,93 @@ def test_event_bus_sink_delivers_and_keeps_history(spark, tmp_path):
     assert [r.event_id for r in hist] == [3, 2]
     all_rows = spark.read.json(out).collect()
     assert sorted(r.event_id for r in all_rows) == [1, 2, 3]
+
+
+def test_incremental_kmv_matches_batch(spark, tmp_path):
+    """Streamed min-k merge must equal the batch KMV over the same
+    data (merge associativity), and replays must be idempotent."""
+    from memories_spark.functions.hashing import hex_frac_sql
+    from memories_spark.streaming.events import (
+        incremental_kmv_sink,
+        kmv_estimate_from_state,
+    )
+
+    src = str(tmp_path / "kmv_events_in")
+    state = str(tmp_path / "kmv_state")
+    ckpt = str(tmp_path / "kmv_ckpt")
+    k = 5
+
+    def ev(i, user, day, etype):
+        return {
+            "event_id": i,
+            "ts": f"2024-01-{day:02d}T00:00:00Z",
+            "user_id": user,
+            "event_type": etype,
+            "value": 1.0,
+        }
+
+    # 12 distinct (user, day) keys for clicks (> k), 3 for views (< k)
+    batch1 = [ev(i, i % 4, 1 + i % 3, "click") for i in range(8)]
+    batch2 = [ev(100 + i, 10 + i, 5, "click") for i in range(8)]
+    batch3 = [ev(200 + i, 50, 10 + i, "view") for i in range(3)]
+    _write_events(src, "b1.json", batch1)
+    q = incremental_kmv_sink(read_event_stream(spark, src), state, ckpt, k=k)
+    q.awaitTermination(120)
+    _write_events(src, "b2.json", batch2)
+    _write_events(src, "b3.json", batch3)
+    q2 = incremental_kmv_sink(read_event_stream(spark, src), state, ckpt, k=k)
+    q2.awaitTermination(120)
+
+    got = {
+        r.event_type: r.kmv_estimate
+        for r in kmv_estimate_from_state(spark, state, k=k).collect()
+    }
+
+    # batch twin over all the data at once
+    all_events = spark.createDataFrame(
+        [
+            (e["event_type"], f"{e['user_id']}@{e['ts'][:10]}")
+            for e in batch1 + batch2 + batch3
+        ],
+        "event_type string, key string",
+    )
+    fr = (
+        all_events.select("event_type", F.md5("key").alias("h"))
+        .distinct()
+        .select("event_type", F.expr(hex_frac_sql("h")).alias("f"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = fr.withColumn(
+        "rn", F.row_number().over(W.partitionBy("event_type").orderBy("f"))
+    )
+    want = {
+        r.event_type: r.est
+        for r in ranked.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max(F.when(F.col("rn") == k, F.col("f"))).alias("fk"))
+        .select(
+            "event_type",
+            F.round(
+                F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+                    F.lit(float(k - 1)) / F.col("fk")
+                ),
+                4,
+            ).alias("est"),
+        )
+        .collect()
+    }
+    assert got == want
+    # views group is below k -> exact fallback
+    assert got["view"] == 3.0
+
+    # state stays O(k x groups)
+    assert spark.read.parquet(state).count() <= 2 * k
+
+    # replay with same checkpoint: no new files, state unchanged
+    q3 = incremental_kmv_sink(read_event_stream(spark, src), state, ckpt, k=k)
+    q3.awaitTermination(120)
+    got2 = {
+        r.event_type: r.kmv_estimate
+        for r in kmv_estimate_from_state(spark, state, k=k).collect()
+    }
+    assert got2 == got
