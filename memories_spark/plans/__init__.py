@@ -5,6 +5,7 @@ from memories_spark.plans import (  # noqa: F401, E402
     queries_ann,
     queries_catalog,
     queries_dedup,
+    queries_funnel,
     queries_graph,
     queries_joins,
     queries_maintenance,

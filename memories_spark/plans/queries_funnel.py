@@ -1,0 +1,188 @@
+"""Product-analytics query shapes: ordered funnel conversion and
+weekly retention cohorts.
+
+The reference's analytics layer answers 'how is search quality
+trending' with period-bucketed SQL (usage_tracker.py:364-445); a
+general engine also needs the two canonical event-sequence rollups —
+ordered funnels (did the user do A, then B after A, then C after B)
+and cohort retention (of the users who first appeared in week w, how
+many were active in week w+k). Both are pure conditional-aggregation
++ join plans; no MATCH_RECOGNIZE engine needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from memories_spark.plans.registry import register
+from memories_spark.sources.tables import load_tables
+
+# ---------------------------------------------------------------------
+# Ordered funnel: view -> click (after view) -> purchase (after click)
+# ---------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+         (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+         (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked,
+         (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased
+)
+SELECT n_users, n_viewed, n_clicked, n_purchased,
+       round(CAST(n_clicked AS DOUBLE) / n_viewed, 6) AS view_to_click,
+       round(CAST(n_purchased AS DOUBLE) / n_clicked, 6) AS click_to_purchase,
+       round(CAST(n_purchased AS DOUBLE) / n_viewed, 6) AS full_funnel
+FROM counts
+"""
+
+
+@register(
+    "funnel_conversion",
+    oracle=_FUNNEL_ORACLE,
+    doc="Ordered three-stage funnel: first view, first click strictly "
+    "after that view, first purchase strictly after that click, with "
+    "stage counts and conversion rates. The ordering constraint is "
+    "what distinguishes this from naive per-type counts — a click "
+    "before any view does not convert. Plan: each stage is one "
+    "conditional min-aggregate over events joined to the previous "
+    "stage's per-user row (the per-user stage tables are dimension-"
+    "sized and broadcast, so the events scan is filtered by "
+    "event_type pushdown and never re-shuffles); rates divide exact "
+    "BIGINTs.",
+    tags=("analytics", "funnel", "agg"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v.withColumnRenamed("user_id", "vu")), F.col("user_id") == F.col("vu"))
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c.withColumnRenamed("user_id", "cu")), F.col("user_id") == F.col("cu"))
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    counts = (
+        n_users.crossJoin(F.broadcast(v.agg(F.count("*").alias("n_viewed"))))
+        .crossJoin(F.broadcast(c.agg(F.count("*").alias("n_clicked"))))
+        .crossJoin(F.broadcast(p.agg(F.count("*").alias("n_purchased"))))
+    )
+    return counts.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_viewed").cast("long").alias("n_viewed"),
+        F.col("n_clicked").cast("long").alias("n_clicked"),
+        F.col("n_purchased").cast("long").alias("n_purchased"),
+        F.round(F.col("n_clicked").cast("double") / F.col("n_viewed"), 6).alias(
+            "view_to_click"
+        ),
+        F.round(F.col("n_purchased").cast("double") / F.col("n_clicked"), 6).alias(
+            "click_to_purchase"
+        ),
+        F.round(F.col("n_purchased").cast("double") / F.col("n_viewed"), 6).alias(
+            "full_funnel"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# Weekly retention cohorts
+# ---------------------------------------------------------------------
+
+_EPOCH = "TIMESTAMP '2024-01-01 00:00:00'"
+
+_RETENTION_ORACLE = f"""
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(date_diff('second', {_EPOCH}, ts) / 604800.0) AS BIGINT) AS week
+  FROM events
+),
+first_week AS (
+  SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id
+),
+cohort_sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM first_week GROUP BY cohort_week
+),
+activity AS (
+  SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM weekly w JOIN first_week f ON f.user_id = w.user_id
+  GROUP BY f.cohort_week, w.week - f.cohort_week
+)
+SELECT a.cohort_week, a.week_offset, s.cohort_size, a.n_active,
+       round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM activity a JOIN cohort_sizes s ON s.cohort_week = a.cohort_week
+ORDER BY a.cohort_week, a.week_offset
+"""
+
+
+@register(
+    "weekly_retention_cohorts",
+    oracle=_RETENTION_ORACLE,
+    doc="Cohort retention triangle: users grouped by first-activity "
+    "week; for each (cohort, week-offset) cell, the share of the "
+    "cohort active that week. Plan: one distinct over (user, week) "
+    "collapses the event volume to at most users x weeks rows "
+    "before anything else (at 100 TB this is the load-bearing "
+    "reduction); first-week and cohort-size tables are aggregates "
+    "of that small table, joined back by user hash. Retention "
+    "divides exact BIGINTs; output is the standard retention "
+    "triangle, ~weeks^2/2 rows.",
+    tags=("analytics", "retention", "agg"),
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    epoch = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    week = F.floor(
+        (F.col("ts").cast("double") - epoch.cast("double")) / 604800.0
+    ).cast("long")
+    weekly = ev.select("user_id", week.alias("week")).distinct()
+    first_week = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_sizes = first_week.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    activity = (
+        weekly.join(first_week, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        activity.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -431,6 +431,26 @@ def test_histogram_quantile_no_python_broadcast_bins(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+def test_funnel_broadcasts_stage_tables(spark, sf_dir):
+    """Funnel stages: each stage's per-user table is broadcast back
+    onto the filtered events scan — the events table never shuffles
+    for the ordering constraint; event_type filters push to parquet."""
+    p = plan(QUERIES["funnel_conversion"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert re.search(r"PushedFilters: \[.*EqualTo\(event_type,view\)", p), p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_retention_reduces_before_joins(spark, sf_dir):
+    """Retention: the (user, week) distinct must collapse event volume
+    before any join (partial+final aggregate ahead of the cohort
+    join); cohort sizes broadcast."""
+    p = plan(QUERIES["weekly_retention_cohorts"].fn(spark, sf_dir))
+    assert p.count("HashAggregate") >= 4, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_triangle_count_equi_joins_only(spark, sf_dir):
     """Triangle counting is two equi-joins on edge endpoints — any
     nested-loop here would be quadratic in edges."""
