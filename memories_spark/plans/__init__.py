@@ -4,6 +4,7 @@ from memories_spark.plans.registry import QUERIES, QuerySpec  # noqa: F401
 from memories_spark.plans import (  # noqa: F401, E402
     queries_ann,
     queries_catalog,
+    queries_catalog2,
     queries_dedup,
     queries_funnel,
     queries_graph,

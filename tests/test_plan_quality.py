@@ -451,6 +451,24 @@ def test_retention_reduces_before_joins(spark, sf_dir):
     assert "CartesianProduct" not in p, p
 
 
+def test_scd2_single_window_shuffle(spark, sf_dir):
+    """SCD2: lead + row_number share one Window (same partitioning and
+    ordering) — one shuffle on entity id, no joins, filter pushed."""
+    p = plan(QUERIES["scd2_validity_intervals"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+    assert "Join" not in p, p
+    assert re.search(r"PushedFilters: \[.*EqualTo\(event_type,signup\)", p), p
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    """The profiler computes every column's stats in one aggregate
+    over one scan (the oracle's UNION-ALL shape would scan 4x);
+    unpivot is a Generate, not a union of scans."""
+    p = plan(QUERIES["events_column_profile"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
 def test_triangle_count_equi_joins_only(spark, sf_dir):
     """Triangle counting is two equi-joins on edge endpoints — any
     nested-loop here would be quadratic in edges."""
