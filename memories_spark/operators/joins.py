@@ -103,3 +103,51 @@ def bucketed_range_join(
         .filter((F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts)))
         .drop("_bucket")
     )
+
+
+def bucketed_interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width_s: int,
+) -> DataFrame:
+    """Inner-join overlapping half-open interval pairs of the same
+    ``key`` via time-bucket equi-join.
+
+    Two intervals overlap iff they share a time point, and any shared
+    point lies in a bucket both intervals cover — so exploding each
+    side to its covered buckets and equi-joining on (key, bucket)
+    finds every overlapping pair. The exact predicate
+    ``l_start < r_end AND r_start < l_end`` then drops false bucket
+    neighbors, and a distinct removes pairs that share several
+    buckets. Never a nested-loop join; bucket width trades explode
+    factor against join selectivity (use ~the typical interval
+    length).
+    """
+    width_us = F.lit(int(bucket_width_s) * 1_000_000)
+
+    def exploded(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(F.col(s)) / width_us),
+                    F.floor(F.unix_micros(F.col(e)) / width_us),
+                )
+            ),
+        )
+
+    pairs = exploded(left, l_start, l_end).join(
+        exploded(right, r_start, r_end), [key, "_bucket"]
+    )
+    return (
+        pairs.filter(
+            (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+        )
+        .drop("_bucket")
+        .distinct()
+    )

@@ -156,3 +156,83 @@ def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "error_event_id")
     )
+
+
+# ---------------------------------------------------------------------
+# Interval-overlap join: error incidents x purchase fulfillment windows
+# ---------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+WITH a AS (
+  SELECT user_id, event_id AS a_id, ts AS a_start, ts + INTERVAL 30 MINUTE AS a_end
+  FROM events WHERE event_type = 'error'
+),
+b AS (
+  SELECT user_id, event_id AS b_id, ts AS b_start, ts + INTERVAL 45 MINUTE AS b_end
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT a.user_id, a.a_id, b.b_id,
+         CAST(date_diff('microsecond',
+                        greatest(a.a_start, b.b_start),
+                        least(a.a_end, b.b_end)) AS BIGINT) AS overlap_us
+  FROM a JOIN b ON a.user_id = b.user_id
+   AND a.a_start < b.b_end AND b.b_start < a.a_end
+)
+SELECT user_id, a_id, b_id,
+       round(CAST(overlap_us AS DOUBLE) / 60000000.0, 4) AS overlap_minutes
+FROM pairs
+ORDER BY overlap_minutes DESC, a_id ASC, b_id ASC
+LIMIT 20
+"""
+
+
+@register(
+    "interval_overlap_join",
+    oracle=_OVERLAP_ORACLE,
+    doc="Interval-interval overlap join: per user, 30-minute error "
+    "incident windows against 45-minute purchase fulfillment "
+    "windows, top-20 pairs by overlap duration. Spark rewrites the "
+    "double-inequality overlap predicate as a (user, time-bucket) "
+    "equi-join — overlapping intervals necessarily share a covered "
+    "bucket — then applies the exact predicate and dedupes "
+    "multi-bucket pairs; the DuckDB oracle runs the plain "
+    "inequality join. Overlap minutes divide exact integer "
+    "microseconds. The interval generalization of the point-in-"
+    "range bucketed join (range_join_incidents).",
+    tags=("joins", "temporal", "interval"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    a = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("b_end"),
+    )
+    pairs = join_op.bucketed_interval_overlap_join(
+        a, b, key="user_id",
+        l_start="a_start", l_end="a_end",
+        r_start="b_start", r_end="b_end",
+        bucket_width_s=1800,
+    )
+    overlap_us = (
+        F.unix_micros(F.least(F.col("a_end"), F.col("b_end")))
+        - F.unix_micros(F.greatest(F.col("a_start"), F.col("b_start")))
+    ).cast("long")
+    return (
+        pairs.select(
+            "user_id",
+            "a_id",
+            "b_id",
+            F.round(overlap_us.cast("double") / 60000000.0, 4).alias("overlap_minutes"),
+        )
+        .orderBy(F.desc("overlap_minutes"), F.asc("a_id"), F.asc("b_id"))
+        .limit(20)
+    )

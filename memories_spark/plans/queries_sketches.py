@@ -423,3 +423,137 @@ def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# ---------------------------------------------------------------------
+# KMV set-operation estimation (theta-sketch-style intersection)
+# ---------------------------------------------------------------------
+
+_KI_K = 64
+
+
+def _kmv_cte(event_type: str, name: str) -> str:
+    return f"""{name}_fr AS (
+  SELECT DISTINCT {hex_frac_sql("md5(CAST(user_id AS VARCHAR) || '@' || strftime(ts, '%Y-%m-%d'))")} AS f
+  FROM events WHERE event_type = '{event_type}'
+),
+{name} AS (
+  SELECT f FROM (
+    SELECT f, row_number() OVER (ORDER BY f) AS rn FROM {name}_fr
+  ) WHERE rn <= {_KI_K}
+)"""
+
+
+_KMV_INTERSECT_ORACLE = f"""
+WITH {_kmv_cte('click', 'ka')},
+{_kmv_cte('view', 'kb')},
+uni AS (
+  SELECT f FROM (
+    SELECT f, row_number() OVER (ORDER BY f) AS rn
+    FROM (SELECT f FROM ka UNION SELECT f FROM kb)
+  ) WHERE rn <= {_KI_K}
+),
+uni_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, max(f) AS fk FROM uni
+),
+common AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common
+  FROM uni WHERE f IN (SELECT f FROM ka) AND f IN (SELECT f FROM kb)
+),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+    SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS d FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS d FROM events WHERE event_type = 'view'
+  )
+)
+SELECT exact.exact_intersection,
+       round(CASE WHEN u.n < {_KI_K} THEN CAST(u.n AS DOUBLE) ELSE {_KI_K - 1}.0 / u.fk END, 4) AS union_estimate,
+       round(CAST(c.n_common AS DOUBLE) / u.n, 6) AS jaccard_estimate,
+       round((CAST(c.n_common AS DOUBLE) / u.n)
+             * (CASE WHEN u.n < {_KI_K} THEN CAST(u.n AS DOUBLE) ELSE {_KI_K - 1}.0 / u.fk END), 4) AS intersection_estimate
+FROM exact, uni_stats u, common c
+"""
+
+
+@register(
+    "kmv_set_intersection_estimate",
+    oracle=_KMV_INTERSECT_ORACLE,
+    doc="Theta-sketch-style set-operation algebra on KMV sketches: "
+    "estimate |clickers INTERSECT viewers| over (user, day) activity "
+    "keys from two k=64 sketches alone — union sketch = min-k of "
+    "the merged minima, Jaccard = fraction of the union's k minima "
+    "present in BOTH input sketches, intersection = Jaccard x "
+    "union-size estimate — reported against the exact intersection. "
+    "Scale contract: the estimate touches only 3k hash fractions "
+    "however large the event stream; the exact INTERSECT needs a "
+    "full distinct-shuffle of both sides. The membership tests are "
+    "broadcast semi-joins against 64-row sketches.",
+    tags=("sketch", "distinct", "set-ops"),
+)
+def kmv_set_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+
+    def sketch(etype: str) -> DataFrame:
+        fr = (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("@"),
+                        F.date_format("ts", "yyyy-MM-dd"),
+                    )
+                ).alias("h")
+            )
+            .distinct()
+            .select(F.expr(hex_frac_sql("h")).alias("f"))
+        )
+        return (
+            fr.withColumn("rn", F.row_number().over(Window.orderBy("f")))
+            .filter(F.col("rn") <= _KI_K)
+            .select("f")
+        )
+
+    ka = sketch("click").cache()
+    kb = sketch("view").cache()
+    uni = (
+        ka.unionByName(kb)
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("f")))
+        .filter(F.col("rn") <= _KI_K)
+        .select("f")
+        .cache()
+    )
+    uni_stats = uni.agg(F.count("*").alias("n"), F.max("f").alias("fk"))
+    common = (
+        uni.join(F.broadcast(ka), "f", "left_semi")
+        .join(F.broadcast(kb), "f", "left_semi")
+        .agg(F.count("*").alias("n_common"))
+    )
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit("@"), F.date_format("ts", "yyyy-MM-dd")
+    )
+    clickers = ev.filter(F.col("event_type") == "click").select(key.alias("k")).distinct()
+    viewers = ev.filter(F.col("event_type") == "view").select(key.alias("k")).distinct()
+    exact = (
+        clickers.join(viewers, "k", "left_semi")
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    union_est = F.when(F.col("n") < _KI_K, F.col("n").cast("double")).otherwise(
+        F.lit(float(_KI_K - 1)) / F.col("fk")
+    )
+    return (
+        exact.crossJoin(F.broadcast(uni_stats))
+        .crossJoin(F.broadcast(common))
+        .select(
+            F.col("exact_intersection").cast("long").alias("exact_intersection"),
+            F.round(union_est, 4).alias("union_estimate"),
+            F.round(F.col("n_common").cast("double") / F.col("n"), 6).alias(
+                "jaccard_estimate"
+            ),
+            F.round(
+                (F.col("n_common").cast("double") / F.col("n")) * union_est, 4
+            ).alias("intersection_estimate"),
+        )
+    )

@@ -469,6 +469,24 @@ def test_column_profile_single_scan(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+def test_interval_overlap_stays_equi(spark, sf_dir):
+    """The interval-overlap join must land on hash/sort-merge equi
+    joins via time bucketing — never a nested-loop on the
+    double-inequality overlap predicate."""
+    p = plan(QUERIES["interval_overlap_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_kmv_intersection_broadcast_membership(spark, sf_dir):
+    """KMV set algebra: the sketch membership tests are broadcast
+    LeftSemi joins against 64-row sketches — never a shuffle."""
+    p = plan(QUERIES["kmv_set_intersection_estimate"].fn(spark, sf_dir))
+    assert "LeftSemi" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
 def test_triangle_count_equi_joins_only(spark, sf_dir):
     """Triangle counting is two equi-joins on edge endpoints — any
     nested-loop here would be quadratic in edges."""
