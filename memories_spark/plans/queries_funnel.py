@@ -146,6 +146,7 @@ ORDER BY a.cohort_week, a.week_offset
 @register(
     "weekly_retention_cohorts",
     oracle=_RETENTION_ORACLE,
+    bench=True,
     doc="Cohort retention triangle: users grouped by first-activity "
     "week; for each (cohort, week-offset) cell, the share of the "
     "cohort active that week. Plan: one distinct over (user, week) "

@@ -63,6 +63,7 @@ FROM scanned
 @register(
     "pii_redaction_profile",
     oracle=_PII_ORACLE,
+    bench=True,
     doc="PII scan + redaction accounting: email and phone regex "
     "extraction counts and the net character delta after replacing "
     "matches with [EMAIL]/[PHONE] placeholders. Fake PII is "
@@ -158,6 +159,7 @@ LIMIT 50
 @register(
     "crossdoc_window_dedup",
     oracle=_XDOC_ORACLE,
+    bench=True,
     doc="Cross-document duplicated-passage share (the paragraph-dedup "
     "pipeline op, RefinedWeb-style, applied at 10-token window "
     "granularity since the synthetic corpus has no newlines): "
