@@ -658,3 +658,109 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("unit_price"), F.asc("p_partkey"), F.asc("s_suppkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------
+# Q12: priority classes per line status (shipmode adapted away)
+# ---------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@register(
+    "q12_priority_classes",
+    oracle=_Q12_ORACLE,
+    doc="TPC-H Q12 shape (no l_shipmode column — grouped by returnflag "
+    "instead): per flag, how many 1997-shipped lines belong to "
+    "high-priority vs low-priority orders, as one conditional "
+    "aggregation. The date filter prunes lineitem at the scan; the "
+    "orders side projects only (orderkey, priority) before the "
+    "big-big join, so the shuffled payload is two columns. Both "
+    "class counts come out of ONE HashAggregate.",
+    tags=("join", "agg", "conditional"),
+)
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    orders = t["orders"].select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------
+# Q14: promo revenue share per month
+# ---------------------------------------------------------------------
+
+_Q14_ORACLE = f"""
+SELECT CAST(year(l.l_shipdate) AS BIGINT) AS y,
+       CAST(month(l.l_shipdate) AS BIGINT) AS m,
+       round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV_CENTS} ELSE 0 END) AS DOUBLE)
+             / CAST(sum({_REV_CENTS}) AS DOUBLE), 4) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY year(l.l_shipdate), month(l.l_shipdate)
+ORDER BY y, m
+"""
+
+
+@register(
+    "q14_promo_effect",
+    oracle=_Q14_ORACLE,
+    doc="TPC-H Q14 promotion effect, widened to a monthly series: the "
+    "percentage of H1-1997 revenue from PROMO-type parts. The part "
+    "type dimension broadcasts onto the date-pruned lineitem scan "
+    "and numerator/denominator are conditional fixed-point sums in "
+    "ONE aggregation — the same single-agg ratio discipline as Q8; "
+    "the ratio of two BIGINTs is order-independent.",
+    tags=("join", "agg", "ratio"),
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    ).select(
+        "l_partkey",
+        F.year("l_shipdate").cast("long").alias("y"),
+        F.month("l_shipdate").cast("long").alias("m"),
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0
+        ).cast("long").alias("rev_c"),
+    )
+    part = t["part"].select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("y", "m")
+        .agg(
+            F.round(
+                100.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", F.col("rev_c")).otherwise(0)
+                ).cast("double")
+                / F.sum("rev_c").cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+        .orderBy("y", "m")
+    )
