@@ -107,13 +107,21 @@ def personalized_pagerank(
                 .alias("term"),
             )
         )
-        dangling_fp = (
-            with_deg.filter(F.col("deg") == 0).agg(F.sum("r_fp")).first()[0] or 0
+        # Dangling mass stays IN the plan as a 1-row broadcast scalar
+        # (no .first() driver round-trip per iteration — that was one
+        # extra Spark job each): with_deg is checkpointed above, so
+        # referencing it twice (contrib + this aggregate) re-reads the
+        # materialized rows, not the lineage.
+        dang = with_deg.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("r_fp"), F.lit(0)).cast("long").alias("dang_fp")
         )
-        dangling = p.select(
+        dangling = p.crossJoin(F.broadcast(dang)).select(
             "id",
             F.round(
-                F.lit(alpha) * (F.lit(float(dangling_fp)) / _UNIT) * F.col("p") * _UNIT
+                F.lit(alpha)
+                * (F.col("dang_fp").cast("double") / _UNIT)
+                * F.col("p")
+                * _UNIT
             )
             .cast("long")
             .alias("term"),
