@@ -187,3 +187,77 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------
+# Z-score outlier events (exact-moment anomaly detection)
+# ---------------------------------------------------------------------
+
+_OUTLIER_ORACLE = """
+WITH moments AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(round(value * 100.0) AS BIGINT) * CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS s2
+  FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS mean_c,
+         sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd_c
+  FROM moments
+)
+SELECT e.event_type, e.event_id, round(e.value, 2) AS value,
+       round((CAST(round(e.value * 100.0) AS BIGINT) - s.mean_c) / s.sd_c, 4) AS zscore
+FROM events e JOIN stats s ON s.event_type = e.event_type
+WHERE abs(CAST(round(e.value * 100.0) AS BIGINT) - s.mean_c) > 3.0 * s.sd_c
+ORDER BY abs((CAST(round(e.value * 100.0) AS BIGINT) - s.mean_c) / s.sd_c) DESC, e.event_id ASC
+LIMIT 50
+"""
+
+
+@register(
+    "value_outlier_events",
+    oracle=_OUTLIER_ORACLE,
+    doc="Z-score anomaly scan: events whose value deviates more than "
+    "3 sigma from their type's mean, top-50 by |z|. Mean and "
+    "variance come from exact integer moment sums (cents and "
+    "squared cents as BIGINTs — order-independent, same discipline "
+    "as the Pearson query), computed in one partial+final aggregate "
+    "and broadcast back onto the scan, so the detector is two "
+    "passes over events with no shuffle of the fact rows. The "
+    "production shape for metric-stream anomaly flagging.",
+    tags=("analytics", "anomaly", "agg"),
+)
+def value_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    cents = F.round(F.col("value") * 100.0).cast("long")
+    moments = ev.select("event_type", cents.alias("c")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    stats = moments.select(
+        F.col("event_type").alias("et"),
+        (F.col("s1").cast("double") / F.col("n")).alias("mean_c"),
+        F.sqrt(
+            F.col("s2").cast("double") / F.col("n")
+            - (F.col("s1").cast("double") / F.col("n"))
+            * (F.col("s1").cast("double") / F.col("n"))
+        ).alias("sd_c"),
+    )
+    dev = cents.cast("double") - F.col("mean_c")
+    return (
+        ev.join(F.broadcast(stats), F.col("event_type") == F.col("et"))
+        .filter(F.abs(dev) > 3.0 * F.col("sd_c"))
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value"), 2).alias("value"),
+            F.round(dev / F.col("sd_c"), 4).alias("zscore"),
+            F.abs(dev / F.col("sd_c")).alias("_az"),
+        )
+        .orderBy(F.desc("_az"), F.asc("event_id"))
+        .limit(50)
+        .drop("_az")
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from memories_spark.functions.hashing import hex_frac_sql
 from memories_spark.functions.texttools import tokens_sql, tokens_expr
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
@@ -338,4 +339,100 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------
+# Mixture-weighted deterministic sampling (applies the mixing weights)
+# ---------------------------------------------------------------------
+
+_SAMPLE_BUDGET = 0.10  # sample 10% of the corpus, allocated by mixture
+
+_WSAMPLE_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM per_src),
+powed AS (
+  SELECT source, n_docs, power(CAST(n_docs AS DOUBLE) / total, 0.5) AS p
+  FROM per_src, tot
+),
+z AS (SELECT sum(p) AS zsum FROM powed),
+rates AS (
+  SELECT pw.source, pw.n_docs,
+         least(1.0, (pw.p / z.zsum) * {_SAMPLE_BUDGET} * t.total / pw.n_docs) AS rate
+  FROM powed pw, z, tot t
+),
+sampled AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN rates r ON r.source = d.source
+  WHERE {hex_frac_sql("md5('sample:' || CAST(d.doc_id AS VARCHAR))")} < r.rate
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, round(r.rate, 6) AS rate,
+       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM rates r LEFT JOIN sampled s ON s.source = r.source
+ORDER BY r.source
+"""
+
+
+@register(
+    "mixture_weighted_sample",
+    oracle=_WSAMPLE_ORACLE,
+    doc="Deterministic mixture-weighted sampling: allocate a 10% "
+    "corpus budget across sources by the temperature weights "
+    "(share^0.5 — see source_mixing_weights), then admit each "
+    "document iff its seeded md5 fraction falls below its source's "
+    "rate. The accept/reject test is a pure per-row hash compare "
+    "(reproducible across engines, re-runs, and partitionings — "
+    "unlike rand()-based sampling), so the same sample comes out "
+    "on every run at any scale. Rates table is |sources| rows "
+    "broadcast onto the scan; one aggregate each side.",
+    tags=("training", "sampling", "mixing"),
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    per_src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = per_src.agg(F.sum("n_docs").cast("long").alias("total"))
+    powed = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total",
+        F.pow(F.col("n_docs").cast("double") / F.col("total"), 0.5).alias("p"),
+    )
+    z = powed.agg(F.sum("p").alias("zsum"))
+    rates = powed.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.col("p") / F.col("zsum"))
+            * _SAMPLE_BUDGET
+            * F.col("total")
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    frac = F.expr(hex_frac_sql("md5(concat('sample:', CAST(doc_id AS STRING)))"))
+    sampled = (
+        docs.join(
+            F.broadcast(rates.select(F.col("source").alias("rs"), "rate")),
+            F.col("source") == F.col("rs"),
+        )
+        .filter(frac < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        rates.join(
+            sampled.withColumnRenamed("source", "ss"),
+            F.col("source") == F.col("ss"),
+            "left",
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("rate"), 6).alias("rate"),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+        )
+        .orderBy("source")
     )

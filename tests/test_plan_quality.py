@@ -487,6 +487,24 @@ def test_kmv_intersection_broadcast_membership(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+def test_outlier_broadcasts_stats(spark, sf_dir):
+    """Outlier scan: per-type moments broadcast back onto the events
+    scan — two passes, no shuffle of fact rows, JVM-only math."""
+    p = plan(QUERIES["value_outlier_events"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_weighted_sample_broadcasts_rates(spark, sf_dir):
+    """Mixture sampling: the rates table broadcasts; the md5 accept
+    test is a pure projection on the scan."""
+    p = plan(QUERIES["mixture_weighted_sample"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
 def test_triangle_count_equi_joins_only(spark, sf_dir):
     """Triangle counting is two equi-joins on edge endpoints — any
     nested-loop here would be quadratic in edges."""
