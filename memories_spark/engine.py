@@ -92,11 +92,21 @@ FEEDBACK_SCHEMA = T.StructType(
     ]
 )
 
+AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("detail", T.StringType()),
+    ]
+)
+
 _SCHEMAS = {
     "memories": MEMORY_SCHEMA,
     "links": LINK_SCHEMA,
     "retrieval_log": RETRIEVAL_SCHEMA,
     "search_feedback": FEEDBACK_SCHEMA,
+    "audit_log": AUDIT_SCHEMA,
 }
 
 
@@ -146,6 +156,24 @@ class MemoriesEngine:
         d = self._dir(name)
         df.write.mode("append").parquet(d)
         self.spark.catalog.refreshByPath(d)
+
+    # -- audit trail (reference audit_log.py: append-only action log) --
+
+    def _audit(self, action: str, ids: list[int], now: str | None, detail: str | None = None) -> None:
+        """Append one audit record per mutation — the reference's
+        append-only audit log (audit_log.py, SURVEY §1 'Audit log'):
+        who-did-what-to-which-rows, never updated in place. The
+        identity/IP columns of the reference are an API-layer
+        concern; the engine records action, affected ids, and ts."""
+        ts = datetime.fromisoformat(now) if now else datetime.now()
+        row = self.spark.createDataFrame(
+            [(ts, action, [int(i) for i in ids], detail)], AUDIT_SCHEMA
+        )
+        self._append(row, "audit_log")
+
+    def audit_trail(self) -> DataFrame:
+        """The audit log, oldest first (ties broken by action name)."""
+        return self.table("audit_log").orderBy("ts", "action")
 
     # -- helpers ------------------------------------------------------
 
@@ -214,7 +242,9 @@ class MemoriesEngine:
             )
         new = self._rows_to_df(rows)
         self._write(self.table("memories").unionByName(new), "memories")
-        return [r["id"] for r in rows]
+        ids = [r["id"] for r in rows]
+        self._audit("add", ids, now)
+        return ids
 
     def _rows_to_df(self, rows: list[dict]) -> DataFrame:
         def conv(field: T.StructField, v):
@@ -272,11 +302,17 @@ class MemoriesEngine:
             "updated_at", F.when(hit, F.lit(now).cast("timestamp")).otherwise(F.col("updated_at"))
         )
         self._write(mem, "memories")
+        self._audit(
+            "update",
+            [memory_id],
+            now,
+            detail="text" if text is not None else ("source" if source is not None else "metadata"),
+        )
         return True
 
     # -- M3: delete ---------------------------------------------------
 
-    def delete(self, ids: list[int]) -> int:
+    def delete(self, ids: list[int], now: str | None = None) -> int:
         """Single/batch delete with link scrubbing (reference
         _scrub_links_to, memory_engine.py:818-829)."""
         mem = self.table("memories")
@@ -288,6 +324,7 @@ class MemoriesEngine:
                 links.filter(~F.col("from_id").isin(ids) & ~F.col("to_id").isin(ids)),
                 "links",
             )
+            self._audit("delete", ids, now)
         return n
 
     def delete_by_prefix(self, prefix: str, dry_run: bool = False) -> int:
@@ -452,6 +489,8 @@ class MemoriesEngine:
             "updated_at", F.when(hit, F.lit(now).cast("timestamp")).otherwise(F.col("updated_at"))
         )
         self._write(mem, "memories")
+        flags = [f"{k}={v}" for k, v in (("archived", archived), ("pinned", pinned)) if v is not None]
+        self._audit("set_flags", ids, now, detail=",".join(flags))
         return n
 
     def enforce_policies(
@@ -572,6 +611,7 @@ class MemoriesEngine:
         )
         mem = mem.withColumn("source", F.when(hit, new_source).otherwise(F.col("source")))
         self._write(mem, "memories")
+        self._audit("rename_folder", [], now, detail=f"{old_prefix} -> {new_prefix} ({n} rows)")
         return n
 
     # -- S7: snapshot / restore ---------------------------------------
@@ -588,7 +628,12 @@ class MemoriesEngine:
         if os.path.isdir(dest):
             shutil.rmtree(dest)
         os.makedirs(dest, exist_ok=True)
-        for name in _SCHEMAS:
+        # audit_log is deliberately NOT snapshotted: it is an
+        # append-only action history independent of store state, and
+        # a restore must not erase the record of what happened after
+        # the snapshot (reference audit_log.py is a separate SQLite
+        # file untouched by backups).
+        for name in (n for n in _SCHEMAS if n != "audit_log"):
             d = self._dir(name)
             if os.path.isdir(d):
                 shutil.copytree(d, os.path.join(dest, name))
@@ -613,13 +658,14 @@ class MemoriesEngine:
         src = os.path.join(self.path, "_snapshots", tag)
         if not os.path.isdir(src):
             raise ValueError(f"no snapshot {tag!r}")
-        for name in _SCHEMAS:
+        for name in (n for n in _SCHEMAS if n != "audit_log"):
             cur = self._dir(name)
             if os.path.isdir(cur):
                 shutil.rmtree(cur)
             snap_table = os.path.join(src, name)
             if os.path.isdir(snap_table):
                 shutil.copytree(snap_table, cur)
+        self._audit("restore_snapshot", [], None, detail=tag)
         counter_snap = os.path.join(src, "next_id")
         counter = os.path.join(self.path, "next_id")
         if os.path.exists(counter_snap):

@@ -249,3 +249,34 @@ def test_snapshot_restore_roundtrip(engine):
 def test_snapshot_keep_last_n(engine):
     tags = [engine.snapshot(f"2024-06-0{d} 00:00:00", keep=2) for d in range(1, 5)]
     assert engine.list_snapshots() == tags[-2:]
+
+
+def test_audit_trail_records_mutations(engine):
+    """Reference audit_log.py parity: every mutation appends an audit
+    record; the log is append-only and survives snapshot restores."""
+    engine.update(1, LATER, text="beta fact v2")
+    engine.set_flags([2], LATER, archived=True)
+    engine.delete([3], now=LATER)
+    engine.rename_folder("team/proj/", "team/project/", LATER)
+
+    trail = engine.audit_trail().collect()
+    actions = [r.action for r in trail]
+    # 1 add (fixture) + update + set_flags + delete + rename
+    assert actions.count("add") == 1
+    assert "update" in actions and "delete" in actions
+    assert "set_flags" in actions and "rename_folder" in actions
+    add_rec = next(r for r in trail if r.action == "add")
+    assert list(add_rec.ids) == [0, 1, 2, 3, 4]
+    upd = next(r for r in trail if r.action == "update")
+    assert upd.detail == "text" and list(upd.ids) == [1]
+
+    # restore does not erase audit history; it appends its own record
+    tag = engine.snapshot(LATER)
+    engine.delete([4], now=LATER)
+    n_before = engine.audit_trail().count()
+    engine.restore_snapshot(tag)
+    after = engine.audit_trail().collect()
+    assert len(after) == n_before + 1
+    assert after[-1].action == "restore_snapshot" or any(
+        r.action == "restore_snapshot" for r in after
+    )
