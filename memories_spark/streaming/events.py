@@ -464,3 +464,85 @@ def kmv_estimate_from_state(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------
+# Streaming funnel: per-user view -> click -> purchase state machine
+# ---------------------------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("view_ts", T.TimestampType()),
+        T.StructField("click_ts", T.TimestampType()),
+        T.StructField("purchase_ts", T.TimestampType()),
+    ]
+)
+
+
+def funnel_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: the ordered three-stage funnel (first
+    view, first click after it, first purchase after that) as a
+    per-user state machine via ``applyInPandasWithState`` — the
+    streaming twin of the batch ``funnel_conversion`` query.
+
+    State per user is at most three timestamps (the completed stage
+    prefix); a conversion row is emitted exactly once, when the
+    purchase lands, and the state is cleared. Stage ordering is
+    enforced on event time within and across micro-batches, so a
+    click delivered before its view (out-of-order batch) does not
+    convert. State is O(active users) and partitioned by the group
+    key — no driver involvement, horizontally scalable.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        v_us = c_us = None
+        done = False
+        if state.exists:
+            v_us, c_us, done_i = state.get
+            done = bool(done_i)
+
+        rows = []
+        batches = [pdf for pdf in pdf_iter if len(pdf)]
+        if batches and not done:
+            ev = pd.concat(batches)[["ts", "event_type"]]
+            ev = ev.assign(us=ev["ts"].astype("int64").floordiv(1000)).sort_values("us")
+            for _, r in ev.iterrows():
+                t, et = int(r.us), r.event_type
+                if et == "view" and v_us is None:
+                    v_us = t
+                elif et == "click" and v_us is not None and c_us is None and t > v_us:
+                    c_us = t
+                elif et == "purchase" and c_us is not None and t > c_us:
+                    rows.append((v_us, c_us, t))
+                    done = True
+                    break
+
+        if done and rows:
+            state.update((v_us, c_us, 1))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "view_ts": [pd.to_datetime(rows[0][0], unit="us")],
+                    "click_ts": [pd.to_datetime(rows[0][1], unit="us")],
+                    "purchase_ts": [pd.to_datetime(rows[0][2], unit="us")],
+                }
+            )
+        else:
+            if v_us is not None:
+                state.update((v_us, c_us, 1 if done else 0))
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType="view_us long, click_us long, done long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

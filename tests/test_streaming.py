@@ -463,3 +463,75 @@ def test_incremental_kmv_matches_batch(spark, tmp_path):
         for r in kmv_estimate_from_state(spark, state, k=k).collect()
     }
     assert got2 == got
+
+
+def test_funnel_stream_stateful(spark, tmp_path):
+    """The streaming funnel emits one conversion per user, only when
+    the stage order holds across micro-batches, and never twice."""
+    from memories_spark.streaming.events import funnel_stream
+
+    src = str(tmp_path / "funnel_events_in")
+
+    def ev(i, user, minute, etype):
+        return {
+            "event_id": i,
+            "ts": f"2024-01-01T00:{minute:02d}:00Z",
+            "user_id": user,
+            "event_type": etype,
+            "value": 1.0,
+        }
+
+    # user 1: full ordered funnel split across batches
+    # user 2: click BEFORE view -> that click must not count; no purchase
+    # user 3: purchase with no click -> no conversion
+    _write_events(
+        src,
+        "b1.json",
+        [
+            ev(1, 1, 1, "view"),
+            ev(2, 1, 5, "click"),
+            ev(3, 2, 1, "click"),
+            ev(4, 2, 2, "view"),
+            ev(5, 3, 1, "view"),
+        ],
+    )
+    stream = read_event_stream(spark, src)
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT * FROM funnel_out").count() == 0  # nothing converted yet
+
+    _write_events(
+        src,
+        "b2.json",
+        [
+            ev(6, 1, 9, "purchase"),   # completes user 1
+            ev(7, 2, 3, "purchase"),   # user 2 never validly clicked
+            ev(8, 3, 4, "purchase"),   # user 3 never clicked
+            ev(9, 1, 20, "purchase"),  # second purchase: must NOT re-emit
+        ],
+    )
+    q2 = (
+        funnel_stream(read_event_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("funnel_out2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # NOTE: fresh query (no shared checkpoint) re-reads all files; the
+    # state machine still must emit exactly one conversion for user 1.
+    q2.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM funnel_out2").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.user_id == 1
+    assert str(r.view_ts) == "2024-01-01 00:01:00"
+    assert str(r.click_ts) == "2024-01-01 00:05:00"
+    assert str(r.purchase_ts) == "2024-01-01 00:09:00"
