@@ -133,3 +133,77 @@ def test_trained_ivf_recall(spark, sf_dir):
     # the index actually prunes (not a disguised brute force)
     assert mean_recall >= 0.40, recalls
     assert mean_frac <= 0.45, cand_fracs
+
+
+def test_pq_adc_recall(spark, sf_dir):
+    """PQ/ADC top-10 must recover a meaningful share of the exact
+    top-10 from 8 codes per vector (8x compression) — the estimate
+    ranks by table lookups only, so this pins that the quantization
+    preserves neighborhood structure, not just that the math runs."""
+    from memories_spark.plans.queries_ann import _CENTROID_IDS, _M, _SUB
+
+    from memories_spark.functions.vectors import dot_expr
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = emb.filter(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(_M)])).alias("m")
+    cb = cents.select(ms, "cid", "cv").select(
+        "m", "cid", F.expr(f"slice(cv, m * {_SUB} + 1, {_SUB})").alias("cw")
+    )
+    sub = F.expr(f"slice(embedding, m * {_SUB} + 1, {_SUB})")
+    aw = Window.partitionBy("vec_id", "m").orderBy(F.desc("s"), F.asc("cid"))
+    codes = (
+        emb.select("vec_id", "embedding", ms.alias("m"))
+        .join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cid", F.round(dot_expr(sub, F.col("cw")), 9).alias("s"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+        .cache()
+    )
+    qsub = F.expr(f"slice(qv, m * {_SUB} + 1, {_SUB})")
+    recalls, rerank_recalls = [], []
+    for qid in QUERY_IDS:
+        qv = emb.filter(F.col("vec_id") == qid).select(F.col("embedding").alias("qv"))
+        exact = _topk_ids(
+            emb.crossJoin(F.broadcast(qv))
+            .filter(F.col("vec_id") != qid)
+            .select("vec_id", cosine_expr("embedding", "qv").alias("sim")),
+            qid,
+        )
+        lut = qv.crossJoin(F.broadcast(cb)).select(
+            "m", "cid",
+            F.round(dot_expr(qsub, F.col("cw")) * 1e9).cast("long").alias("v_fp"),
+        )
+        adc = (
+            codes.filter(F.col("vec_id") != qid)
+            .join(F.broadcast(lut), ["m", "cid"])
+            .groupBy("vec_id")
+            .agg(F.sum("v_fp").cast("long").alias("adc_fp"))
+        )
+        w = Window.orderBy(F.desc("adc_fp"), F.asc("vec_id"))
+        ranked = adc.withColumn("rank", F.row_number().over(w)).cache()
+        got = {r.vec_id for r in ranked.filter(F.col("rank") <= K).collect()}
+        recalls.append(len(got & exact) / K)
+        # production shape: ADC shortlist of 50 (1% of corpus at sf0.1)
+        # + exact re-rank of just those candidates
+        shortlist = ranked.filter(F.col("rank") <= 50).select("vec_id")
+        rerank = _topk_ids(
+            emb.join(shortlist, "vec_id")
+            .crossJoin(F.broadcast(qv))
+            .select("vec_id", cosine_expr("embedding", "qv").alias("sim")),
+            qid,
+        )
+        rerank_recalls.append(len(rerank & exact) / K)
+        ranked.unpersist()
+    codes.unpersist()
+    mean_recall = sum(recalls) / len(recalls)
+    mean_rerank = sum(rerank_recalls) / len(rerank_recalls)
+    # raw ADC ranks from 8 codes alone: moderate by design (measured
+    # mean ~0.25 on these embeddings); the refined path must clearly
+    # dominate it — that is the IVF-PQ production contract
+    assert mean_recall >= 0.15, recalls
+    assert mean_rerank >= mean_recall + 0.15, (recalls, rerank_recalls)
+    assert mean_rerank >= 0.50, rerank_recalls

@@ -505,6 +505,16 @@ def test_weighted_sample_broadcasts_rates(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+def test_pq_adc_stays_jvm_broadcast(spark, sf_dir):
+    """PQ/ADC: codebook and LUT are broadcast (128 rows each), the
+    encode argmax is a window over one exploded scan, and all vector
+    math stays in codegen — no Python eval anywhere."""
+    p = plan(QUERIES["ann_pq_adc"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "Window" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
 def test_triangle_count_equi_joins_only(spark, sf_dir):
     """Triangle counting is two equi-joins on edge endpoints — any
     nested-loop here would be quadratic in edges."""
