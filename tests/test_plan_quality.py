@@ -505,6 +505,16 @@ def test_weighted_sample_broadcasts_rates(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+def test_ivfpq_prunes_then_rerank(spark, sf_dir):
+    """IVF-PQ,rerank: every join is broadcast-hash (cells, codebook,
+    LUT, shortlist are all tiny), nothing nested-loops over the
+    corpus, and all three stages stay in codegen."""
+    p = plan(QUERIES["ann_ivfpq_rerank"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
 def test_pq_adc_stays_jvm_broadcast(spark, sf_dir):
     """PQ/ADC: codebook and LUT are broadcast (128 rows each), the
     encode argmax is a window over one exploded scan, and all vector
