@@ -173,3 +173,72 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------
+# Window-function vocabulary in one pass
+# ---------------------------------------------------------------------
+
+_WINVOCAB_ORACLE = """
+SELECT user_id, event_id,
+       CAST(seq AS BIGINT) AS seq,
+       CAST(prev_id AS BIGINT) AS prev_id,
+       CAST(next_id AS BIGINT) AS next_id,
+       CAST(first_id AS BIGINT) AS first_id,
+       CAST(last_id AS BIGINT) AS last_id,
+       round(pr, 6) AS pct_rank,
+       round(cd, 6) AS cume_d,
+       CAST(quartile AS BIGINT) AS quartile
+FROM (
+  SELECT user_id, event_id,
+         row_number()  OVER w AS seq,
+         lag(event_id)  OVER w AS prev_id,
+         lead(event_id) OVER w AS next_id,
+         first_value(event_id) OVER w AS first_id,
+         last_value(event_id)  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id,
+         percent_rank() OVER w AS pr,
+         cume_dist()    OVER w AS cd,
+         ntile(4)       OVER w AS quartile
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+WHERE user_id < 5
+ORDER BY user_id, seq
+"""
+
+
+@register(
+    "window_function_vocabulary",
+    oracle=_WINVOCAB_ORACLE,
+    doc="The full analytic window-function vocabulary in one pass: "
+    "row_number, lag/lead, first/last_value (with the explicit "
+    "unbounded frame last_value needs), percent_rank, cume_dist and "
+    "ntile over the same (user, event-time) window. One window "
+    "shuffle serves every function — Spark fuses same-spec window "
+    "expressions into a single Window operator, so adding functions "
+    "costs no extra passes; the deliberately different last_value "
+    "frame is the one extra frame evaluation. The ordering ties on "
+    "event_id so ranks are deterministic.",
+    tags=("window", "catalog"),
+)
+def window_function_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.filter(F.col("user_id") < 5)
+        .select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).cast("long").alias("seq"),
+            F.lag("event_id").over(w).cast("long").alias("prev_id"),
+            F.lead("event_id").over(w).cast("long").alias("next_id"),
+            F.first("event_id").over(w).cast("long").alias("first_id"),
+            F.last("event_id").over(wfull).cast("long").alias("last_id"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_d"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("user_id", "seq")
+    )

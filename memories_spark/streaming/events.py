@@ -546,3 +546,18 @@ def funnel_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def enrich_stream_with_dimension(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (small)
+    static dimension table — Spark broadcasts the static side into
+    every micro-batch, no streaming state at all (contrast the
+    stream-stream attribution join, which needs watermarked state).
+    The canonical serving-enrichment shape: events x user profile /
+    price sheet / routing table. The dimension is re-read per batch,
+    so a slowly-refreshed parquet dimension picks up updates without
+    restarting the query.
+    """
+    return events.join(F.broadcast(dim), key, "left")

@@ -535,3 +535,36 @@ def test_funnel_stream_stateful(spark, tmp_path):
     assert str(r.view_ts) == "2024-01-01 00:01:00"
     assert str(r.click_ts) == "2024-01-01 00:05:00"
     assert str(r.purchase_ts) == "2024-01-01 00:09:00"
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: every micro-batch row is enriched from the
+    broadcast dimension; unmatched keys survive as NULL (left join)."""
+    from memories_spark.streaming.events import enrich_stream_with_dimension
+
+    src = str(tmp_path / "enrich_events_in")
+    _write_events(
+        src,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T00:01:00Z", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01T00:02:00Z", "user_id": 2, "event_type": "view", "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01T00:03:00Z", "user_id": 99, "event_type": "click", "value": 3.0},
+        ],
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    q = (
+        enrich_stream_with_dimension(read_event_stream(spark, src), dim)
+        .writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r.tier for r in spark.sql("SELECT * FROM enriched_out").collect()
+    }
+    assert got == {1: "gold", 2: "silver", 3: None}
