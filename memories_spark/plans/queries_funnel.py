@@ -261,3 +261,74 @@ def value_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("_az")
     )
+
+
+# ---------------------------------------------------------------------
+# Rolling 7-day active users (WAU per day) + stickiness
+# ---------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+WITH daily AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+),
+covered AS (
+  SELECT DISTINCT user_id, d + CAST(x AS INTEGER) AS report_day
+  FROM daily, (SELECT unnest(generate_series(0, 6)) AS x)
+),
+dau AS (
+  SELECT d AS report_day, CAST(count(*) AS BIGINT) AS dau FROM daily GROUP BY d
+),
+wau AS (
+  SELECT report_day, CAST(count(*) AS BIGINT) AS wau FROM covered GROUP BY report_day
+)
+SELECT strftime(w.report_day, '%Y-%m-%d') AS day,
+       coalesce(a.dau, 0) AS dau,
+       w.wau,
+       round(CAST(coalesce(a.dau, 0) AS DOUBLE) / w.wau, 6) AS stickiness
+FROM wau w LEFT JOIN dau a ON a.report_day = w.report_day
+WHERE w.report_day <= (SELECT max(d) FROM daily)
+ORDER BY day
+"""
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle=_ROLLING_ORACLE,
+    doc="Trailing-7-day active users per day (WAU) with DAU and the "
+    "DAU/WAU stickiness ratio. The sliding distinct is rewritten as "
+    "an explode: each (user, active-day) pair covers the next 7 "
+    "report days, and WAU(d) = distinct users covering d — one "
+    "distinct + one aggregate instead of a 7-way self-join or a "
+    "per-day subquery. The load-bearing first step collapses raw "
+    "events to distinct (user, day) pairs (users x days rows), so "
+    "the 7x explode happens on the small table, never on the event "
+    "volume. Trailing days beyond the data horizon are trimmed.",
+    tags=("analytics", "window", "distinct"),
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    covered = daily.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("x"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("x")).alias("report_day")).distinct()
+    dau = daily.groupBy(F.col("d").alias("report_day")).agg(F.count("*").alias("dau"))
+    wau = covered.groupBy("report_day").agg(F.count("*").alias("wau"))
+    horizon = daily.agg(F.max("d").alias("max_d"))
+    return (
+        wau.join(dau, "report_day", "left")
+        .crossJoin(F.broadcast(horizon))
+        .filter(F.col("report_day") <= F.col("max_d"))
+        .select(
+            F.date_format("report_day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(
+                F.coalesce(F.col("dau"), F.lit(0)).cast("double") / F.col("wau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
