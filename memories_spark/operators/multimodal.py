@@ -180,3 +180,61 @@ def media_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("kind", "format")
     )
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("win_idx", T.LongType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("end_ms", T.LongType()),
+        T.StructField("energy", T.FloatType()),
+    ]
+)
+
+
+def window_audio(
+    media: DataFrame, window_ms: int = 1000, hop_ms: int = 500, max_windows: int = 64
+) -> DataFrame:
+    """Overlapping audio windowing (the STFT-prep shape): one row per
+    hop-advanced window of each audio item, with a per-window energy
+    scalar. Windows overlap when ``hop_ms < window_ms`` — the same
+    hopping semantics as the event-table sliding windows, applied to
+    media time. Energy comes from the deterministic fake featurizer
+    (md5 over payload+index); ``_decode_real`` is where a real
+    waveform decode plugs in. Row explosion is bounded by
+    ``max_windows`` per item; repartition by media_id downstream if a
+    join needs co-location.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, ends, energies = [], [], [], [], []
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "audio":
+                    continue
+                duration = int(meta["duration_ms"] or 0)
+                n = 0
+                start = 0
+                raw = bytes(payload)
+                while start + window_ms <= duration and n < max_windows:
+                    h = hashlib.md5(raw + n.to_bytes(4, "big") + b"e").digest()
+                    ids.append(mid)
+                    idxs.append(n)
+                    starts.append(start)
+                    ends.append(start + window_ms)
+                    energies.append(h[0] / 255.0)
+                    start += hop_ms
+                    n += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int64"),
+                    "start_ms": pd.Series(starts, dtype="int64"),
+                    "end_ms": pd.Series(ends, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="float32"),
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_WINDOW_SCHEMA)

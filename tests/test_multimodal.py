@@ -68,3 +68,31 @@ def test_features_join_back(media, spark):
     feats = mm.extract_features(media, dim=8)
     joined = feats.join(media.select("media_id", "meta"), "media_id")
     assert joined.count() == 30
+
+
+def test_window_audio_hops_and_overlaps(media):
+    """Audio windowing: only audio rows explode; windows advance by
+    the hop (overlapping when hop < window), stay within duration,
+    and energies are deterministic across runs."""
+    from memories_spark.operators.multimodal import window_audio
+
+    wins = window_audio(media, window_ms=400, hop_ms=200).collect()
+    assert wins, "audio rows must produce windows"
+    kinds = {r.media_id % 3 for r in wins}
+    assert kinds == {1}, kinds  # synthesize_media: kind=audio iff id%3==1
+    by_media: dict[int, list] = {}
+    for r in wins:
+        by_media.setdefault(r.media_id, []).append(r)
+    for rows in by_media.values():
+        rows.sort(key=lambda r: r.win_idx)
+        for i, r in enumerate(rows):
+            assert r.win_idx == i
+            assert r.start_ms == i * 200
+            assert r.end_ms == r.start_ms + 400
+            assert 0.0 <= r.energy <= 1.0
+    # deterministic: re-running yields identical rows
+    again = window_audio(media, window_ms=400, hop_ms=200).collect()
+    key = lambda r: (r.media_id, r.win_idx)  # noqa: E731
+    assert sorted(map(tuple, wins), key=lambda t: t[:2]) == sorted(
+        map(tuple, again), key=lambda t: t[:2]
+    )
