@@ -332,3 +332,67 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------
+# First-touch revenue attribution
+# ---------------------------------------------------------------------
+
+_ATTR_ORACLE = """
+WITH first_touch AS (
+  SELECT user_id, min(ts) AS ft_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+attributed AS (
+  SELECT CAST(hour(f.ft_ts) AS BIGINT) AS first_touch_hour,
+         CAST(round(e.value * 100.0) AS BIGINT) AS rev_c
+  FROM events e JOIN first_touch f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > f.ft_ts
+)
+SELECT first_touch_hour,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(CAST(sum(rev_c) AS DOUBLE) / 100.0, 2) AS attributed_revenue
+FROM attributed
+GROUP BY first_touch_hour
+ORDER BY first_touch_hour
+"""
+
+
+@register(
+    "first_touch_attribution",
+    oracle=_ATTR_ORACLE,
+    doc="First-touch attribution: every purchase made after a user's "
+    "first view credits that first view's hour-of-day — the "
+    "marketing-attribution rollup answering 'which acquisition hour "
+    "drives revenue'. Plan: first-touch table is one min-aggregate "
+    "(|users| rows) broadcast onto the purchase-filtered scan; the "
+    "strictly-after predicate rides the join; revenue sums in exact "
+    "cents. The last-touch / linear variants swap the min for a max "
+    "or a per-touch weight on the same plan shape.",
+    tags=("analytics", "attribution", "agg"),
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    first_touch = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(F.col("user_id").alias("ft_user"))
+        .agg(F.min("ts").alias("ft_ts"))
+    )
+    attributed = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_touch), F.col("user_id") == F.col("ft_user"))
+        .filter(F.col("ts") > F.col("ft_ts"))
+        .select(
+            F.hour("ft_ts").cast("long").alias("first_touch_hour"),
+            F.round(F.col("value") * 100.0).cast("long").alias("rev_c"),
+        )
+    )
+    return (
+        attributed.groupBy("first_touch_hour")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("rev_c").cast("double") / 100.0, 2).alias(
+                "attributed_revenue"
+            ),
+        )
+        .orderBy("first_touch_hour")
+    )
