@@ -12,7 +12,7 @@ many were active in week w+k). Both are pure conditional-aggregation
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from memories_spark.plans.registry import register
@@ -395,4 +395,146 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("first_touch_hour")
+    )
+
+
+# ---------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov estimate)
+# ---------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS dst
+  FROM events
+),
+trans AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+),
+outdeg AS (
+  SELECT src, CAST(sum(n) AS BIGINT) AS total FROM trans GROUP BY src
+)
+SELECT t.src, t.dst, t.n,
+       round(CAST(t.n AS DOUBLE) / o.total, 6) AS p
+FROM trans t JOIN outdeg o ON o.src = t.src
+ORDER BY t.src, t.dst
+"""
+
+
+@register(
+    "event_transition_matrix",
+    oracle=_TRANSITION_ORACLE,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: counts and estimated probabilities of each "
+    "(event_type -> next event_type) step, ordered by event time "
+    "with id tie-breaks. Plan: ONE window shuffle on user_id builds "
+    "the lag pairs, the transition aggregate is 25 cells, and the "
+    "row-normalizing out-degree is an aggregate of that tiny table "
+    "joined back by broadcast. The behavioral-model shape behind "
+    "next-action prediction and anomaly scoring on sequences.",
+    tags=("analytics", "sequence", "window"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    trans = (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+    outdeg = trans.groupBy(F.col("src").alias("od_src")).agg(
+        F.sum("n").cast("long").alias("total")
+    )
+    return (
+        trans.join(F.broadcast(outdeg), F.col("src") == F.col("od_src"))
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+# ---------------------------------------------------------------------
+# Event-type co-occurrence lift (association mining)
+# ---------------------------------------------------------------------
+
+_COOC_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n_users AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+singles AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_a FROM ut GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       round(CAST(p.n_both AS DOUBLE) / n.n, 6) AS support,
+       round((CAST(p.n_both AS DOUBLE) / n.n)
+             / ((CAST(sa.n_a AS DOUBLE) / n.n) * (CAST(sb.n_a AS DOUBLE) / n.n)), 4) AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN n_users n
+ORDER BY type_a, type_b
+"""
+
+
+@register(
+    "event_cooccurrence_lift",
+    oracle=_COOC_ORACLE,
+    doc="Association mining over user behavior: support and lift for "
+    "every unordered pair of event types co-occurring in a user's "
+    "history (lift > 1 means the pair co-occurs more than "
+    "independence predicts). Plan: the load-bearing reduction is "
+    "the distinct (user, type) table (at most 5 rows per user) "
+    "BEFORE the self-join; the ordered type_a < type_b condition "
+    "emits each pair once; marginals and the user total are tiny "
+    "broadcast joins. The basket-analysis shape — at 100 TB the "
+    "self-join runs on the collapsed table, never the event log.",
+    tags=("analytics", "association", "join"),
+)
+def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(F.countDistinct("user_id").alias("n"))
+    singles = ut.groupBy("event_type").agg(F.count("*").alias("n_a"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("ub"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, (F.col("user_id") == F.col("ub")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = singles.select(F.col("event_type").alias("ea"), F.col("n_a").alias("na"))
+    sb = singles.select(F.col("event_type").alias("eb"), F.col("n_a").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), F.col("type_a") == F.col("ea"))
+        .join(F.broadcast(sb), F.col("type_b") == F.col("eb"))
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(F.col("n_both").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(
+                (F.col("n_both").cast("double") / F.col("n"))
+                / (
+                    (F.col("na").cast("double") / F.col("n"))
+                    * (F.col("nb").cast("double") / F.col("n"))
+                ),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
     )
