@@ -561,3 +561,94 @@ def enrich_stream_with_dimension(
     restarting the query.
     """
     return events.join(F.broadcast(dim), key, "left")
+
+
+# ---------------------------------------------------------------------
+# Incremental histogram-bin maintenance (mergeable quantile state)
+# ---------------------------------------------------------------------
+
+HIST_NBINS = 128
+
+
+def incremental_histogram_sink(
+    events_stream: DataFrame,
+    hist_dir: str,
+    checkpoint_dir: str,
+    lo: float,
+    hi: float,
+    nbins: int = HIST_NBINS,
+):
+    """foreachBatch maintenance of fixed-envelope histogram bins — the
+    streaming twin of the batch ``histogram_quantile_estimate`` query.
+
+    Bin counts merge additively, but counts are NOT naturally
+    idempotent under at-least-once replays (unlike the KMV minima),
+    so each micro-batch writes its partial counts to a
+    deterministic per-batch-id subdirectory with overwrite — a
+    replayed batch overwrites its own output instead of
+    double-counting. Readers sum across batch partitions. The
+    envelope [lo, hi) is fixed up front (production: from a known
+    metric range or a prior scan) because a streaming global min/max
+    would retroactively rebin history.
+    """
+    width = (hi - lo) / nbins
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        bins = (
+            batch.select(
+                F.least(
+                    F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("long"),
+                    F.lit(nbins - 1),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias("c"))
+        )
+        bins.write.mode("overwrite").parquet(f"{hist_dir}/batch={batch_id}")
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def histogram_quantiles_from_state(
+    spark: SparkSession,
+    hist_dir: str,
+    lo: float,
+    hi: float,
+    nbins: int = HIST_NBINS,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile upper-edge estimates from the accumulated bin state:
+    same math as the batch query's estimate branch."""
+    from pyspark.sql import Window as W
+
+    width = (hi - lo) / nbins
+    hist = (
+        spark.read.option("basePath", hist_dir).parquet(hist_dir)
+        .groupBy("bin")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("c").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    total = hist.agg(F.sum("c").cast("long").alias("n"))
+    targets = total.select(
+        F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"), "n"
+    ).select("q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("target"))
+    est = (
+        cum.crossJoin(F.broadcast(targets))
+        .filter(F.col("cum") >= F.col("target"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("hit_bin"))
+    )
+    return est.select(
+        "q",
+        F.round(F.lit(lo) + (F.col("hit_bin") + 1) * F.lit(width), 6).alias(
+            "est_upper_edge"
+        ),
+    ).orderBy("q")

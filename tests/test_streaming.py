@@ -568,3 +568,68 @@ def test_stream_static_enrichment(spark, tmp_path):
         r.event_id: r.tier for r in spark.sql("SELECT * FROM enriched_out").collect()
     }
     assert got == {1: "gold", 2: "silver", 3: None}
+
+
+def test_incremental_histogram_matches_batch(spark, tmp_path):
+    """Streamed bin counts must equal the batch histogram over the
+    same data, and a checkpointed re-run must not double-count."""
+    from memories_spark.streaming.events import (
+        histogram_quantiles_from_state,
+        incremental_histogram_sink,
+    )
+
+    src = str(tmp_path / "hist_events_in")
+    hist = str(tmp_path / "hist_state")
+    ckpt = str(tmp_path / "hist_ckpt")
+    lo, hi = 0.0, 100.0
+
+    def ev(i, value):
+        return {
+            "event_id": i,
+            "ts": "2024-01-01T00:00:00Z",
+            "user_id": i,
+            "event_type": "click",
+            "value": value,
+        }
+
+    vals1 = [float(v) for v in range(0, 60, 3)]   # 20 values
+    vals2 = [float(v) for v in range(60, 100, 2)] # 20 values
+    _write_events(src, "b1.json", [ev(i, v) for i, v in enumerate(vals1)])
+    q = incremental_histogram_sink(read_event_stream(spark, src), hist, ckpt, lo, hi)
+    q.awaitTermination(120)
+    _write_events(src, "b2.json", [ev(100 + i, v) for i, v in enumerate(vals2)])
+    q2 = incremental_histogram_sink(read_event_stream(spark, src), hist, ckpt, lo, hi)
+    q2.awaitTermination(120)
+
+    got = {
+        r.q: r.est_upper_edge
+        for r in histogram_quantiles_from_state(spark, hist, lo, hi).collect()
+    }
+
+    # batch twin: same bins over all values at once
+    import math
+    all_vals = sorted(vals1 + vals2)
+    width = (hi - lo) / 128
+    want = {}
+    for qq in (0.5, 0.9, 0.99):
+        target = math.ceil(qq * len(all_vals))
+        bins = sorted(min(int((v - lo) // width), 127) for v in all_vals)
+        cum = 0
+        counts = {}
+        for b in bins:
+            counts[b] = counts.get(b, 0) + 1
+        for b in sorted(counts):
+            cum += counts[b]
+            if cum >= target:
+                want[qq] = round(lo + (b + 1) * width, 6)
+                break
+    assert got == want, (got, want)
+
+    # checkpointed re-run: no new batches -> state unchanged
+    q3 = incremental_histogram_sink(read_event_stream(spark, src), hist, ckpt, lo, hi)
+    q3.awaitTermination(120)
+    got2 = {
+        r.q: r.est_upper_edge
+        for r in histogram_quantiles_from_state(spark, hist, lo, hi).collect()
+    }
+    assert got2 == got
