@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from memories_spark.functions.texttools import char_shingles_expr, tokens_expr
 from memories_spark.functions.vectors import cosine_expr, cosine_sql
 from memories_spark.operators import dedup as dedup_op
+from memories_spark.operators import graph as graph_op
 from memories_spark.operators import similarity as sim_op
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
@@ -514,4 +515,79 @@ def smart_import_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             decision.alias("decision"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------
+# End-to-end near-dup dedup plan: pairs -> clusters -> keep/drop
+# ---------------------------------------------------------------------
+
+_NEARDUP_EDGES = (
+    _MINHASH_PAIRS_CTE
+    + "SELECT id_a AS from_id, id_b AS to_id FROM pairs WHERE est_sim >= 0.75"
+)
+
+_NEARDUP_PLAN_ORACLE = graph_op.label_propagation_sql(
+    _NEARDUP_EDGES,
+    "SELECT DISTINCT from_id AS id FROM edges UNION SELECT DISTINCT to_id AS id FROM edges",
+    rounds=6,
+) + """
+SELECT label AS cluster_id,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(min(id) AS BIGINT) AS kept_doc,
+       CAST(count(*) - 1 AS BIGINT) AS dropped_docs
+FROM labels
+GROUP BY label
+HAVING count(*) >= 2
+ORDER BY cluster_size DESC, cluster_id ASC
+LIMIT 20
+"""
+
+
+@register(
+    "neardup_cluster_dedup_plan",
+    oracle=_NEARDUP_PLAN_ORACLE,
+    doc="The full near-dup dedup pipeline as ONE plan: MinHash+LSH "
+    "candidate pairs (est Jaccard >= 0.75) -> connected clusters "
+    "via bounded min-label propagation (6 rounds — near-dup "
+    "clusters are tight cliques, diameter far below that) -> per "
+    "cluster, keep the smallest doc_id and count the drops. This is "
+    "the headline training-data operation the individual dedup "
+    "queries feed: pair generation is sub-quadratic (banded "
+    "signature self-join), clustering touches only pair endpoints "
+    "(never the corpus), and the keep/drop plan is a tiny grouped "
+    "aggregate a MERGE DELETE consumes downstream (reference C1+C2, "
+    "memory_engine.py:2239-2342, composed end-to-end).",
+    tags=("dedup", "minhash", "clustering", "pipeline"),
+)
+def neardup_cluster_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = dedup_op.minhash_candidate_pairs(docs, "doc_id", "text").filter(
+        F.col("est_sim") >= 0.75
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("from_id"), F.col("id_b").alias("to_id")
+    )
+    nodes = (
+        edges.select(F.col("from_id").alias("id"))
+        .union(edges.select(F.col("to_id").alias("id")))
+        .distinct()
+    )
+    labels = graph_op.min_label_propagation(edges, nodes, rounds=6)
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("id").cast("long").alias("kept_doc"),
+            (F.count("*") - 1).cast("long").alias("dropped_docs"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+        .select(
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "kept_doc",
+            "dropped_docs",
+        )
+        .orderBy(F.desc("cluster_size"), F.asc("cluster_id"))
+        .limit(20)
     )
