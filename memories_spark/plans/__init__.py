@@ -18,6 +18,7 @@ from memories_spark.plans import (  # noqa: F401, E402
     queries_serving,
     queries_sketches,
     queries_stats,
+    queries_streaming,
     queries_temporal,
     queries_text,
     queries_training,
