@@ -131,3 +131,88 @@ _CHUNK_ORACLE = chunk_op.chunk_sql("documents", "doc_id", "text")
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     return chunk_op.chunk_documents(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------
+# Vocabulary growth curve (Heaps'-law diagnostic)
+# ---------------------------------------------------------------------
+
+_VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+),
+firsts AS (
+  SELECT term, CAST(min(doc_id) AS BIGINT) AS first_doc FROM toks GROUP BY term
+),
+bounds AS (SELECT max(doc_id) AS max_doc FROM documents),
+cuts AS (
+  SELECT CAST(ceil((x + 1) * (CAST((SELECT max_doc FROM bounds) + 1 AS DOUBLE) / 10.0)) AS BIGINT) AS cutoff
+  FROM (SELECT unnest(generate_series(0, 9)) AS x)
+),
+tok_counts AS (
+  SELECT c.cutoff, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks t JOIN cuts c ON t.doc_id < c.cutoff
+  GROUP BY c.cutoff
+),
+vocab AS (
+  SELECT c.cutoff, CAST(count(*) AS BIGINT) AS n_terms
+  FROM firsts f JOIN cuts c ON f.first_doc < c.cutoff
+  GROUP BY c.cutoff
+)
+SELECT t.cutoff, t.n_tokens, v.n_terms,
+       round(CAST(v.n_terms AS DOUBLE) / t.n_tokens, 6) AS type_token_ratio
+FROM tok_counts t JOIN vocab v ON v.cutoff = t.cutoff
+ORDER BY t.cutoff
+"""
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=_VOCAB_ORACLE,
+    doc="Vocabulary growth (Heaps'-law) diagnostic: distinct terms and "
+    "type/token ratio at ten document-count cutoffs — the corpus "
+    "saturation signal that tells a training pipeline whether more "
+    "of the same source still adds vocabulary. Plan: the term "
+    "first-appearance table (one groupBy-min over the exploded "
+    "token stream) makes every cutoff a COUNT over first_doc < c "
+    "instead of ten distinct-aggregations of the corpus; the ten "
+    "cutoffs join by broadcast. Token totals reuse the same "
+    "exploded scan.",
+    tags=("text", "training", "diagnostic"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select("doc_id", F.explode(ts_op.tokens_expr("text")).alias("term"))
+    firsts = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    bounds = docs.agg(F.max("doc_id").alias("max_doc"))
+    cuts = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("x"), "max_doc"
+    ).select(
+        F.ceil((F.col("x") + 1) * ((F.col("max_doc") + 1).cast("double") / 10.0))
+        .cast("long")
+        .alias("cutoff")
+    )
+    tok_counts = (
+        toks.crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") < F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    vocab = (
+        firsts.crossJoin(F.broadcast(cuts))
+        .filter(F.col("first_doc") < F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.count("*").alias("n_terms"))
+    )
+    return (
+        tok_counts.join(vocab, "cutoff")
+        .select(
+            "cutoff",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.round(F.col("n_terms").cast("double") / F.col("n_tokens"), 6).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("cutoff")
+    )
