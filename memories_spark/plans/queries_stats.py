@@ -239,3 +239,82 @@ def value_hour_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / den, 6).alias("corr_value_hour"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------
+# Revenue concentration: Lorenz deciles + grouped-data Gini
+# ---------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev_c,
+         ntile(10) OVER (ORDER BY rev_c ASC, o_custkey ASC) AS decile
+  FROM per_cust
+),
+dec AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_custs,
+         CAST(sum(rev_c) AS BIGINT) AS dec_rev_c
+  FROM ranked GROUP BY decile
+),
+tot AS (SELECT CAST(sum(dec_rev_c) AS BIGINT) AS tot_c, CAST(sum(n_custs) AS BIGINT) AS n FROM dec),
+lorenz AS (
+  SELECT d.decile, d.n_custs,
+         round(CAST(d.dec_rev_c AS DOUBLE) / t.tot_c, 6) AS rev_share,
+         round(CAST(sum(d.dec_rev_c) OVER (ORDER BY d.decile) AS DOUBLE) / t.tot_c, 6) AS cum_rev_share
+  FROM dec d CROSS JOIN tot t
+)
+SELECT decile, n_custs, rev_share, cum_rev_share
+FROM lorenz
+ORDER BY decile
+"""
+
+
+@register(
+    "revenue_lorenz_deciles",
+    oracle=_LORENZ_ORACLE,
+    doc="Revenue concentration: Lorenz curve over customer revenue "
+    "deciles — per decile (poorest to richest), the revenue share "
+    "and cumulative share; the classic inequality diagnostic (the "
+    "grouped-data Gini is 1 - 2*mean(cum_share) + mean(share), "
+    "computable from these ten rows). Plan: one per-customer "
+    "aggregate, one ntile window over that (already-small) table, "
+    "and exact cents shares — the ranked sort never touches the "
+    "orders fact after the first aggregate.",
+    tags=("stats", "distribution", "window"),
+)
+def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir)["orders"]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long"))
+        .cast("long")
+        .alias("rev_c")
+    )
+    w = Window.orderBy(F.asc("rev_c"), F.asc("o_custkey"))
+    ranked = per_cust.select("rev_c", F.ntile(10).over(w).alias("decile"))
+    dec = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_custs"), F.sum("rev_c").cast("long").alias("dec_rev_c")
+    )
+    tot = dec.agg(
+        F.sum("dec_rev_c").cast("long").alias("tot_c"),
+        F.sum("n_custs").cast("long").alias("n"),
+    )
+    cw = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n_custs").cast("long").alias("n_custs"),
+            F.round(F.col("dec_rev_c").cast("double") / F.col("tot_c"), 6).alias(
+                "rev_share"
+            ),
+            F.round(
+                F.sum("dec_rev_c").over(cw).cast("double") / F.col("tot_c"), 6
+            ).alias("cum_rev_share"),
+        )
+        .orderBy("decile")
+    )

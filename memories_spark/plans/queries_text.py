@@ -4,7 +4,7 @@ counting, fingerprinting, chunking.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from memories_spark.functions.texttools import tokens_sql
@@ -215,4 +215,84 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("cutoff")
+    )
+
+
+# ---------------------------------------------------------------------
+# Zipf rank-frequency slope (log-log OLS over the top-100 terms)
+# ---------------------------------------------------------------------
+
+_ZIPF_ORACLE = f"""
+WITH freq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({tokens_sql('text')}) AS term FROM documents)
+  GROUP BY term
+),
+top AS (
+  SELECT n, CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS rank
+  FROM freq QUALIFY rank <= 100
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e9) AS BIGINT) AS x_fp,
+         CAST(round(ln(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS y_fp
+  FROM top
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x_fp) AS BIGINT) AS sx, CAST(sum(y_fp) AS BIGINT) AS sy,
+         CAST(sum(CAST(round((CAST(x_fp AS DOUBLE)/1e9) * (CAST(y_fp AS DOUBLE)/1e9) * 1e9) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(sum(CAST(round((CAST(x_fp AS DOUBLE)/1e9) * (CAST(x_fp AS DOUBLE)/1e9) * 1e9) AS BIGINT)) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT m AS n_points,
+       round((m * (CAST(sxy AS DOUBLE)/1e9) - (CAST(sx AS DOUBLE)/1e9) * (CAST(sy AS DOUBLE)/1e9))
+             / (m * (CAST(sxx AS DOUBLE)/1e9) - (CAST(sx AS DOUBLE)/1e9) * (CAST(sx AS DOUBLE)/1e9)), 4) AS zipf_slope
+FROM sums
+"""
+
+
+@register(
+    "zipf_slope_fit",
+    oracle=_ZIPF_ORACLE,
+    doc="Zipf's-law fit: OLS slope of log(frequency) on log(rank) over "
+    "the top-100 corpus terms (a natural corpus sits near -1; "
+    "synthetic or templated text drifts off it — the companion "
+    "diagnostic to vocab_growth_curve). Every regression moment is "
+    "an exact fixed-point BIGINT sum of per-point rounded terms, so "
+    "the slope is order-independent and engine-identical; ranks tie "
+    "on term ASC. One explode+groupBy for frequencies, a top-100 "
+    "window on the (vocabulary-sized) frequency table, then a "
+    "five-number aggregate.",
+    tags=("text", "diagnostic", "regression"),
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    freq = (
+        docs.select(F.explode(ts_op.tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    top = freq.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 100)
+    x_fp = F.round(F.log(F.col("rank").cast("double")) * 1e9).cast("long")
+    y_fp = F.round(F.log(F.col("n").cast("double")) * 1e9).cast("long")
+    pts = top.select(x_fp.alias("x_fp"), y_fp.alias("y_fp"))
+    xd = F.col("x_fp").cast("double") / 1e9
+    yd = F.col("y_fp").cast("double") / 1e9
+    sums = pts.agg(
+        F.count("*").alias("m"),
+        F.sum("x_fp").cast("long").alias("sx"),
+        F.sum("y_fp").cast("long").alias("sy"),
+        F.sum(F.round(xd * yd * 1e9).cast("long")).cast("long").alias("sxy"),
+        F.sum(F.round(xd * xd * 1e9).cast("long")).cast("long").alias("sxx"),
+    )
+    sxd = F.col("sx").cast("double") / 1e9
+    syd = F.col("sy").cast("double") / 1e9
+    sxyd = F.col("sxy").cast("double") / 1e9
+    sxxd = F.col("sxx").cast("double") / 1e9
+    return sums.select(
+        F.col("m").cast("long").alias("n_points"),
+        F.round(
+            (F.col("m") * sxyd - sxd * syd) / (F.col("m") * sxxd - sxd * sxd), 4
+        ).alias("zipf_slope"),
     )
