@@ -591,3 +591,86 @@ def neardup_cluster_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cluster_size"), F.asc("cluster_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------
+# Two-signal dedup agreement: text MinHash pairs vs embedding pairs
+# ---------------------------------------------------------------------
+
+_TWOSIG_ORACLE = f"""
+WITH text_pairs AS MATERIALIZED (
+  {_MINHASH_PAIRS_CTE}
+  SELECT id_a, id_b FROM pairs WHERE est_sim >= 0.75
+),
+vec_pairs AS MATERIALIZED (
+  WITH bucketed AS (
+    SELECT vec_id, embedding,
+           {sim_op.lsh_bucket_sql('embedding', _EMB_DIM, _N_PLANES)} AS b
+    FROM embeddings
+  )
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucketed a JOIN bucketed b ON a.b = b.b AND a.vec_id < b.vec_id
+  WHERE round({cosine_sql('a.embedding', 'b.embedding', _EMB_DIM)}, 6) >= 0.3
+),
+agree AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_both
+  FROM text_pairs t JOIN vec_pairs v ON t.id_a = v.id_a AND t.id_b = v.id_b
+),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS n_text FROM text_pairs),
+nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vec FROM vec_pairs)
+SELECT nt.n_text AS n_text_pairs,
+       nv.n_vec AS n_vector_pairs,
+       b.n_both,
+       round(CAST(b.n_both AS DOUBLE) / (nt.n_text + nv.n_vec - b.n_both), 6) AS signal_jaccard
+FROM nt, nv, agree b
+"""
+
+
+@register(
+    "twosignal_dedup_agreement",
+    oracle=_TWOSIG_ORACLE,
+    doc="Multi-evidence dedup audit: how much do the lexical signal "
+    "(MinHash est Jaccard >= 0.75 over word shingles) and the "
+    "semantic signal (LSH-blocked embedding cosine >= 0.3) agree on "
+    "near-dup pairs? Reports both pair counts, the intersection, "
+    "and the Jaccard of the two pair SETS — production dedup gates "
+    "on signal agreement before destructive deletes (documents and "
+    "embeddings share the 0..N-1 id space, so pair identity joins "
+    "directly). Both pair generators are the existing sub-quadratic "
+    "blocked plans; the agreement join runs on two small pair "
+    "tables.",
+    tags=("dedup", "minhash", "vector", "audit"),
+)
+def twosignal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    text_pairs = (
+        dedup_op.minhash_candidate_pairs(t["documents"], "doc_id", "text")
+        .filter(F.col("est_sim") >= 0.75)
+        .select("id_a", "id_b")
+    )
+    vec_pairs = sim_op.cosine_pairs_blocked(
+        t["embeddings"],
+        threshold=0.3,
+        block_col=sim_op.lsh_bucket_expr("embedding", _EMB_DIM, _N_PLANES),
+    ).select(F.col("id_a").alias("va"), F.col("id_b").alias("vb"))
+    both = text_pairs.join(
+        vec_pairs,
+        (F.col("id_a") == F.col("va")) & (F.col("id_b") == F.col("vb")),
+        "left_semi",
+    ).agg(F.count("*").alias("n_both"))
+    nt = text_pairs.agg(F.count("*").alias("n_text_pairs"))
+    nv = vec_pairs.agg(F.count("*").alias("n_vector_pairs"))
+    return (
+        nt.crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(both))
+        .select(
+            F.col("n_text_pairs").cast("long").alias("n_text_pairs"),
+            F.col("n_vector_pairs").cast("long").alias("n_vector_pairs"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_text_pairs") + F.col("n_vector_pairs") - F.col("n_both")),
+                6,
+            ).alias("signal_jaccard"),
+        )
+    )
