@@ -447,16 +447,16 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count("*").alias("n"))
     )
-    outdeg = trans.groupBy(F.col("src").alias("od_src")).agg(
-        F.sum("n").cast("long").alias("total")
-    )
+    # row-normalize with a window-sum over the (tiny) transition table
+    # instead of a second aggregation + join: the lead-window subtree
+    # would otherwise be evaluated once per reference
+    total = F.sum("n").over(Window.partitionBy("src"))
     return (
-        trans.join(F.broadcast(outdeg), F.col("src") == F.col("od_src"))
-        .select(
+        trans.select(
             "src",
             "dst",
             F.col("n").cast("long").alias("n"),
-            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("p"),
+            F.round(F.col("n").cast("double") / total.cast("double"), 6).alias("p"),
         )
         .orderBy("src", "dst")
     )

@@ -525,6 +525,47 @@ def test_pq_adc_stays_jvm_broadcast(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+def test_rolling_wau_explodes_collapsed_table(spark, sf_dir):
+    """Rolling WAU: the 7x covered-day explode (Generate) must sit
+    above the (user, day) distinct aggregate, not above raw events —
+    partial+final aggregates on both sides, no Python."""
+    p = plan(QUERIES["rolling_7d_active_users"].fn(spark, sf_dir))
+    assert "Generate" in p, p
+    assert p.count("HashAggregate") >= 4, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_transition_matrix_no_subtree_duplication(spark, sf_dir):
+    """Transition matrix: lead window + window-sum normalization over
+    the tiny transition table — exactly two Window operators, NO
+    join (a second aggregation + join would re-evaluate the lead
+    subtree once per reference)."""
+    p = plan(QUERIES["event_transition_matrix"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2, p
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_cooccurrence_joins_collapsed_table(spark, sf_dir):
+    """Co-occurrence: the self-join runs on the distinct (user, type)
+    table — distinct aggregates must feed the join inputs. The only
+    nested-loop allowed is the 1-row user-count scalar broadcast."""
+    p = plan(QUERIES["event_cooccurrence_lift"].fn(spark, sf_dir))
+    assert p.count("HashAggregate") >= 4, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_vocab_growth_broadcasts_cutoffs(spark, sf_dir):
+    """Vocab growth: the ten cutoffs join by broadcast nested loop or
+    hash (10 rows) — the corpus-sized side never re-shuffles for
+    them; tokenization stays a Generate."""
+    p = plan(QUERIES["vocab_growth_curve"].fn(spark, sf_dir))
+    assert "Generate" in p, p
+    assert "BroadcastExchange" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
 def test_triangle_count_equi_joins_only(spark, sf_dir):
     """Triangle counting is two equi-joins on edge endpoints — any
     nested-loop here would be quadratic in edges."""
