@@ -2,6 +2,7 @@ from memories_spark.plans.registry import QUERIES, QuerySpec  # noqa: F401
 
 # Register the themed query batches (import side effects populate QUERIES).
 from memories_spark.plans import (  # noqa: F401, E402
+    queries_advanced,
     queries_ann,
     queries_catalog,
     queries_catalog2,
