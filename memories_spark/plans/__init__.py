@@ -3,6 +3,7 @@ from memories_spark.plans.registry import QUERIES, QuerySpec  # noqa: F401
 # Register the themed query batches (import side effects populate QUERIES).
 from memories_spark.plans import (  # noqa: F401, E402
     queries_advanced,
+    queries_advanced2,
     queries_ann,
     queries_catalog,
     queries_catalog2,
