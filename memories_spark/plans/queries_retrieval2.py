@@ -460,10 +460,18 @@ ORDER BY score DESC, doc_id ASC
 )
 def graph_merge_reserved(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    direct = _vec_ranked(t["embeddings"], limit=10).select(
-        F.col("id").alias("doc_id"),
-        "rank",
-        (F.lit(1.0) / (F.col("rank") + 60).cast("double")).alias("dscore"),
+    # The direct rank list feeds four consumers (seeds, merge join,
+    # scalar aggregate, graph-only anti-join); it is 10 rows, so
+    # materialize it once instead of re-running the cosine scan +
+    # global rank per consumer.
+    direct = (
+        _vec_ranked(t["embeddings"], limit=10)
+        .select(
+            F.col("id").alias("doc_id"),
+            "rank",
+            (F.lit(1.0) / (F.col("rank") + 60).cast("double")).alias("dscore"),
+        )
+        .localCheckpoint(eager=True)
     )
     seeds = direct.select(
         F.col("doc_id").alias("id"),
