@@ -571,3 +571,57 @@ def test_triangle_count_equi_joins_only(spark, sf_dir):
     nested-loop here would be quadratic in edges."""
     p = plan(QUERIES["triangle_count"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_interval_coverage_is_joinless_windows(spark, sf_dir):
+    """Interval-union coverage is a pure window sweep: island
+    flagging and numbering share the user_id partitioning and there
+    is NO join anywhere — the naive interval-overlap formulation
+    would self-join quadratically per user."""
+    p = plan(QUERIES["interval_coverage_union"].fn(spark, sf_dir))
+    assert "Join" not in p, p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2, p
+
+
+def test_burst_detection_joinless_range_window(spark, sf_dir):
+    """Burst detection: one groupBy collapse, then a RANGE-frame
+    window on the rollup. No densification join, no Python."""
+    p = plan(QUERIES["hourly_burst_detection"].fn(spark, sf_dir))
+    assert "Join" not in p, p
+    assert re.search(r"RangeFrame, -24, -1", p), p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_setsim_join_stays_equi(spark, sf_dir):
+    """Rare-shingle blocking must keep every join an equi-join (hash
+    or sort-merge) — a nested-loop anywhere means the blocking
+    collapsed into all-pairs."""
+    p = plan(QUERIES["rareterm_jaccard_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_sequence_pattern_single_user_shuffle(spark, sf_dir):
+    """The ordered collapse happens inside the aggregation
+    (array_sort(collect_list)) — no Window operator, no join, and
+    the regex runs post-aggregation."""
+    p = plan(QUERIES["user_sequence_pattern"].fn(spark, sf_dir))
+    assert "Window" not in p, p
+    assert "Join" not in p, p
+    assert "ObjectHashAggregate" in p or "SortAggregate" in p, p
+
+
+def test_bigram_surprisal_no_cartesian_except_scalar(spark, sf_dir):
+    """The only nested-loop in the bigram LM rescore is the 1-row
+    vocab-size broadcast; LM count joins are hash equi-joins."""
+    p = plan(QUERIES["bigram_surprisal_score"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_cusum_broadcasts_type_totals(spark, sf_dir):
+    """CUSUM: the 5-row per-type totals broadcast back onto the daily
+    rollup; the rollup itself is the only shuffle of fact data."""
+    p = plan(QUERIES["cusum_changepoint"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
