@@ -625,3 +625,37 @@ def test_cusum_broadcasts_type_totals(spark, sf_dir):
     p = plan(QUERIES["cusum_changepoint"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_copart_projection_joins_distinct_incidence(spark, sf_dir):
+    """Bipartite projection must self-join the DISTINCT (part,
+    supplier) incidence list, not raw lineitem — the distinct
+    aggregate has to sit below the join on both sides."""
+    p = plan(QUERIES["supplier_copart_projection"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_skew_profile_two_level_agg(spark, sf_dir):
+    """Skew diagnostic: per-key counts then one-row rollups — no
+    joins, no windows, partial aggregation everywhere."""
+    p = plan(QUERIES["join_key_skew_profile"].fn(spark, sf_dir))
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+
+
+def test_trigram_mining_top10_take_ordered(spark, sf_dir):
+    """Trigram mining collapses per user first (ObjectHashAggregate
+    with the sorted collect), then takes the global top-10 without a
+    full sort."""
+    p = plan(QUERIES["event_trigram_mining"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" not in p, p
+
+
+def test_lcc_equi_joins_only(spark, sf_dir):
+    """Local clustering coefficient: triangle enumeration and the
+    degree join stay equi-joins on edge endpoints."""
+    p = plan(QUERIES["local_clustering_coefficient"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
