@@ -659,3 +659,28 @@ def test_lcc_equi_joins_only(spark, sf_dir):
     degree join stay equi-joins on edge endpoints."""
     p = plan(QUERIES["local_clustering_coefficient"].fn(spark, sf_dir))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_mta_equi_join_on_user(spark, sf_dir):
+    """Multi-touch attribution pairs touches to purchases via an
+    equi-join on user_id (time window as residual predicate) — a
+    pure time-range nested-loop would be quadratic in events."""
+    p = plan(QUERIES["multi_touch_attribution"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert re.search(r"PushedFilters: \[.*event_type", p), p
+
+
+def test_ri_audit_broadcasts_parents(spark, sf_dir):
+    """Referential-integrity checks anti-join with broadcast parents
+    — the fact side never shuffles for a dimension check."""
+    p = plan(QUERIES["referential_integrity_audit"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert re.search(r"LeftAnti", p), p
+
+
+def test_trend_single_agg_pass(spark, sf_dir):
+    """Per-group OLS is one aggregation over the rebased stream: no
+    window, no join beyond the 1-row base broadcast."""
+    p = plan(QUERIES["value_trend_by_type"].fn(spark, sf_dir))
+    assert "Window" not in p, p
+    assert p.count("HashAggregate") >= 2, p
