@@ -26,7 +26,7 @@ WITH iv AS (
   SELECT user_id, event_id,
          CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
          CAST(floor(epoch(ts)) AS BIGINT)
-           + (CAST(round(value * 100.0) AS BIGINT) % 1741) + 60 AS end_s
+           + (abs(CAST(round(value * 100.0) AS BIGINT)) % 1741) + 60 AS end_s
   FROM events
 ),
 flagged AS (
@@ -83,7 +83,7 @@ ORDER BY user_id
 def interval_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     start = F.unix_timestamp("ts")
-    dur = (F.round(F.col("value") * 100.0).cast("long") % 1741) + 60
+    dur = (F.abs(F.round(F.col("value") * 100.0).cast("long")) % 1741) + 60
     iv = ev.select(
         "user_id",
         "event_id",
