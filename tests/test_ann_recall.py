@@ -207,3 +207,52 @@ def test_pq_adc_recall(spark, sf_dir):
     assert mean_recall >= 0.15, recalls
     assert mean_rerank >= mean_recall + 0.15, (recalls, rerank_recalls)
     assert mean_rerank >= 0.50, rerank_recalls
+
+
+def test_sq8_shortlist_recall(spark, sf_dir):
+    """SQ8's int8 shortlist (top-30 by integer dot) must contain most
+    of the exact top-10 — scalar quantization at 64 dims loses far
+    less rank information than PQ, so pin a high floor (>= 0.8 mean
+    over the query set; measured ~1.0 on the test embeddings)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    amax = emb.agg(
+        F.max(F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))))
+        .alias("a")
+    )
+    q8 = emb.crossJoin(F.broadcast(amax)).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.lit(127.0) / F.col("a")).cast("long"),
+        ).alias("qv"),
+    ).cache()
+    recalls = []
+    for qid in QUERY_IDS:
+        qv = emb.filter(F.col("vec_id") == qid).select(F.col("embedding").alias("q"))
+        exact = _topk_ids(
+            emb.crossJoin(F.broadcast(qv))
+            .filter(F.col("vec_id") != qid)
+            .select("vec_id", cosine_expr("embedding", "q").alias("sim")),
+            qid,
+        )
+        qq = q8.filter(F.col("vec_id") == qid).select(F.col("qv").alias("query_q"))
+        w = Window.orderBy(F.desc("ip"), F.asc("vec_id"))
+        short = {
+            r.vec_id
+            for r in q8.filter(F.col("vec_id") != qid)
+            .crossJoin(F.broadcast(qq))
+            .select(
+                "vec_id",
+                F.aggregate(
+                    F.zip_with("qv", "query_q", lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("ip"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 30)
+            .collect()
+        }
+        recalls.append(len(exact & short) / K)
+    q8.unpersist()
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
