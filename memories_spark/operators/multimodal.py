@@ -238,3 +238,54 @@ def window_audio(
             )
 
     return media.mapInPandas(run, AUDIO_WINDOW_SCHEMA)
+
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("fp", T.StringType()),  # 32-hex perceptual-hash stub
+    ]
+)
+
+
+def frame_fingerprints(
+    media: DataFrame, every_ms: int = 500, max_frames: int = 16
+) -> DataFrame:
+    """Per-frame perceptual-hash stub for video rows: one row per
+    sampled frame with a 128-bit hex fingerprint.
+
+    Stands in for decode->downscale->DCT->phash; the real codec is
+    the stubbed boundary (see module docstring), so the fingerprint
+    is md5 over the payload hex + frame index — deterministic,
+    cross-engine reproducible, and computed inside the same
+    Arrow-batched ``mapInPandas`` stage a real phash would run in
+    (CPU-heavy per-frame work, embarrassingly parallel, no shuffle).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for mid, kind, payload, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind != "video":
+                    continue
+                duration = int(meta["duration_ms"] or 0)
+                n = min(max_frames, max(duration // every_ms, 0))
+                ptxt = bytes(payload).hex()
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    fps.append(
+                        hashlib.md5(f"{ptxt}-{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "fp": pd.Series(fps, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(run, FINGERPRINT_SCHEMA)

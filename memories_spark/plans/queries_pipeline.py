@@ -216,3 +216,65 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------
+# Frame-level near-dup detection (phash-bucket dedup across videos)
+# ---------------------------------------------------------------------
+
+_PHASH_ORACLE = """
+WITH vids AS (
+  SELECT doc_id AS media_id, md5(text) AS ptxt,
+         1000 + (doc_id % 20) * 377 AS duration
+  FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT media_id,
+         md5(ptxt || '-' || CAST(i AS VARCHAR)) AS fp
+  FROM vids, (SELECT unnest(generate_series(0, 15)) AS i)
+  WHERE i < least(16, duration // 500)
+),
+buckets AS (
+  SELECT substr(fp, 1, 2) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(count(DISTINCT media_id) AS BIGINT) AS n_videos
+  FROM frames GROUP BY substr(fp, 1, 2)
+)
+SELECT bucket, n_frames, n_videos
+FROM buckets WHERE n_frames > 1
+ORDER BY n_frames DESC, bucket ASC
+LIMIT 20
+"""
+
+
+@register(
+    "frame_phash_dedup",
+    oracle=_PHASH_ORACLE,
+    doc="Frame-level near-duplicate detection across videos: every "
+    "sampled frame gets a perceptual-hash stub from the "
+    "Arrow-batched fingerprint stage "
+    "(operators/multimodal.frame_fingerprints — the decode->phash "
+    "boundary, stubbed deterministically per the multimodal "
+    "contract), frames bucket by hash prefix, and buckets holding "
+    "more than one frame surface as near-dup candidates with "
+    "their video spread — the video analogue of MinHash banding: "
+    "candidate generation is a pure groupBy on the bucket key, "
+    "never a frame-to-frame join. The oracle re-derives the "
+    "fingerprint chain in SQL, so the mapInPandas explosion, "
+    "hashing and rollup are all value-checked, not just counted.",
+    tags=("multimodal", "dedup"),
+)
+def frame_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    fps = mm_op.frame_fingerprints(
+        _derived_media(docs), every_ms=500, max_frames=16
+    )
+    buckets = fps.groupBy(F.substring("fp", 1, 2).alias("bucket")).agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct("media_id").alias("n_videos"),
+    )
+    return (
+        buckets.filter(F.col("n_frames") > 1)
+        .orderBy(F.col("n_frames").desc(), F.col("bucket").asc())
+        .limit(20)
+    )
