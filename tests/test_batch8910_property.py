@@ -314,3 +314,61 @@ def test_rareterm_jaccard_matches_model(spark, tmp_path_factory, token_lists):
             if inter / union >= 0.25:
                 expect[(a, b)] = (inter, union)
     assert got == expect
+
+
+# ---------------------------------------------------------------------
+# Token bucket == python replay (dense timestamps force rejections)
+# ---------------------------------------------------------------------
+
+dense_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 1),        # user
+        st.integers(0, 200),      # SECOND offset — dense, bucket will empty
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _dense_events_table(rows):
+    return pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [BASE_US + s * 1_000_000 for _, s in rows],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(rows=dense_events_strategy)
+def test_token_bucket_matches_model(spark, tmp_path_factory, rows):
+    tmp = tmp_path_factory.mktemp("bucket")
+    d = _stage(tmp, "events", _dense_events_table(rows))
+    got = {
+        r.user_id: (r.n_events, r.admitted, r.rejected, r.tokens_left)
+        for r in QUERIES["token_bucket_admission"].fn(spark, d).collect()
+    }
+    CAP, REFILL = 5, 600
+    by_user: dict[int, list] = {}
+    for eid, (u, s) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, eid))
+    expect = {}
+    for u, evs in by_user.items():
+        tokens, admitted, last = CAP, 0, None
+        for s, _eid in sorted(evs):
+            if last is not None:
+                tokens = min(CAP, tokens + (s - last) // REFILL)
+            last = s
+            if tokens >= 1:
+                tokens -= 1
+                admitted += 1
+        expect[u] = (len(evs), admitted, len(evs) - admitted, tokens)
+    assert got == expect
