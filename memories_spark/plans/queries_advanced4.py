@@ -30,7 +30,7 @@ WITH iv AS (
   FROM events
 ),
 flagged AS (
-  SELECT user_id, start_s, end_s,
+  SELECT user_id, event_id, start_s, end_s,
          CASE WHEN max(end_s) OVER (
                 PARTITION BY user_id ORDER BY start_s, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -43,9 +43,11 @@ flagged AS (
   FROM iv
 ),
 islands AS (
+  -- same (start_s, event_id) ordering as the flag window: a different
+  -- tie-break here would detach tied-start rows from their island
   SELECT user_id, start_s, end_s,
          sum(new_island) OVER (
-           PARTITION BY user_id ORDER BY start_s, end_s
+           PARTITION BY user_id ORDER BY start_s, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS island_id
   FROM flagged
@@ -98,15 +100,18 @@ def interval_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_max = F.max("end_s").over(w_prev)
     flagged = iv.select(
         "user_id",
+        "event_id",
         "start_s",
         "end_s",
         F.when(prev_max.isNull() | (F.col("start_s") > prev_max), 1)
         .otherwise(0)
         .alias("new_island"),
     )
+    # identical ordering to the flag window — a different tie-break
+    # would detach tied-start rows from their island
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("start_s", "end_s")
+        .orderBy("start_s", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = flagged.select(
