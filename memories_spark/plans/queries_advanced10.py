@@ -41,6 +41,7 @@ LIMIT 20
 
 @register(
     "item_item_cosine",
+    bench=True,
     oracle=_CF_ORACLE,
     doc="Item-item collaborative filtering: cosine similarity between "
     "parts over binary customer-purchase vectors, n_both / "

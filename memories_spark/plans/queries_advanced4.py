@@ -68,6 +68,7 @@ ORDER BY user_id
 
 @register(
     "interval_coverage_union",
+    bench=True,
     oracle=_COVERAGE_ORACLE,
     doc="Merged interval-union coverage per user (the classic 'total "
     "busy time' sweep): each event opens an interval of "
@@ -454,6 +455,7 @@ ORDER BY jaccard DESC, doc_a, doc_b
 
 @register(
     "rareterm_jaccard_join",
+    bench=True,
     oracle=_SETSIM_ORACLE,
     doc="Exact set-similarity self-join over 3-word shingle sets with "
     "rare-shingle blocking (the prefix-filter idea from "

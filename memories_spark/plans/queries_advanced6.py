@@ -63,6 +63,7 @@ ORDER BY touch_type
 
 @register(
     "multi_touch_attribution",
+    bench=True,
     oracle=_MTA_ORACLE,
     doc="Multi-touch revenue attribution: every view/click in the 24 "
     "hours before a purchase shares that purchase's value, under "
