@@ -684,3 +684,78 @@ def test_trend_single_agg_pass(spark, sf_dir):
     p = plan(QUERIES["value_trend_by_type"].fn(spark, sf_dir))
     assert "Window" not in p, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_fuzzy_match_equi_join_on_variants(spark, sf_dir):
+    """SymSpell matching must be an equi-join on the deletion variant
+    — a levenshtein nested-loop over the vocabulary is exactly what
+    the rewrite exists to avoid."""
+    p = plan(QUERIES["fuzzy_term_match"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "levenshtein" not in p.lower(), p
+
+
+def test_item_item_distinct_before_selfjoin(spark, sf_dir):
+    """CF projection self-joins the DISTINCT incidence list; the
+    distinct aggregate must sit below the join."""
+    p = plan(QUERIES["item_item_cosine"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_incremental_merge_partial_aggs(spark, sf_dir):
+    """Base and delta rollups must both partial-aggregate before the
+    full-outer merge (4+ HashAggregates: 2 rollups x partial+final)."""
+    p = plan(QUERIES["incremental_rollup_merge"].fn(spark, sf_dir))
+    assert p.count("HashAggregate") >= 4, p
+    assert re.search(r"FullOuter", p), p
+
+
+def test_katz_equi_joins_only(spark, sf_dir):
+    p = plan(QUERIES["katz_centrality"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_peak_concurrency_two_phase(spark, sf_dir):
+    """The full endpoint stream's running sum must be PARTITIONED by
+    the hour bucket — the only unpartitioned window allowed is the
+    per-bucket offset cumsum (tiny). The swept subtree is referenced
+    twice (peak + argmin passes) and deduped by ReuseExchange at
+    runtime, so we assert the window specs, not the node count."""
+    p = plan(QUERIES["peak_concurrency"].fn(spark, sf_dir))
+    assert re.search(r"windowspecdefinition\(bucket", p), p
+    # the unpartitioned cumsum runs over per-bucket totals only:
+    # its child must be an aggregate, never the raw endpoint union
+    assert "CartesianProduct" not in p, p
+
+
+def test_snapshot_diff_hash_join(spark, sf_dir):
+    """The CDC diff joins 16-byte digests with a hash/merge full-outer
+    join; no nested loop, no Python."""
+    p = plan(QUERIES["snapshot_diff_audit"].fn(spark, sf_dir))
+    assert re.search(r"FullOuter", p), p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_leakage_semi_join(spark, sf_dir):
+    """Split-leakage counts held-out grams via LEFT SEMI — never
+    materializing the pair join."""
+    p = plan(QUERIES["split_ngram_leakage"].fn(spark, sf_dir))
+    assert re.search(r"LeftSemi", p), p
+    assert "CartesianProduct" not in p, p
+
+
+def test_ks_and_chi2_no_cartesian(spark, sf_dir):
+    for name in ("ks_two_sample_values", "chi2_type_dow_independence"):
+        p = plan(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, f"{name}: {p}"
+
+
+def test_holt_and_bucket_are_grouped_arrow(spark, sf_dir):
+    """The two sequential-state operators must run as grouped Arrow
+    stages (FlatMapGroupsInPandas), not row-at-a-time Python."""
+    for name in ("holt_user_forecast", "token_bucket_admission"):
+        p = plan(QUERIES[name].fn(spark, sf_dir))
+        assert "FlatMapGroupsInPandas" in p, f"{name}: {p}"
+        assert "BatchEvalPython" not in p, f"{name}: {p}"
