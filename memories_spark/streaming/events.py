@@ -652,3 +652,66 @@ def histogram_quantiles_from_state(
             "est_upper_edge"
         ),
     ).orderBy("q")
+
+
+def incremental_topk_sink(
+    events_stream: DataFrame, state_dir: str, checkpoint_dir: str, k: int = 10
+):
+    """foreachBatch maintenance of a per-event-type top-k leaderboard
+    (highest values, ties by event_id): the state table holds at most
+    k rows per type and merges with each micro-batch's own top-k.
+
+    Like the KMV sink this rests on merge associativity — top-k of a
+    union equals top-k of the per-part top-k's — which also makes
+    at-least-once replays idempotent (re-merging rows already in the
+    leaderboard cannot change it, because (value, event_id) ranks are
+    stable and duplicates collapse). State is O(k x groups) forever;
+    the streaming twin of every TakeOrderedAndProject in the batch
+    registry.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fresh = batch.select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+        )
+        if os.path.isdir(state_dir):
+            state = spark.read.parquet(state_dir)
+            merged = state.unionByName(fresh).distinct()
+        else:
+            merged = fresh
+        topk = (
+            merged.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("event_type").orderBy(
+                        F.col("cents").desc(), F.col("event_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rn") <= k)
+            .select("event_type", "event_id", "cents")
+        )
+        tmp = f"{state_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        topk.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(state_dir):
+            old = f"{state_dir}.old-{uuid.uuid4().hex[:8]}"
+            os.rename(state_dir, old)
+            os.rename(tmp, state_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, state_dir)
+
+    return (
+        events_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

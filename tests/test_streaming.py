@@ -633,3 +633,77 @@ def test_incremental_histogram_matches_batch(spark, tmp_path):
         for r in histogram_quantiles_from_state(spark, hist, lo, hi).collect()
     }
     assert got2 == got
+
+
+def test_incremental_topk_matches_batch(spark, tmp_path):
+    """Streamed per-type top-k leaderboard must equal the batch
+    TakeOrdered over the same data, and replaying the stream into
+    the same state must be a no-op (merge idempotency)."""
+    from memories_spark.streaming.events import incremental_topk_sink
+
+    src = str(tmp_path / "topk_events_in")
+    state = str(tmp_path / "topk_state")
+    ckpt = str(tmp_path / "topk_ckpt")
+    k = 3
+
+    def ev(i, etype, cents):
+        return {
+            "event_id": i,
+            "ts": "2024-01-05T00:00:00Z",
+            "user_id": i % 7,
+            "event_type": etype,
+            "value": cents / 100.0,
+        }
+
+    batch1 = [ev(i, "click", 100 + 7 * i) for i in range(6)]
+    batch2 = [ev(100 + i, "click", 90 + 11 * i) for i in range(6)]
+    batch3 = [ev(200 + i, "view", 500 - i) for i in range(2)]
+    _write_events(src, "b1.json", batch1)
+    q = incremental_topk_sink(read_event_stream(spark, src), state, ckpt, k=k)
+    q.awaitTermination(120)
+    _write_events(src, "b2.json", batch2)
+    _write_events(src, "b3.json", batch3)
+    q2 = incremental_topk_sink(read_event_stream(spark, src), state, ckpt, k=k)
+    q2.awaitTermination(120)
+
+    got = {
+        (r.event_type, r.event_id, r.cents)
+        for r in spark.read.parquet(state).collect()
+    }
+
+    all_rows = spark.createDataFrame(
+        [
+            (e["event_type"], e["event_id"], int(round(e["value"] * 100)))
+            for e in batch1 + batch2 + batch3
+        ],
+        "event_type string, event_id long, cents long",
+    )
+    from pyspark.sql import Window as W
+
+    want = {
+        (r.event_type, r.event_id, r.cents)
+        for r in all_rows.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(
+                    F.col("cents").desc(), F.col("event_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .select("event_type", "event_id", "cents")
+        .collect()
+    }
+    assert got == want
+    assert len([r for r in got if r[0] == "click"]) == k
+    assert len([r for r in got if r[0] == "view"]) == 2
+
+    # replay the whole directory into the same state: must not change
+    ckpt2 = str(tmp_path / "topk_ckpt2")
+    q3 = incremental_topk_sink(read_event_stream(spark, src), state, ckpt2, k=k)
+    q3.awaitTermination(120)
+    again = {
+        (r.event_type, r.event_id, r.cents)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert again == want
