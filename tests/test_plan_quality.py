@@ -759,3 +759,52 @@ def test_holt_and_bucket_are_grouped_arrow(spark, sf_dir):
         p = plan(QUERIES[name].fn(spark, sf_dir))
         assert "FlatMapGroupsInPandas" in p, f"{name}: {p}"
         assert "BatchEvalPython" not in p, f"{name}: {p}"
+
+
+def test_dbscan_stays_equi_blocked(spark, sf_dir):
+    """DBSCAN candidates come from the LSH-bucket equi-join; no
+    all-pairs nested loop may appear anywhere in the pipeline."""
+    p = plan(QUERIES["dbscan_core_clusters"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_zonemap_and_compaction_single_scan_shapes(spark, sf_dir):
+    """Layout ops: zone-map audit is scan+groupBy (no join beyond the
+    1-row predicate broadcast); compaction is rollup + one window."""
+    p = plan(QUERIES["zonemap_pruning_audit"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    p2 = plan(QUERIES["compaction_bin_packing"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Window", p2)) == 1, p2
+
+
+def test_watermark_audit_bucketed_running_max(spark, sf_dir):
+    """The arrival-order high-water mark must be partitioned by the
+    id bucket; only the per-bucket offset window may be global."""
+    p = plan(QUERIES["watermark_lateness_audit"].fn(spark, sf_dir))
+    assert re.search(r"windowspecdefinition\(bucket", p), p
+
+
+def test_seasonal_backtest_equi_lag_join(spark, sf_dir):
+    p = plan(QUERIES["seasonal_naive_backtest"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_retrieval_eval_broadcasts_query_panel(spark, sf_dir):
+    """The 4-query panel joins the corpus by broadcast; ranking is
+    one partitioned window; no Python anywhere."""
+    p = plan(QUERIES["retrieval_eval_metrics"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_bom_rollup_equi_joins_only(spark, sf_dir):
+    p = plan(QUERIES["bom_cost_rollup"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_psi_and_sampled_quantile_no_cartesian(spark, sf_dir):
+    for name in ("psi_drift_audit", "sampled_quantile_error"):
+        p = plan(QUERIES[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, f"{name}: {p}"
