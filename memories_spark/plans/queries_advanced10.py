@@ -18,9 +18,15 @@ from memories_spark.sources.tables import load_tables
 # ---------------------------------------------------------------------
 
 _CF_ORACLE = """
-WITH bought AS (
+WITH raw AS (
   SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+bought AS (
+  SELECT c, p FROM (
+    SELECT c, p, row_number() OVER (PARTITION BY c ORDER BY p) AS rn
+    FROM raw
+  ) WHERE rn <= 100
 ),
 deg AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM bought GROUP BY p),
 co AS (
@@ -48,9 +54,13 @@ LIMIT 20
     "sqrt(n_a * n_b) — the classical neighborhood-method "
     "recommender primitive (the 'customers who bought X also "
     "bought Y' table). The incidence list is first collapsed to "
-    "DISTINCT (customer, part), so the co-occurrence self-join "
-    "fans out only within a customer's basket (hub-bounded); "
-    "degree counts broadcast back onto the (much smaller) pair "
+    "DISTINCT (customer, part), then each customer's basket is "
+    "capped at 100 parts (deterministic: lowest partkeys win), so "
+    "the self-join fan-out is bounded at 100*99/2 pairs per "
+    "customer — a power user with a 10^4-item basket contributes "
+    "~5k pairs instead of 10^8 (the skew scale-killer the cap "
+    "removes, mirroring supplier_copart_projection's hub bound); "
+    "degree counts join back onto the (much smaller) pair "
     "table; n_both >= 3 prunes noise pairs before the sqrt. "
     "Top-20 via TakeOrderedAndProject. The cosine divides two "
     "exact BIGINTs, so cross-engine equality is exact.",
@@ -58,7 +68,7 @@ LIMIT 20
 )
 def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    bought = (
+    raw = (
         t["lineitem"]
         .join(
             t["orders"].select("o_orderkey", "o_custkey"),
@@ -66,6 +76,14 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+    )
+    # Basket cap: bound the per-customer self-join fan-out to 100*99/2
+    # pairs regardless of how large a hub customer's basket is.
+    cap_w = Window.partitionBy("c").orderBy(F.col("p").asc())
+    bought = (
+        raw.withColumn("rn", F.row_number().over(cap_w))
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
     )
     deg = bought.groupBy("p").agg(F.count("*").alias("n"))
     b = bought.select(F.col("c").alias("bc"), F.col("p").alias("part_b"))

@@ -515,8 +515,11 @@ def rareterm_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_sz = F.col("sza") + F.col("szb") - F.col("inter_sz")
     jac = F.col("inter_sz").cast("double") / union_sz
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        # NOTE: sa/sb are per-document tables (one row per doc) — at 100x
+        # corpus a broadcast here OOMs. No hint: AQE picks the strategy
+        # (the candidate-pair side `inter` is the small one after blocking).
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= 0.25)
         .select(
             "doc_a",

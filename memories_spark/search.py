@@ -103,13 +103,12 @@ def hybrid_search(
         mem = mem.filter(F.col("source").startswith(source_prefix))
     mem = mem.cache()
 
-    n = mem.count()
-    if n == 0:
-        return mem.select("id", "text", "source").withColumn(
-            "rrf_score", F.lit(0.0)
-        ).withColumn("similarity", F.lit(0.0)).withColumn("match_type", F.lit("direct"))
-    k = max(1, min(k, n, MAX_K))
-    oversample = min(3 * k, n)  # reference :1752-1753
+    # Lazy k clamp: the reference clamps k <= min(N, 100) with an eager
+    # count (memory_engine.py:1397); a LIMIT k over fewer than k rows
+    # returns the same result, so the N term needs no count job — one
+    # fewer Spark action per search call. Same for oversample=min(3k,N).
+    k = max(1, min(k, MAX_K))
+    oversample = 3 * k  # reference :1752-1753
 
     # --- vector branch -------------------------------------------------
     qvec = [float(x) for x in embed_fn(query_text)]

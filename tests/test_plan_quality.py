@@ -601,6 +601,26 @@ def test_setsim_join_stays_equi(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p
 
 
+def test_setsim_sizes_table_not_hint_broadcast(spark, sf_dir):
+    """The per-document sizes table is O(corpus): a forced broadcast
+    hint on it OOMs at 100x. The logical plan must carry NO broadcast
+    hints — strategy choice belongs to AQE/CBO (which may still
+    broadcast at tiny SF, legitimately, based on observed sizes)."""
+    df = QUERIES["rareterm_jaccard_join"].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed, analyzed
+
+
+def test_item_item_basket_cap_bounds_fanout(spark, sf_dir):
+    """The CF self-join must sit above a per-customer basket cap
+    (row_number <= 100 compiled to WindowGroupLimit, so per-customer
+    window state is 100 rows) — an uncapped hub customer with a 10^4
+    basket would otherwise contribute 10^8 pairs."""
+    p = plan(QUERIES["item_item_cosine"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in p, p
+    assert re.search(r"windowspecdefinition\(c#", p), p
+
+
 def test_sequence_pattern_single_user_shuffle(spark, sf_dir):
     """The ordered collapse happens inside the aggregation
     (array_sort(collect_list)) — no Window operator, no join, and
