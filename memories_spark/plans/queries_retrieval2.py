@@ -614,85 +614,298 @@ def conflict_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# Evidence packet (R14)
+# Evidence packet (R14) — full reference semantics
 # ---------------------------------------------------------------------
 
-_EP_WINDOW_DAYS = 30
+# reference evidence_packet.py:53-56 — these query words flip the rank
+# key from score-first to date-first
+_EP_PREFER_RE = r"\b(?:latest|current|now|recent|changed|newest|today|yesterday)\b"
+_EP_PANEL = [
+    (0, "deployment history notes"),   # score-first rank key
+    (1, "latest deployment status"),   # recency-preferred rank key
+    (2, "pricing history notes"),      # score-first + undated current
+]
 
 
 def _evidence_oracle() -> str:
     cos = cosine_sql("e.embedding", "q.embedding", 64)
-    rec = decay_sql("c.last_ts", _NOW, _RECENCY_HL)
+    panel = ", ".join(f"({i}, '{q}')" for i, q in _EP_PANEL)
     return f"""
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS doc_id, round({cos}, 6) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+),
 top20 AS (
-  SELECT doc_id, rank FROM (
-    SELECT e.vec_id AS doc_id,
-           row_number() OVER (ORDER BY round({cos}, 6) DESC, e.vec_id ASC) AS rank
-    FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
-  ) WHERE rank <= 20
+  SELECT doc_id, sim, srank FROM (
+    SELECT doc_id, sim,
+           row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS srank
+    FROM scored
+  ) WHERE srank <= 20
 ),
-anchors AS (SELECT user_id AS doc_id, max(ts) AS last_ts FROM events GROUP BY user_id),
+anchors AS (SELECT user_id, max(ts) AS last_ts0 FROM events GROUP BY user_id),
+panel AS (
+  SELECT qid, query,
+         CASE WHEN regexp_matches(lower(query), '{_EP_PREFER_RE}') THEN 1 ELSE 0 END AS prefer
+  FROM (VALUES {panel}) AS p(qid, query)
+),
 c0 AS (
-  SELECT t.doc_id, t.rank, a.last_ts FROM top20 t
-  LEFT JOIN anchors a ON a.doc_id = t.doc_id
+  SELECT p.qid, p.prefer, t.doc_id, t.srank,
+         CASE WHEN p.qid = 2 AND t.srank = 1 THEN NULL
+              WHEN t.doc_id % 5 = 4 THEN NULL
+              ELSE a.last_ts0 END AS last_ts,
+         CAST(round(t.sim * 1e6) AS BIGINT) AS score_fp,
+         (t.doc_id % 13 = 0) AS archived,
+         CASE WHEN t.doc_id % 7 != 0 THEN 1 ELSE 0 END AS latest_i
+  FROM top20 t CROSS JOIN panel p
+  LEFT JOIN anchors a ON a.user_id = t.doc_id % 15
 ),
-ans AS (SELECT max(last_ts) AS answer_ts FROM c0)
-SELECT c.doc_id, CAST(c.rank AS BIGINT) AS rank,
-       CASE
-         WHEN c.last_ts IS NULL THEN 'undated'
-         WHEN c.last_ts = (SELECT answer_ts FROM ans) THEN 'current'
-         WHEN epoch_us((SELECT answer_ts FROM ans)) - epoch_us(c.last_ts)
-              <= {_EP_WINDOW_DAYS} * 86400000000 THEN 'supporting'
-         ELSE 'older'
-       END AS status,
-       CASE
-         WHEN c.last_ts IS NULL THEN 'missing'
-         WHEN {rec} >= 0.5 THEN 'high'
-         WHEN {rec} >= 0.1 THEN 'medium'
-         ELSE 'low'
-       END AS confidence_level
-FROM c0 c ORDER BY rank
+keyed AS (
+  SELECT *, CASE WHEN last_ts IS NULL THEN 0 ELSE 1 END AS dated,
+         coalesce(epoch_us(last_ts), -1) AS date_us
+  FROM c0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY
+      CASE WHEN prefer = 1 THEN dated ELSE score_fp END DESC,
+      CASE WHEN prefer = 1 THEN date_us ELSE dated END DESC,
+      CASE WHEN prefer = 1 THEN score_fp ELSE date_us END DESC,
+      latest_i DESC, doc_id ASC) AS rank
+  FROM keyed
+),
+cur AS (
+  SELECT qid, dated AS cur_dated, date_us AS cur_date_us
+  FROM ranked WHERE rank = 1
+),
+rel AS (
+  SELECT r.qid, r.prefer, r.doc_id, CAST(r.rank AS BIGINT) AS rank,
+         CASE WHEN r.rank = 1 THEN 'current'
+              WHEN c.cur_dated = 1 AND r.dated = 1 AND r.date_us < c.cur_date_us THEN 'older'
+              WHEN r.archived THEN 'archived'
+              WHEN c.cur_dated = 0 AND r.dated = 1 THEN 'dated_unranked'
+              ELSE 'supporting' END AS relation,
+         c.cur_dated
+  FROM ranked r JOIN cur c ON c.qid = r.qid
+),
+conf AS (
+  SELECT qid,
+         CASE WHEN max(cur_dated) = 0 THEN 'low'
+              WHEN CAST(sum(CASE WHEN relation = 'older' THEN 1 ELSE 0 END) AS BIGINT) > 0 THEN 'medium'
+              ELSE 'high' END AS confidence_level
+  FROM rel GROUP BY qid
+)
+SELECT r.qid, CAST(r.prefer AS BIGINT) AS prefer_recency, r.doc_id, r.rank,
+       r.relation, c.confidence_level
+FROM rel r JOIN conf c ON c.qid = r.qid
+ORDER BY r.qid, r.rank
 """
 
 
 @register(
     "evidence_packet",
     oracle=_evidence_oracle(),
-    doc="Evidence packet: classify search hits against the current "
-    "answer's date (current / supporting / older / undated) with "
-    "high/medium/low/missing confidence levels (reference R14, "
-    "evidence_packet.py:53-161).",
+    doc="Evidence packet at FULL reference semantics (reference R14, "
+    "evidence_packet.py:53-161): a panel of queries is classified "
+    "for recency preference (latest/current/now/recent/changed/"
+    "newest/today/yesterday flips the rank key from score-first "
+    "(score, dated, date, is_latest) to date-first (dated, date, "
+    "score, is_latest) — :59-64); the top-ranked hit is the "
+    "current answer and every other hit is classified against its "
+    "date: older (dated before current), archived, dated_unranked "
+    "(current answer undated but this hit dated — qid 2 "
+    "deterministically exercises the class by blanking the top "
+    "hit's anchor), else supporting (:116-127); packet confidence "
+    "is low when the current answer is undated, medium when older "
+    "evidence exists, else high (:139-144). One shared top-20 "
+    "candidate set, per-query window rank — the whole panel "
+    "classifies in one plan, no per-query loop.",
     tags=("retrieval", "temporal"),
 )
 def evidence_packet(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    top20 = _vec_ranked(t["embeddings"], limit=20).select(F.col("id").alias("doc_id"), "rank")
-    anchors = t["events"].groupBy(F.col("user_id").alias("doc_id")).agg(
-        F.max("ts").alias("last_ts")
-    )
-    c0 = top20.join(anchors, "doc_id", "left")
-    ans = c0.agg(F.max("last_ts").alias("answer_ts"))
-    now = F.lit(_NOW).cast("timestamp")
-    rec = half_life_decay(F.col("last_ts"), now, _RECENCY_HL)
-    age_us = F.unix_micros(F.col("answer_ts")) - F.unix_micros(F.col("last_ts"))
-    return (
-        c0.crossJoin(F.broadcast(ans))
+    emb = t["embeddings"]
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
         .select(
-            "doc_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.when(F.col("last_ts").isNull(), "undated")
-            .when(F.col("last_ts") == F.col("answer_ts"), "current")
-            .when(age_us <= F.lit(_EP_WINDOW_DAYS * 86_400_000_000), "supporting")
-            .otherwise("older")
-            .alias("status"),
-            F.when(F.col("last_ts").isNull(), "missing")
-            .when(rec >= 0.5, "high")
-            .when(rec >= 0.1, "medium")
-            .otherwise("low")
-            .alias("confidence_level"),
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_expr("embedding", "qv"), 6).alias("sim"),
         )
-        .orderBy("rank")
+    )
+    ws = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
+    top20 = scored.withColumn("srank", F.row_number().over(ws)).filter(
+        F.col("srank") <= 20
+    )
+    anchors = t["events"].groupBy("user_id").agg(F.max("ts").alias("last_ts0"))
+    panel = spark.createDataFrame(_EP_PANEL, "qid long, query string").select(
+        "qid",
+        F.when(F.lower("query").rlike(_EP_PREFER_RE), 1).otherwise(0).alias("prefer"),
+    )
+    c0 = (
+        top20.crossJoin(F.broadcast(panel))
+        .join(anchors, F.col("doc_id") % 15 == F.col("user_id"), "left")
+        .select(
+            "qid", "prefer", "doc_id", "srank",
+            F.when(
+                (F.col("qid") == 2) & (F.col("srank") == 1), F.lit(None)
+            )
+            .when(F.col("doc_id") % 5 == 4, F.lit(None))
+            .otherwise(F.col("last_ts0"))
+            .alias("last_ts"),
+            F.round(F.col("sim") * 1e6).cast("long").alias("score_fp"),
+            (F.col("doc_id") % 13 == 0).alias("archived"),
+            F.when(F.col("doc_id") % 7 != 0, 1).otherwise(0).alias("latest_i"),
+        )
+    )
+    keyed = c0.withColumn(
+        "dated", F.when(F.col("last_ts").isNull(), 0).otherwise(1)
+    ).withColumn("date_us", F.coalesce(F.unix_micros("last_ts"), F.lit(-1)))
+    prefer = F.col("prefer") == 1
+    wr = Window.partitionBy("qid").orderBy(
+        F.when(prefer, F.col("dated")).otherwise(F.col("score_fp")).desc(),
+        F.when(prefer, F.col("date_us")).otherwise(F.col("dated")).desc(),
+        F.when(prefer, F.col("score_fp")).otherwise(F.col("date_us")).desc(),
+        F.col("latest_i").desc(),
+        F.col("doc_id").asc(),
+    )
+    ranked = keyed.withColumn("rank", F.row_number().over(wr))
+    cur = ranked.filter(F.col("rank") == 1).select(
+        "qid",
+        F.col("dated").alias("cur_dated"),
+        F.col("date_us").alias("cur_date_us"),
+    )
+    rel = ranked.join(F.broadcast(cur), "qid").select(
+        "qid",
+        "prefer",
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.when(F.col("rank") == 1, "current")
+        .when(
+            (F.col("cur_dated") == 1)
+            & (F.col("dated") == 1)
+            & (F.col("date_us") < F.col("cur_date_us")),
+            "older",
+        )
+        .when(F.col("archived"), "archived")
+        .when((F.col("cur_dated") == 0) & (F.col("dated") == 1), "dated_unranked")
+        .otherwise("supporting")
+        .alias("relation"),
+        "cur_dated",
+    )
+    conf = rel.groupBy("qid").agg(
+        F.when(F.max("cur_dated") == 0, "low")
+        .when(F.sum((F.col("relation") == "older").cast("long")) > 0, "medium")
+        .otherwise("high")
+        .alias("confidence_level")
+    )
+    return (
+        rel.join(F.broadcast(conf), "qid")
+        .select(
+            "qid",
+            F.col("prefer").cast("long").alias("prefer_recency"),
+            "doc_id",
+            "rank",
+            "relation",
+            "confidence_level",
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------
+# Evidence follow-up suggestions (R14, evidence_packet.py:67-88)
+# ---------------------------------------------------------------------
+
+_FOLLOWUP_PANEL = [
+    (0, "postgres connection settings"),
+    (1, "latest pricing"),
+    (2, "current roadmap"),
+    (3, "what changed in the api"),
+    (4, "  Spaced   Out   Query  "),
+]
+
+
+def _followup_oracle() -> str:
+    panel = ", ".join(f"({i}, '{q}')" for i, q in _FOLLOWUP_PANEL)
+    return f"""
+WITH raw AS (
+  SELECT qid, trim(regexp_replace(query, '\\s+', ' ', 'g')) AS clean
+  FROM (VALUES {panel}) AS p(qid, query)
+),
+nonempty AS (SELECT qid, clean, lower(clean) AS lowered FROM raw WHERE clean != ''),
+cands AS (
+  SELECT qid, CAST(0 AS BIGINT) AS ord, clean AS followup FROM nonempty
+  UNION ALL
+  SELECT qid, 1, 'latest ' || clean FROM nonempty WHERE lowered NOT LIKE 'latest %'
+  UNION ALL
+  SELECT qid, 2, 'current ' || clean FROM nonempty WHERE lowered NOT LIKE 'current %'
+  UNION ALL
+  SELECT qid, 3, 'what changed about ' || clean FROM nonempty
+  WHERE lowered NOT LIKE 'what changed%'
+)
+SELECT qid, CAST(min(ord) AS BIGINT) AS ord, followup
+FROM cands GROUP BY qid, followup
+ORDER BY qid, ord
+"""
+
+
+@register(
+    "evidence_followups",
+    oracle=_followup_oracle(),
+    doc="Evidence-packet follow-up query suggestions (reference R14, "
+    "evidence_packet.py:67-88): whitespace-collapse the query, then "
+    "emit the query itself plus 'latest …', 'current …', and 'what "
+    "changed about …' variants — each skipped when the query "
+    "already starts with that prefix (case-insensitive) — deduped "
+    "keeping first position; empty queries produce no suggestions. "
+    "Pure string projection + explode: a billion logged queries "
+    "get their follow-ups in one scan.",
+    tags=("retrieval", "text"),
+)
+def evidence_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.createDataFrame(_FOLLOWUP_PANEL, "qid long, query string")
+    clean = F.trim(F.regexp_replace("query", r"\s+", " "))
+    base = raw.select("qid", clean.alias("clean")).filter(F.col("clean") != "")
+    lowered = F.lower("clean")
+    cands = base.select(
+        "qid",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("ord"),
+                        F.col("clean").alias("followup"),
+                        F.lit(True).alias("keep"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("ord"),
+                        F.concat(F.lit("latest "), F.col("clean")).alias("followup"),
+                        (~lowered.startswith("latest ")).alias("keep"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("ord"),
+                        F.concat(F.lit("current "), F.col("clean")).alias("followup"),
+                        (~lowered.startswith("current ")).alias("keep"),
+                    ),
+                    F.struct(
+                        F.lit(3).alias("ord"),
+                        F.concat(F.lit("what changed about "), F.col("clean")).alias(
+                            "followup"
+                        ),
+                        (~lowered.startswith("what changed")).alias("keep"),
+                    ),
+                ),
+                lambda s: s["keep"],
+            )
+        ).alias("c"),
+    )
+    return (
+        cands.groupBy("qid", F.col("c.followup").alias("followup"))
+        .agg(F.min("c.ord").cast("long").alias("ord"))
+        .select("qid", "ord", "followup")
+        .orderBy("qid", "ord")
     )
 
 

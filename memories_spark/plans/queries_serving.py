@@ -94,7 +94,7 @@ def reinforcement_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 _INTENT_QUERIES = [
-    (0, "what changed today in the deploy"),
+    (0, "what changed today in the deploy"),   # none: 'today' not a form
     (1, "incident report from yesterday"),
     (2, "standup notes last week"),
     (3, "plan for this week"),
@@ -106,32 +106,86 @@ _INTENT_QUERIES = [
     (9, "what shipped in december"),
     (10, "recently updated configs"),
     (11, "latest schema version"),
-    (12, "current oncall rotation"),
+    (12, "current oncall rotation"),           # none: 'current' not a recency word
     (13, "how does auth middleware work"),
     (14, "bm25 scoring constants"),
+    (15, "decisions made last year"),
+    (16, "incidents two weeks ago"),
+    (17, "migrations a month ago"),
+    (18, "outage one year ago"),
+    (19, "postmortems from the past few months"),
+    (20, "alerts in the past two weeks"),
+    (21, "deploys in the last 5 days"),
+    (22, "roadmap for this year"),
+    (23, "demo last thursday"),
+    (24, "oncall handoff last saturday"),
+    (25, "launch window from july to october"),
+    (26, "budget review between march and june"),
+    (27, "code freeze from november to february"),  # wrapping month range
+    (28, "newest dashboards"),
+    (29, "most recent schema change"),
+    (30, "things from november"),
+    (31, "changes during april"),
+    (32, "report for the month of august"),
 ]
 
-# Pinned 'now' = 2024-01-31 (a Wednesday); the week starts Monday
-# 2024-01-29. All branch constants below are start-of-week/month math
-# pre-folded against that anchor, matching functions/intent.py.
-_WORDNUM_SQL = (
-    "CASE mnum WHEN 'one' THEN 1 WHEN 'two' THEN 2 WHEN 'three' THEN 3 "
-    "WHEN 'four' THEN 4 WHEN 'five' THEN 5 WHEN 'six' THEN 6 "
-    "WHEN 'seven' THEN 7 WHEN 'eight' THEN 8 WHEN 'nine' THEN 9 "
-    "WHEN 'ten' THEN 10 ELSE CAST(mnum AS INT) END"
+# Pinned 'now' = 2024-01-31 (a Wednesday, weekday 2; the week starts
+# Monday 2024-01-29; now.month = 1). The classifier below is the FULL
+# reference grammar (reference query_intent.py:37-58 patterns,
+# :105-253 precedence) as ONE SQL template rendered for both engines;
+# the engines differ only in regex-literal escaping, date-shift
+# syntax, and date formatting. Matches functions/intent.py exactly.
+_MONTH_ALT = (
+    "january|february|march|april|may|june|july|august|september|"
+    "october|november|december|jan|feb|mar|apr|jun|jul|aug|sep|oct|nov|dec"
 )
-_MONTHNUM_SQL = (
-    "CASE mmon WHEN 'january' THEN 1 WHEN 'february' THEN 2 WHEN 'march' THEN 3 "
-    "WHEN 'april' THEN 4 WHEN 'may' THEN 5 WHEN 'june' THEN 6 WHEN 'july' THEN 7 "
-    "WHEN 'august' THEN 8 WHEN 'september' THEN 9 WHEN 'october' THEN 10 "
-    "WHEN 'november' THEN 11 WHEN 'december' THEN 12 END"
+_WD_ALT = "monday|tuesday|wednesday|thursday|friday|saturday|sunday"
+_NUM_ALT = (
+    r"\d+|a|an|one|two|three|four|five|six|seven|eight|nine|ten|"
+    "eleven|twelve|few|couple|several"
 )
-_DAYS_RE = r"\b([0-9]+|one|two|three|four|five|six|seven|eight|nine|ten)\s+days?\s+ago\b"
-_MONTH_RE = (
-    r"\bin\s+(january|february|march|april|may|june|july|august|"
-    r"september|october|november|december)\b"
+_MONTH_RANGE_RE = (
+    rf"(?:from\s+|between\s+)({_MONTH_ALT})\s+(?:to|and)\s+({_MONTH_ALT})"
 )
-_RECENT_RE = r"\b(recent(ly)?|lately|latest|current|newest)\b"
+_IN_MONTH_RE = rf"(?:in|from|during|month\s+of)\s+({_MONTH_ALT})\b"
+_YESTERDAY_RE = r"\byesterday\b"
+_LAST_PERIOD_RE = r"\blast\s+(week|month|year)\b"
+_LAST_WD_RE = rf"\blast\s+({_WD_ALT})\b"
+_N_AGO_RE = rf"\b({_NUM_ALT})\s+(day|week|month|year)s?\s+ago\b"
+_PAST_N_RE = rf"\b(?:past|last)\s+({_NUM_ALT})\s+(day|week|month|year)s?\b"
+_THIS_PERIOD_RE = r"\bthis\s+(week|month|year)\b"
+_RECENCY_RE = r"\b(?:recently|latest|most\s+recent|newest)\b"
+
+_WORDNUM_CASE = (
+    "CASE {c} WHEN 'a' THEN 1 WHEN 'an' THEN 1 WHEN 'one' THEN 1 "
+    "WHEN 'two' THEN 2 WHEN 'three' THEN 3 WHEN 'four' THEN 4 "
+    "WHEN 'five' THEN 5 WHEN 'six' THEN 6 WHEN 'seven' THEN 7 "
+    "WHEN 'eight' THEN 8 WHEN 'nine' THEN 9 WHEN 'ten' THEN 10 "
+    "WHEN 'eleven' THEN 11 WHEN 'twelve' THEN 12 WHEN 'few' THEN 3 "
+    "WHEN 'couple' THEN 2 WHEN 'several' THEN 4 "
+    "ELSE CAST({c} AS INT) END"
+)
+_MONTHNUM_CASE = (
+    "CASE {c} WHEN 'january' THEN 1 WHEN 'jan' THEN 1 "
+    "WHEN 'february' THEN 2 WHEN 'feb' THEN 2 "
+    "WHEN 'march' THEN 3 WHEN 'mar' THEN 3 "
+    "WHEN 'april' THEN 4 WHEN 'apr' THEN 4 WHEN 'may' THEN 5 "
+    "WHEN 'june' THEN 6 WHEN 'jun' THEN 6 WHEN 'july' THEN 7 WHEN 'jul' THEN 7 "
+    "WHEN 'august' THEN 8 WHEN 'aug' THEN 8 "
+    "WHEN 'september' THEN 9 WHEN 'sep' THEN 9 "
+    "WHEN 'october' THEN 10 WHEN 'oct' THEN 10 "
+    "WHEN 'november' THEN 11 WHEN 'nov' THEN 11 "
+    "WHEN 'december' THEN 12 WHEN 'dec' THEN 12 END"
+)
+_WDNUM_CASE = (
+    "CASE {c} WHEN 'monday' THEN 0 WHEN 'tuesday' THEN 1 "
+    "WHEN 'wednesday' THEN 2 WHEN 'thursday' THEN 3 WHEN 'friday' THEN 4 "
+    "WHEN 'saturday' THEN 5 WHEN 'sunday' THEN 6 END"
+)
+# most recent strictly-past weekday: (now.weekday() - wd) % 7, 0 -> 7
+_DAYSBACK = (
+    "(CASE WHEN ((2 - wdn + 7) % 7) = 0 THEN 7 ELSE ((2 - wdn + 7) % 7) END)"
+)
 
 
 def _intent_values_sql() -> str:
@@ -139,144 +193,128 @@ def _intent_values_sql() -> str:
     return f"(VALUES {rows}) AS t(qid, query)"
 
 
-_INTENT_ORACLE = f"""
+def _intent_classifier_sql(engine: str) -> str:
+    """Render the full R13 classifier for 'spark' or 'duckdb'."""
+    if engine == "spark":
+        # Spark SQL string literals process backslash escapes
+        rx = lambda p: p.replace("\\", "\\\\")  # noqa: E731
+        sub = lambda d, n: f"date_sub(DATE '{d}', {n})"  # noqa: E731
+        fmt = lambda c: f"date_format({c}, 'yyyy-MM-dd')"  # noqa: E731
+    else:
+        rx = lambda p: p  # noqa: E731
+        sub = lambda d, n: f"(DATE '{d}' - to_days(CAST({n} AS INT)))"  # noqa: E731
+        fmt = lambda c: f"strftime({c}, '%Y-%m-%d')"  # noqa: E731
+    wn = _WORDNUM_CASE.format
+    end_year_mr = "CASE WHEN m2n <= 1 THEN 2024 ELSE 2023 END"
+    year_im = "CASE WHEN imn <= 1 THEN 2024 ELSE 2023 END"
+    past_days = (
+        "pni * CASE pnu WHEN 'day' THEN 1 WHEN 'week' THEN 7 "
+        "WHEN 'month' THEN 30 ELSE 365 END"
+    )
+    return f"""
 WITH raw AS (SELECT qid, lower(query) AS q FROM {_intent_values_sql()}),
-tagged AS (
+x AS (
   SELECT qid, q,
-         CASE WHEN regexp_matches(q, '\\btoday\\b') THEN 'today'
-              WHEN regexp_matches(q, '\\byesterday\\b') THEN 'yesterday'
-              WHEN regexp_matches(q, '\\blast week\\b') THEN 'last_week'
-              WHEN regexp_matches(q, '\\bthis week\\b') THEN 'this_week'
-              WHEN regexp_matches(q, '\\blast month\\b') THEN 'last_month'
-              WHEN regexp_matches(q, '\\bthis month\\b') THEN 'this_month'
-              WHEN regexp_matches(q, '{_DAYS_RE}') THEN 'days_ago'
-              WHEN regexp_matches(q, '{_MONTH_RE}') THEN 'in_month'
-              ELSE 'none' END AS tag,
-         regexp_extract(q, '{_DAYS_RE}', 1) AS mnum,
-         regexp_extract(q, '{_MONTH_RE}', 1) AS mmon
+    regexp_extract(q, '{rx(_MONTH_RANGE_RE)}', 1) AS mr1,
+    regexp_extract(q, '{rx(_MONTH_RANGE_RE)}', 2) AS mr2,
+    regexp_extract(q, '{rx(_IN_MONTH_RE)}', 1) AS im,
+    regexp_extract(q, '{rx(_YESTERDAY_RE)}', 0) AS yd,
+    regexp_extract(q, '{rx(_LAST_PERIOD_RE)}', 1) AS lp,
+    regexp_extract(q, '{rx(_LAST_WD_RE)}', 1) AS lw,
+    regexp_extract(q, '{rx(_N_AGO_RE)}', 1) AS nan,
+    regexp_extract(q, '{rx(_N_AGO_RE)}', 2) AS nau,
+    regexp_extract(q, '{rx(_PAST_N_RE)}', 1) AS pnn,
+    regexp_extract(q, '{rx(_PAST_N_RE)}', 2) AS pnu,
+    regexp_extract(q, '{rx(_THIS_PERIOD_RE)}', 1) AS tp,
+    regexp_extract(q, '{rx(_RECENCY_RE)}', 0) AS rc
   FROM raw
 ),
-resolved AS (
-  SELECT qid, tag,
-         CASE tag WHEN 'days_ago' THEN {_WORDNUM_SQL} END AS ndays,
-         CASE tag WHEN 'in_month' THEN {_MONTHNUM_SQL} END AS mon,
-         CASE WHEN regexp_matches(q, '{_RECENT_RE}') THEN 0.2 ELSE 0.0 END AS recency_boost
-  FROM tagged
+t AS (
+  SELECT qid,
+    CASE WHEN mr1 != '' THEN 'month_range'
+         WHEN im  != '' THEN 'in_month'
+         WHEN yd  != '' THEN 'yesterday'
+         WHEN lp  != '' THEN 'last_' || lp
+         WHEN lw  != '' THEN 'last_weekday'
+         WHEN nan != '' THEN 'ago_' || nau
+         WHEN pnn != '' THEN 'past_n'
+         WHEN tp  != '' THEN 'this_' || tp
+         ELSE 'none' END AS tag,
+    {_MONTHNUM_CASE.format(c='mr1')} AS m1n,
+    {_MONTHNUM_CASE.format(c='mr2')} AS m2n,
+    {_MONTHNUM_CASE.format(c='im')} AS imn,
+    {_WDNUM_CASE.format(c='lw')} AS wdn,
+    CASE WHEN nan != '' THEN {wn(c='nan')} END AS nai,
+    CASE WHEN pnn != '' THEN {wn(c='pnn')} END AS pni,
+    pnu, rc
+  FROM x
 ),
-windows AS (
-  SELECT qid, tag, recency_boost,
-         CASE tag
-           WHEN 'today' THEN DATE '2024-01-31'
-           WHEN 'yesterday' THEN DATE '2024-01-30'
-           WHEN 'last_week' THEN DATE '2024-01-22'
-           WHEN 'this_week' THEN DATE '2024-01-29'
-           WHEN 'last_month' THEN DATE '2023-12-01'
-           WHEN 'this_month' THEN DATE '2024-01-01'
-           WHEN 'days_ago' THEN DATE '2024-01-31' - to_days(ndays)
-           WHEN 'in_month' THEN make_date(CASE WHEN mon <= 1 THEN 2024 ELSE 2023 END, mon, 1)
-         END AS since_d,
-         CASE tag
-           WHEN 'yesterday' THEN DATE '2024-01-31'
-           WHEN 'last_week' THEN DATE '2024-01-29'
-           WHEN 'last_month' THEN DATE '2024-01-01'
-           WHEN 'days_ago' THEN DATE '2024-01-31' - to_days(ndays) + to_days(1)
-           WHEN 'in_month' THEN make_date(
-             CASE WHEN mon = 12 THEN (CASE WHEN mon <= 1 THEN 2025 ELSE 2024 END)
-                  ELSE (CASE WHEN mon <= 1 THEN 2024 ELSE 2023 END) END,
-             CASE WHEN mon = 12 THEN 1 ELSE mon + 1 END, 1)
-         END AS until_d
-  FROM resolved
+w AS (
+  SELECT qid, tag, rc,
+    CASE tag
+      WHEN 'month_range' THEN make_date(
+          ({end_year_mr}) - (CASE WHEN m1n > m2n THEN 1 ELSE 0 END), m1n, 1)
+      WHEN 'in_month' THEN make_date({year_im}, imn, 1)
+      WHEN 'yesterday' THEN DATE '2024-01-30'
+      WHEN 'last_week' THEN DATE '2024-01-22'
+      WHEN 'last_month' THEN DATE '2023-12-01'
+      WHEN 'last_year' THEN DATE '2023-01-01'
+      WHEN 'last_weekday' THEN {sub('2024-01-31', _DAYSBACK)}
+      WHEN 'ago_day' THEN {sub('2024-01-31', 'nai')}
+      WHEN 'ago_week' THEN {sub('2024-01-29', '7 * nai')}
+      WHEN 'ago_month' THEN {sub('2024-01-31', '30 * nai')}
+      WHEN 'ago_year' THEN {sub('2024-01-31', '365 * nai')}
+      WHEN 'past_n' THEN {sub('2024-01-31', past_days)}
+      WHEN 'this_week' THEN DATE '2024-01-29'
+      WHEN 'this_month' THEN DATE '2024-01-01'
+      WHEN 'this_year' THEN DATE '2024-01-01'
+    END AS since_d,
+    CASE tag
+      WHEN 'month_range' THEN last_day(make_date({end_year_mr}, m2n, 1))
+      WHEN 'in_month' THEN last_day(make_date({year_im}, imn, 1))
+      WHEN 'yesterday' THEN DATE '2024-01-30'
+      WHEN 'last_week' THEN DATE '2024-01-28'
+      WHEN 'last_month' THEN DATE '2023-12-31'
+      WHEN 'last_year' THEN DATE '2023-12-31'
+      WHEN 'last_weekday' THEN {sub('2024-01-31', _DAYSBACK)}
+      WHEN 'ago_day' THEN {sub('2024-01-31', 'nai')}
+      WHEN 'ago_week' THEN {sub('2024-01-29', '7 * nai - 6')}
+      WHEN 'ago_month' THEN {sub('2024-01-31', '30 * nai')}
+      WHEN 'ago_year' THEN {sub('2024-01-31', '365 * nai')}
+    END AS until_d
+  FROM t
 )
 SELECT qid,
-       strftime(since_d, '%Y-%m-%d') AS since,
-       strftime(until_d, '%Y-%m-%d') AS until,
+       {fmt('since_d')} AS since,
+       {fmt('until_d')} AS until,
        CAST(tag != 'none' AS BIGINT) AS suppress_graph,
-       recency_boost
-FROM windows ORDER BY qid
+       CAST(CASE WHEN tag = 'none' AND rc != '' THEN 0.2 ELSE 0.0 END AS DOUBLE) AS recency_boost
+FROM w ORDER BY qid
 """
 
 
 @register(
     "query_intent_rewrite",
-    oracle=_INTENT_ORACLE,
-    doc="Query-intent classifier (reference R13, query_intent.py:"
-    "105-253): regex temporal parsing of query strings into "
-    "since/until windows (today/yesterday/last-this week/month, "
-    "'N days ago' with word numbers, 'in <month>' with year "
-    "back-off), explicit windows suppress graph expansion, vague "
-    "recency phrasing adds the 0.2 recency boost. Expressed as a "
+    oracle=_intent_classifier_sql("duckdb"),
+    doc="Query-intent classifier at FULL reference parity (reference "
+    "R13, query_intent.py:37-58 grammar, :105-253 precedence): "
+    "month ranges with year pinning and Nov-Feb wrap, single "
+    "months (in/from/during/month-of + abbreviations, year "
+    "back-off), yesterday, last week/month/year, last <weekday>, "
+    "'N days/weeks/months/years ago' with word numbers "
+    "(a/an/one..twelve/few/couple/several), open-ended "
+    "'past/last N <period>', this week/month/year, and vague "
+    "recency phrasing (0.2 boost, only when no window matched). "
+    "Explicit windows suppress graph expansion; until bounds are "
+    "the last covered day (reference _iso_end). Expressed as a "
     "data-parallel CASE/regexp plan (classify millions of logged "
-    "queries in one scan) with 'now' pinned for determinism.",
+    "queries in one scan) with 'now' pinned for determinism; ONE "
+    "SQL template renders both the Spark plan and the DuckDB "
+    "oracle, so the grammar cannot drift between them.",
     tags=("retrieval", "intent", "regex"),
 )
 def query_intent_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    qdf = spark.createDataFrame(_INTENT_QUERIES, "qid long, query string")
-    q = F.lower(F.col("query"))
-    rx = lambda pat: q.rlike(pat)  # noqa: E731
-    tag = (
-        F.when(rx(r"\btoday\b"), "today")
-        .when(rx(r"\byesterday\b"), "yesterday")
-        .when(rx(r"\blast week\b"), "last_week")
-        .when(rx(r"\bthis week\b"), "this_week")
-        .when(rx(r"\blast month\b"), "last_month")
-        .when(rx(r"\bthis month\b"), "this_month")
-        .when(rx(_DAYS_RE), "days_ago")
-        .when(rx(_MONTH_RE), "in_month")
-        .otherwise("none")
-    )
-    tagged = qdf.select(
-        "qid",
-        tag.alias("tag"),
-        F.regexp_extract(q, _DAYS_RE, 1).alias("mnum"),
-        F.regexp_extract(q, _MONTH_RE, 1).alias("mmon"),
-        F.when(rx(_RECENT_RE), F.lit(0.2)).otherwise(F.lit(0.0)).alias("recency_boost"),
-    )
-    resolved = tagged.select(
-        "qid",
-        "tag",
-        "recency_boost",
-        F.when(F.col("tag") == "days_ago", F.expr(_WORDNUM_SQL)).alias("ndays"),
-        F.when(F.col("tag") == "in_month", F.expr(_MONTHNUM_SQL)).alias("mon"),
-    )
-    d = lambda s: F.to_date(F.lit(s))  # noqa: E731
-    year_since = F.when(F.col("mon") <= 1, 2024).otherwise(2023)
-    since_d = (
-        F.when(F.col("tag") == "today", d("2024-01-31"))
-        .when(F.col("tag") == "yesterday", d("2024-01-30"))
-        .when(F.col("tag") == "last_week", d("2024-01-22"))
-        .when(F.col("tag") == "this_week", d("2024-01-29"))
-        .when(F.col("tag") == "last_month", d("2023-12-01"))
-        .when(F.col("tag") == "this_month", d("2024-01-01"))
-        .when(F.col("tag") == "days_ago", F.date_sub(d("2024-01-31"), F.col("ndays")))
-        .when(
-            F.col("tag") == "in_month",
-            F.make_date(year_since, F.col("mon"), F.lit(1)),
-        )
-    )
-    until_d = (
-        F.when(F.col("tag") == "yesterday", d("2024-01-31"))
-        .when(F.col("tag") == "last_week", d("2024-01-29"))
-        .when(F.col("tag") == "last_month", d("2024-01-01"))
-        .when(
-            F.col("tag") == "days_ago",
-            F.date_add(F.date_sub(d("2024-01-31"), F.col("ndays")), 1),
-        )
-        .when(
-            F.col("tag") == "in_month",
-            F.make_date(
-                F.when(F.col("mon") == 12, year_since + 1).otherwise(year_since),
-                F.when(F.col("mon") == 12, F.lit(1)).otherwise(F.col("mon") + 1),
-                F.lit(1),
-            ),
-        )
-    )
-    return resolved.select(
-        "qid",
-        F.date_format(since_d, "yyyy-MM-dd").alias("since"),
-        F.date_format(until_d, "yyyy-MM-dd").alias("until"),
-        (F.col("tag") != "none").cast("long").alias("suppress_graph"),
-        "recency_boost",
-    ).orderBy("qid")
+    return spark.sql(_intent_classifier_sql("spark"))
 
 
 # ---------------------------------------------------------------------

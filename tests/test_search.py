@@ -134,8 +134,10 @@ def test_auto_intent_temporal_window(engine, spark, tmp_path):
     eng = MemoriesEngine(spark, str(tmp_path / "store2"))
     eng.add([_rec("deploy happened", "ops", document_at="2024-05-20 00:00:00")], "2024-05-20 10:00:00")
     eng.add([_rec("deploy planned", "ops", document_at="2024-06-01 09:00:00")], "2024-06-01 09:00:00")
-    out = hybrid_search(eng, "deploy today", k=5, now=NOW).collect()
-    # intent window [today 00:00, -) excludes the May row
+    # NOW (2024-06-01) is a Saturday: "this week" -> since Mon 2024-05-27,
+    # which excludes the May-20 row ("today" is deliberately NOT a
+    # temporal form — the reference grammar has no such pattern)
+    out = hybrid_search(eng, "deploy this week", k=5, now=NOW).collect()
     assert {r.id for r in out} == {1}
 
 
