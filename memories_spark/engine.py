@@ -30,6 +30,7 @@ import os
 import shutil
 import uuid
 from datetime import datetime
+from urllib.parse import unquote
 
 import pandas as pd
 
@@ -38,6 +39,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 LINK_TYPES = {"supersedes", "related_to", "blocked_by", "caused_by", "reinforces"}
+
+#: Partition column of the memories table: top-level source folder.
+#: Mirrors the reference's Qdrant payload index on ``source``
+#: (qdrant_store.py:136-173) as physical partition pruning — prefix
+#: filters prune whole directories, and a mutation rewrites only the
+#: folders it touches instead of the entire table.
+FOLDER_COL = "folder"
+UNGROUPED = "(ungrouped)"
+
+
+def _folder_expr() -> F.Column:
+    top = F.split(F.col("source"), "/")[0]
+    return F.when(top.isNull() | (top == ""), F.lit(UNGROUPED)).otherwise(top)
+
+
+def _folder_of(source: str | None) -> str:
+    top = (source or "").split("/")[0]
+    return top if top else UNGROUPED
 
 #: Fields a metadata patch may never overwrite (reference
 #: memory_engine.py:585, :1036-1038: reserved core + entity_key, and
@@ -127,16 +146,53 @@ class MemoriesEngine:
         d = self._dir(name)
         if not os.path.isdir(d):
             return self.spark.createDataFrame([], _SCHEMAS[name])
+        if name == "memories":
+            stored = T.StructType(
+                list(MEMORY_SCHEMA.fields) + [T.StructField(FOLDER_COL, T.StringType())]
+            )
+            return (
+                self.spark.read.schema(stored)
+                .parquet(d)
+                .select(*[f.name for f in MEMORY_SCHEMA.fields])
+            )
         return self.spark.read.schema(_SCHEMAS[name]).parquet(d)
 
-    def _write(self, df: DataFrame, name: str) -> None:
-        """Version swap: write the next table state, then atomic rename.
+    def memories(self, source_prefix: str | None = None) -> DataFrame:
+        """Memories scan with PHYSICAL partition pruning for prefix
+        filters (reference F1 source-prefix pushdown,
+        memory_engine.py:1322-1362, here at the layout level): the
+        top-level folder of the prefix becomes a filter on the
+        partition column, so a prefix-scoped search reads one folder's
+        directory and skips every other partition's files entirely."""
+        if not source_prefix:
+            return self.table("memories")
+        d = self._dir("memories")
+        startswith_src = F.col("source").startswith(source_prefix)
+        if not os.path.isdir(d):
+            return self.spark.createDataFrame([], MEMORY_SCHEMA).filter(startswith_src)
+        stored = T.StructType(
+            list(MEMORY_SCHEMA.fields) + [T.StructField(FOLDER_COL, T.StringType())]
+        )
+        top = source_prefix.split("/")[0]
+        # "a/b" pins folder == a; a bare "src1" prefix also matches
+        # sources in folders src10, src11, ... -> folder startswith
+        cond = (
+            (F.col(FOLDER_COL) == top)
+            if "/" in source_prefix
+            else F.col(FOLDER_COL).startswith(top)
+        )
+        return (
+            self.spark.read.schema(stored)
+            .parquet(d)
+            .filter(cond & startswith_src)
+            .select(*[f.name for f in MEMORY_SCHEMA.fields])
+        )
 
-        Production mapping: Delta MERGE/UPDATE with optimistic
-        concurrency; here the whole (small) table rewrites, which is
-        also the reference's model — it re-serializes metadata.json
-        on every write (memory_engine.py:618-620).
-        """
+    def _write(self, df: DataFrame, name: str) -> None:
+        """Version swap for the SMALL side tables (links, event logs):
+        write the next table state, then atomic rename. The memories
+        table never goes through here — it is partition-pruned
+        (:meth:`_write_memories`)."""
         final = self._dir(name)
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -150,6 +206,67 @@ class MemoriesEngine:
         # read may have .cache()'d this path (the serving layer does),
         # and Spark's cache manager would otherwise serve the STALE
         # snapshot to the next logically-identical plan.
+        self.spark.catalog.refreshByPath(final)
+
+    def _write_memories(self, df: DataFrame, touched: list[str] | None) -> None:
+        """Partition-pruned rewrite of the memories table.
+
+        The table is laid out as parquet partitioned by the top-level
+        source folder (``folder=<value>`` dirs). A mutation passes the
+        folder values it touches and ONLY those partitions are
+        rewritten — at 100 TB an update to one project folder leaves
+        every other folder's files untouched (the parquet-dir
+        simulation of Delta MERGE + dynamic partition overwrite, which
+        is the production mapping; the reference instead re-serializes
+        the whole metadata.json per write, memory_engine.py:618-620 —
+        O(table) per mutation, the scale-killer this layout removes).
+        ``touched=None`` rewrites everything (reembed, rebuild,
+        restore). A touched partition left with no rows has its
+        directory removed.
+        """
+        final = self._dir("memories")
+        with_folder = df.withColumn(FOLDER_COL, _folder_expr())
+        if touched is not None:
+            touched = sorted({str(v) for v in touched})
+            if not touched:
+                return
+            with_folder = with_folder.filter(F.col(FOLDER_COL).isin(touched))
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        with_folder.write.partitionBy(FOLDER_COL).mode("overwrite").parquet(tmp)
+        if touched is None or not os.path.isdir(final):
+            old = f"{final}.old-{uuid.uuid4().hex[:8]}"
+            if os.path.isdir(final):
+                os.rename(final, old)
+            os.rename(tmp, final)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+        else:
+            written = {
+                e for e in os.listdir(tmp) if e.startswith(f"{FOLDER_COL}=")
+            }
+            for e in written:
+                dest = os.path.join(final, e)
+                if os.path.isdir(dest):
+                    shutil.rmtree(dest)
+                os.rename(os.path.join(tmp, e), dest)
+            # touched partitions with no surviving rows: drop their dirs
+            # (dir names are Hive %-escaped; unquote recovers the value)
+            for e in os.listdir(final):
+                if not e.startswith(f"{FOLDER_COL}="):
+                    continue
+                if e not in written and unquote(e[len(FOLDER_COL) + 1:]) in touched:
+                    shutil.rmtree(os.path.join(final, e))
+            shutil.rmtree(tmp)
+        self.spark.catalog.refreshByPath(final)
+
+    def _append_memories(self, df: DataFrame) -> None:
+        """Adds are pure appends into their partitions: no read, no
+        rewrite of any existing file — the path that makes M1 O(new
+        rows) instead of O(table)."""
+        final = self._dir("memories")
+        df.withColumn(FOLDER_COL, _folder_expr()).write.partitionBy(
+            FOLDER_COL
+        ).mode("append").parquet(final)
         self.spark.catalog.refreshByPath(final)
 
     def _append(self, df: DataFrame, name: str) -> None:
@@ -181,24 +298,28 @@ class MemoriesEngine:
         """Reserve ``n`` monotonic ids. The counter is persisted so
         ids survive deletes and never regress (reference ``_next_id``
         + ``_rebuild_id_map``, memory_engine.py:234-238, 583, 616) —
-        a bare max(id)+1 would reuse ids after a tail delete."""
+        a bare max(id)+1 would reuse ids after a tail delete. The
+        counter file is authoritative when present (every id-writing
+        path maintains it, incl. rebuild/restore); the max(id) table
+        scan is only the bootstrap for counter-less stores."""
         counter_file = os.path.join(self.path, "next_id")
-        persisted = 0
         if os.path.exists(counter_file):
             with open(counter_file) as f:
-                persisted = int(f.read().strip() or 0)
-        row = self.table("memories").agg(F.max("id")).first()
-        table_next = (int(row[0]) + 1) if row[0] is not None else 0
-        start = max(persisted, table_next)
+                start = int(f.read().strip() or 0)
+        else:
+            row = self.table("memories").agg(F.max("id")).first()
+            start = (int(row[0]) + 1) if row[0] is not None else 0
         with open(counter_file, "w") as f:
             f.write(str(start + n))
         return start
 
+    def _set_next_id(self, value: int) -> None:
+        with open(os.path.join(self.path, "next_id"), "w") as f:
+            f.write(str(int(value)))
+
     def count(self, source_prefix: str | None = None, include_archived: bool = False) -> int:
         """A1: total / prefix-filtered count (memory_engine.py:2348-2369)."""
-        df = self.table("memories")
-        if source_prefix:
-            df = df.filter(F.col("source").startswith(source_prefix))
+        df = self.memories(source_prefix)
         if not include_archived:
             df = df.filter(~F.coalesce(F.col("archived"), F.lit(False)))
         return df.count()
@@ -241,7 +362,7 @@ class MemoriesEngine:
                 }
             )
         new = self._rows_to_df(rows)
-        self._write(self.table("memories").unionByName(new), "memories")
+        self._append_memories(new)
         ids = [r["id"] for r in rows]
         self._audit("add", ids, now)
         return ids
@@ -275,8 +396,12 @@ class MemoriesEngine:
         source-only change leaves the embedding alone (the reference's
         source-only fast path, memory_engine.py:999-1023)."""
         mem = self.table("memories")
-        if mem.filter(F.col("id") == memory_id).count() == 0:
+        old = mem.filter(F.col("id") == memory_id).select("source").collect()
+        if not old:
             return False
+        touched = [_folder_of(old[0].source)]
+        if source is not None:
+            touched.append(_folder_of(source))
         hit = F.col("id") == memory_id
         if text is not None:
             mem = mem.withColumn("text", F.when(hit, F.lit(text)).otherwise(F.col("text")))
@@ -301,7 +426,7 @@ class MemoriesEngine:
         mem = mem.withColumn(
             "updated_at", F.when(hit, F.lit(now).cast("timestamp")).otherwise(F.col("updated_at"))
         )
-        self._write(mem, "memories")
+        self._write_memories(mem, touched)
         self._audit(
             "update",
             [memory_id],
@@ -316,9 +441,11 @@ class MemoriesEngine:
         """Single/batch delete with link scrubbing (reference
         _scrub_links_to, memory_engine.py:818-829)."""
         mem = self.table("memories")
-        n = mem.filter(F.col("id").isin(ids)).count()
+        victims = mem.filter(F.col("id").isin(ids)).select("source").collect()
+        n = len(victims)
         if n:
-            self._write(mem.filter(~F.col("id").isin(ids)), "memories")
+            touched = [_folder_of(r.source) for r in victims]
+            self._write_memories(mem.filter(~F.col("id").isin(ids)), touched)
             links = self.table("links")
             self._write(
                 links.filter(~F.col("from_id").isin(ids) & ~F.col("to_id").isin(ids)),
@@ -475,21 +602,27 @@ class MemoriesEngine:
         now: str,
         archived: bool | None = None,
         pinned: bool | None = None,
+        is_latest: bool | None = None,
     ) -> int:
         mem = self.table("memories")
         hit = F.col("id").isin(ids)
-        n = mem.filter(hit).count()
+        victims = mem.filter(hit).select("source").collect()
+        n = len(victims)
         if not n:
             return 0
-        if archived is not None:
-            mem = mem.withColumn("archived", F.when(hit, F.lit(archived)).otherwise(F.col("archived")))
-        if pinned is not None:
-            mem = mem.withColumn("pinned", F.when(hit, F.lit(pinned)).otherwise(F.col("pinned")))
+        touched = [_folder_of(r.source) for r in victims]
+        for col, val in (("archived", archived), ("pinned", pinned), ("is_latest", is_latest)):
+            if val is not None:
+                mem = mem.withColumn(col, F.when(hit, F.lit(val)).otherwise(F.col(col)))
         mem = mem.withColumn(
             "updated_at", F.when(hit, F.lit(now).cast("timestamp")).otherwise(F.col("updated_at"))
         )
-        self._write(mem, "memories")
-        flags = [f"{k}={v}" for k, v in (("archived", archived), ("pinned", pinned)) if v is not None]
+        self._write_memories(mem, touched)
+        flags = [
+            f"{k}={v}"
+            for k, v in (("archived", archived), ("pinned", pinned), ("is_latest", is_latest))
+            if v is not None
+        ]
         self._audit("set_flags", ids, now, detail=",".join(flags))
         return n
 
@@ -549,11 +682,14 @@ class MemoriesEngine:
         )
         decided = resolved.select(
             "id",
+            "source",
             reason.alias("reason"),
             F.round(confidence, 6).alias("confidence"),
             F.round(age_days, 3).alias("age_days"),
         ).filter(F.col("reason").isNotNull())
-        candidates = [r.asDict() for r in decided.orderBy("id").collect()]
+        collected = [r.asDict() for r in decided.orderBy("id").collect()]
+        touched = [_folder_of(c.pop("source")) for c in collected]
+        candidates = collected
         summary = {"candidates": candidates, "archived": 0}
         if dry_run or not candidates:
             return summary
@@ -593,7 +729,7 @@ class MemoriesEngine:
                 F.when(hit, F.lit(now).cast("timestamp")).otherwise(F.col("updated_at")),
             )
         )
-        self._write(mem, "memories")
+        self._write_memories(mem, touched)
         summary["archived"] = len(candidates)
         return summary
 
@@ -603,14 +739,18 @@ class MemoriesEngine:
         """Prefix rewrite of ``source`` (reference app.py:2685-2713)."""
         mem = self.table("memories")
         hit = F.col("source").startswith(old_prefix)
-        n = mem.filter(hit).count()
-        if not n:
+        old_sources = [r.source for r in mem.filter(hit).select("source").distinct().collect()]
+        if not old_sources:
             return 0
+        n = mem.filter(hit).count()
+        touched = [_folder_of(s) for s in old_sources] + [
+            _folder_of(new_prefix + s[len(old_prefix):]) for s in old_sources
+        ]
         new_source = F.concat(
             F.lit(new_prefix), F.expr(f"substring(source, {len(old_prefix) + 1})")
         )
         mem = mem.withColumn("source", F.when(hit, new_source).otherwise(F.col("source")))
-        self._write(mem, "memories")
+        self._write_memories(mem, touched)
         self._audit("rename_folder", [], now, detail=f"{old_prefix} -> {new_prefix} ({n} rows)")
         return n
 
@@ -665,6 +805,8 @@ class MemoriesEngine:
             snap_table = os.path.join(src, name)
             if os.path.isdir(snap_table):
                 shutil.copytree(snap_table, cur)
+        for name in (n for n in _SCHEMAS if n != "audit_log"):
+            self.spark.catalog.refreshByPath(self._dir(name))
         self._audit("restore_snapshot", [], None, detail=tag)
         counter_snap = os.path.join(src, "next_id")
         counter = os.path.join(self.path, "next_id")
@@ -693,13 +835,20 @@ class MemoriesEngine:
         mem = self.table("memories").join(
             latest, F.col("id") == F.col("memory_id"), "left"
         )
-        changed = mem.filter(
-            F.col("_new_ts").isNotNull()
-            & (
-                F.col("last_reinforced_at").isNull()
-                | (F.col("_new_ts") > F.col("last_reinforced_at"))
+        per_folder = (
+            mem.filter(
+                F.col("_new_ts").isNotNull()
+                & (
+                    F.col("last_reinforced_at").isNull()
+                    | (F.col("_new_ts") > F.col("last_reinforced_at"))
+                )
             )
-        ).count()
+            .groupBy(_folder_expr().alias("f"))
+            .count()
+            .collect()
+        )
+        changed = sum(r["count"] for r in per_folder)
+        touched = [r.f for r in per_folder]
         out = mem.withColumn(
             "last_reinforced_at",
             F.when(
@@ -711,7 +860,7 @@ class MemoriesEngine:
                 F.col("_new_ts"),
             ).otherwise(F.col("last_reinforced_at")),
         ).select(*[f.name for f in MEMORY_SCHEMA.fields])
-        self._write(out, "memories")
+        self._write_memories(out, touched)
         return changed
 
     def log_feedback(self, memory_id: int, signal: str, now: str) -> None:
@@ -769,7 +918,7 @@ class MemoriesEngine:
         mem = self.table("memories")
         n = mem.count()
         out = mem.withColumn("embedding", embed_batch(F.col("text")))
-        self._write(out, "memories")
+        self._write_memories(out, None)  # model migration: every row
         return n
 
     def rebuild_from_files(self, file_paths: list[str], now: str, embed_fn=None) -> int:
@@ -840,8 +989,10 @@ class MemoriesEngine:
             embed_batch(F.col("chunk_text")).alias("embedding"),
             null("map<string,string>").alias("metadata"),
         )
-        self._write(rebuilt, "memories")
-        return self.table("memories").count()
+        self._write_memories(rebuilt, None)  # full index rebuild
+        n_chunks = self.table("memories").count()
+        self._set_next_id(n_chunks)  # fresh ids 0..n-1 were assigned
+        return n_chunks
 
     def import_smart(
         self, records: list[dict], now: str, embed_fn=None,

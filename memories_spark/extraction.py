@@ -194,13 +194,9 @@ def run_extraction(
                 ],
                 now,
             )
-            engine.set_flags([tid], now, archived=True)
-            # old row leaves the "latest" set (reference is_latest:false)
-            mem = engine.table("memories").withColumn(
-                "is_latest",
-                F.when(F.col("id") == tid, F.lit(False)).otherwise(F.col("is_latest")),
-            )
-            engine._write(mem, "memories")
+            # archive + leave the "latest" set (reference is_latest:false)
+            # in ONE partition-pruned rewrite of the old row's folder
+            engine.set_flags([tid], now, archived=True, is_latest=False)
             engine.add_link(new_id, tid, "supersedes", now)
             summary["updated"] += 1
             summary["new_ids"].append(new_id)

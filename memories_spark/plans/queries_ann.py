@@ -12,48 +12,73 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from memories_spark.functions.hashing import fixed_point, fixed_point_sql
 from memories_spark.functions.vectors import cosine_expr, cosine_sql
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
 _DIM = 64
-# Deterministic "trained" centroids: a fixed spread of corpus vectors
-# (ids valid at every SF). In production these come from a k-means
-# sample job; freezing them keeps the oracle replayable — swapping in
-# trained centroids changes one list.
+# k-means INIT: a fixed deterministic spread of corpus vector ids
+# (valid at every SF) seeds the training pass; the centroids actually
+# used by the index are the Lloyd-refined per-cell means — data-
+# dependent, not the frozen seed vectors. (PQ below still uses the
+# seed vectors as its codebook; its contract is separate.)
 _CENTROID_IDS = [7 + 30 * i for i in range(16)]
 _NPROBE = 3
 
 _CENT_LIST = ", ".join(str(i) for i in _CENTROID_IDS)
 
 _IVF_TRAINED_ORACLE = f"""
-WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings
-  WHERE vec_id IN ({_CENT_LIST})
+WITH dims AS (SELECT unnest(range(1, {_DIM + 1})) AS d),
+pts AS (
+  SELECT e.vec_id, dims.d, CAST(e.embedding[dims.d] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN dims
+),
+seeds AS (
+  SELECT vec_id AS cid, d, x AS c FROM pts WHERE vec_id IN ({_CENT_LIST})
+),
+d1 AS (
+  SELECT p.vec_id, s.cid,
+         sum(CAST(round((p.x - s.c)*(p.x - s.c)*1e9) AS BIGINT)) AS dist_fp
+  FROM pts p JOIN seeds s ON p.d = s.d GROUP BY p.vec_id, s.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp ASC, cid ASC) AS rk
+    FROM d1
+  ) WHERE rk = 1
+),
+cent AS (
+  SELECT a1.cid, p.d,
+         CAST(sum({fixed_point_sql('p.x', 7)}) AS DOUBLE)/count(*)/10000000.0 AS c
+  FROM a1 JOIN pts p ON a1.vec_id = p.vec_id GROUP BY a1.cid, p.d
+),
+d2 AS (
+  SELECT p.vec_id, c.cid,
+         sum(CAST(round((p.x - c.c)*(p.x - c.c)*1e9) AS BIGINT)) AS dist_fp
+  FROM pts p JOIN cent c ON p.d = c.d GROUP BY p.vec_id, c.cid
 ),
 assign AS (
-  SELECT vec_id, embedding, cid AS cell FROM (
-    SELECT e.vec_id, e.embedding, c.cid,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round({cosine_sql('e.embedding', 'c.cv', _DIM)}, 9) DESC, c.cid ASC
-           ) AS rn
-    FROM embeddings e CROSS JOIN cents c
-  ) WHERE rn = 1
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp ASC, cid ASC) AS rk
+    FROM d2
+  ) WHERE rk = 1
 ),
 qprobe AS (
-  SELECT cid AS probe_cell, qv FROM (
-    SELECT c.cid, q.embedding AS qv,
-           row_number() OVER (
-             ORDER BY round({cosine_sql('q.embedding', 'c.cv', _DIM)}, 9) DESC, c.cid ASC
-           ) AS rn
-    FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q CROSS JOIN cents c
-  ) WHERE rn <= {_NPROBE}
+  SELECT cid AS probe_cell FROM (
+    SELECT cid, row_number() OVER (ORDER BY dist_fp ASC, cid ASC) AS rk
+    FROM d2 WHERE vec_id = 0
+  ) WHERE rk <= {_NPROBE}
 ),
 scored AS (
-  SELECT a.vec_id, round({cosine_sql('a.embedding', 'p.qv', _DIM)}, 6) AS sim
-  FROM assign a JOIN qprobe p ON a.cell = p.probe_cell
-  WHERE a.vec_id != 0
+  SELECT e.vec_id, round({cosine_sql('e.embedding', 'q.qv', _DIM)}, 6) AS sim
+  FROM assign a
+  JOIN qprobe p ON a.cell = p.probe_cell
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id != 0
 )
 SELECT vec_id, sim,
        CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank
@@ -63,52 +88,104 @@ LIMIT 10
 """
 
 
+def trained_cell_dists(emb: DataFrame) -> DataFrame:
+    """IVF training pass: seed-init (fixed corpus ids) + ONE Lloyd
+    refinement -> k x dim trained centroids; returns every vector's
+    fixed-point squared-L2 distance to every trained cell
+    ``(vec_id, cid, dist_fp)``. All arithmetic is integer-summed
+    fixed point so the argmin is order-independent and replayable in
+    the DuckDB oracle (same technique as ``kmeans_refine_step``).
+    At 100 TB: each pass is one shuffle on vec_id with the (k x dim)
+    centroid table broadcast; the resulting cell assignment is the
+    one-off index build, persisted partitioned BY cell."""
+    pts = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(1), F.lit(_DIM))).alias("d"),
+        "embedding",
+    ).select(
+        "vec_id", "d", F.element_at("embedding", F.col("d")).cast("double").alias("x")
+    )
+    seeds = pts.filter(F.col("vec_id").isin(_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("d").alias("sd"), F.col("x").alias("c")
+    )
+
+    def dists(cents: DataFrame) -> DataFrame:
+        return (
+            pts.join(F.broadcast(cents), pts.d == cents.sd)
+            .select(
+                "vec_id",
+                "cid",
+                F.round(
+                    (F.col("x") - F.col("c")) * (F.col("x") - F.col("c")) * F.lit(1e9)
+                )
+                .cast("long")
+                .alias("t_fp"),
+            )
+            .groupBy("vec_id", "cid")
+            .agg(F.sum("t_fp").alias("dist_fp"))
+        )
+
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist_fp"), F.asc("cid"))
+    a1 = (
+        dists(seeds)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+    )
+    cent = (
+        a1.join(pts, "vec_id")
+        .groupBy("cid", "d")
+        .agg(F.sum(fixed_point(F.col("x"), 7)).alias("s"), F.count("*").alias("cnt"))
+        .select(
+            "cid",
+            F.col("d").alias("sd"),
+            (F.col("s").cast("double") / F.col("cnt") / F.lit(10000000.0)).alias("c"),
+        )
+    )
+    return dists(cent)
+
+
 @register(
     "ann_ivf_trained",
     oracle=_IVF_TRAINED_ORACLE,
     bench=True,
-    doc="IVF with trained centroids and nprobe=3: a build pass assigns "
-    "every corpus vector to its nearest of 16 centroids (broadcast "
-    "centroid table, argmax window per vector — at 100 TB this is "
+    doc="IVF with TRAINED centroids and nprobe=3: seeded k-means init "
+    "(fixed corpus-id spread) + one Lloyd refinement produces data-"
+    "dependent per-cell mean centroids; every corpus vector is "
+    "assigned to its nearest trained cell (broadcast k x dim "
+    "centroid table, integer fixed-point argmin — at 100 TB this is "
     "the one-off index build, persisted partitioned BY cell so "
     "probes become partition pruning); at query time the 3 nearest "
-    "centroid cells are probed with exact cosine inside. Candidates "
+    "trained cells are probed with exact cosine inside. Candidates "
     "~= nprobe/K of the corpus; recall measured against brute force "
-    "in tests/test_ann_recall.py. Centroids here are a fixed "
-    "deterministic spread standing in for a k-means sample job "
-    "(reference R1/J2 at scale, SURVEY §4 'custom work' item 1).",
+    "in tests/test_ann_recall.py (reference R1/J2 at scale, SURVEY "
+    "§4 'custom work' item 1).",
     tags=("vector", "ann"),
 )
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cents = emb.filter(F.col("vec_id").isin(_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
+    d2 = trained_cell_dists(emb)
 
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.desc(F.round(cosine_expr("embedding", "cv"), 9)), F.asc("cid")
-    )
+    aw = Window.partitionBy("vec_id").orderBy(F.asc("dist_fp"), F.asc("cid"))
     assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        d2.withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
     )
-
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    qw = Window.orderBy(
-        F.desc(F.round(cosine_expr("qv", "cv"), 9)), F.asc("cid")
-    )
+    qw = Window.orderBy(F.asc("dist_fp"), F.asc("cid"))
     qprobe = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(qw))
-        .filter(F.col("rn") <= _NPROBE)
-        .select(F.col("cid").alias("probe_cell"), "qv")
+        d2.filter(F.col("vec_id") == 0)
+        .withColumn("rk", F.row_number().over(qw))
+        .filter(F.col("rk") <= _NPROBE)
+        .select(F.col("cid").alias("probe_cell"))
     )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
 
     scored = (
         assign.join(F.broadcast(qprobe), F.col("cell") == F.col("probe_cell"))
         .filter(F.col("vec_id") != 0)
+        .join(emb, "vec_id")  # re-attach vectors for candidates only
+        .crossJoin(F.broadcast(q))
         .select("vec_id", F.round(cosine_expr("embedding", "qv"), 6).alias("sim"))
     )
     w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -356,10 +433,10 @@ ORDER BY rank
     "lookups, no float vector math; (3) exact cosine re-rank of the "
     "top-30 ADC shortlist only. At 100 TB the three stages read: "
     "cell partitions (partition pruning), 8-byte code rows, and "
-    "thirty full vectors — in that order of magnitude. Composes the "
-    "cell assignment of ann_ivf_trained with the codebook of "
-    "ann_pq_adc; every stage is broadcast-joined and windowed, "
-    "fully JVM-side.",
+    "thirty full vectors — in that order of magnitude. Uses the "
+    "seed-vector coarse cells (ann_ivf_trained's k-means init) with "
+    "the codebook of ann_pq_adc; every stage is broadcast-joined "
+    "and windowed, fully JVM-side.",
     tags=("vector", "ann", "pq", "flagship"),
 )
 def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,163 @@
+"""Retrieval-quality harness: LongMemEval-style session-level R@5.
+
+Twin of the reference's LongMemEval adapter
+(/root/reference/eval/longmemeval.py:255-307 ``compute_recall_at_k``):
+sessions are chunked into multiple memories, retrieval ranks chunks,
+results deduplicate to unique sessions in rank order, and R@5 asks
+whether the gold session appears among the top-5 unique sessions.
+
+Here the Q->gold corpus is seeded deterministically from the
+``documents`` table so the whole metric is a replayable (Spark plan,
+DuckDB oracle) pair: each question is the 8-token prefix of a gold
+document, documents are chunked into 30-token windows (the "session
+chunking"), and the retrieval model is word-bigram overlap — the
+rank signal is fully order-independent (integer hit counts, id
+tie-breaks), so the oracle replays it exactly. The end-to-end
+hybrid-search twin of this metric (full BM25+vector+RRF stack over
+an engine store) lives in tests/test_longmemeval.py with a pinned
+recall floor.
+
+Scale shape: the query set is tiny (Q x 7 bigrams — broadcast);
+the chunk-bigram table is corpus-sized but grouped per (doc, chunk)
+with a map-side distinct; the join is broadcast, never a shuffle of
+the corpus against itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from memories_spark.plans.registry import register
+from memories_spark.sources.tables import load_tables
+
+_CORPUS_N = 200   # sessions (documents) in the haystack
+_Q_N = 20         # questions = gold docs 0..19
+_CHUNK = 30       # tokens per chunk ("session chunking")
+_QTOK = 8         # question = first 8 tokens of the gold doc
+
+_LME_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < {_CORPUS_N}
+),
+queries AS (
+  SELECT doc_id AS qid, list_slice(toks, 1, {_QTOK}) AS qt
+  FROM docs WHERE doc_id < {_Q_N} AND len(toks) >= {_QTOK}
+),
+qpos AS (SELECT unnest(range(1, {_QTOK})) AS i),
+qbig AS (
+  SELECT DISTINCT qid, qt[i] || ' ' || qt[i+1] AS bg
+  FROM queries CROSS JOIN qpos WHERE i + 1 <= len(qt)
+),
+cpos AS (SELECT unnest(range(0, 32)) AS c),
+chunks AS (
+  SELECT doc_id, c,
+         list_slice(toks, c*{_CHUNK}+1, least((c+1)*{_CHUNK}, len(toks))) AS ct
+  FROM docs CROSS JOIN cpos WHERE c*{_CHUNK} < len(toks)
+),
+bpos AS (SELECT unnest(range(1, {_CHUNK})) AS i),
+cbig AS (
+  SELECT DISTINCT doc_id, c, ct[i] || ' ' || ct[i+1] AS bg
+  FROM chunks CROSS JOIN bpos WHERE i + 1 <= len(ct)
+),
+hits AS (
+  SELECT q.qid, cb.doc_id, cb.c, count(DISTINCT cb.bg) AS h
+  FROM qbig q JOIN cbig cb ON q.bg = cb.bg
+  GROUP BY q.qid, cb.doc_id, cb.c
+),
+sess AS (
+  SELECT qid, doc_id, max(h) AS score FROM hits GROUP BY qid, doc_id
+),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rk
+  FROM sess
+)
+SELECT q.qid,
+       CAST(r.rk AS BIGINT) AS gold_rank,
+       CAST(CASE WHEN coalesce(r.rk, 999) <= 5 THEN 1 ELSE 0 END AS BIGINT) AS recall_at5
+FROM (SELECT DISTINCT qid FROM queries) q
+LEFT JOIN ranked r ON r.qid = q.qid AND r.doc_id = q.qid
+ORDER BY q.qid
+"""
+
+
+@register(
+    "longmemeval_recall_at5",
+    oracle=_LME_ORACLE,
+    bench=True,
+    doc="LongMemEval-style session-level recall@5 (reference "
+    "eval/longmemeval.py:255-307): 20 seeded questions (8-token "
+    "gold-doc prefixes) against a 200-session haystack chunked into "
+    "30-token memories; chunks rank by distinct word-bigram overlap "
+    "(integer hit counts — order-independent), results collapse to "
+    "unique sessions by best chunk, and each question reports the "
+    "gold session's rank and whether it lands in the top 5. The "
+    "query-side tables (Q x 7 bigrams) broadcast; the corpus-sized "
+    "chunk-bigram table never self-joins.",
+    tags=("eval", "retrieval", "text"),
+)
+def longmemeval_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") < _CORPUS_N)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    queries = (
+        docs.filter((F.col("doc_id") < _Q_N) & (F.size("toks") >= _QTOK))
+        .select(F.col("doc_id").alias("qid"), F.slice("toks", 1, _QTOK).alias("qt"))
+    )
+    bigrams = (
+        "transform(sequence(1, size({c}) - 1), "
+        "i -> concat(element_at({c}, i), ' ', element_at({c}, i + 1)))"
+    )
+    qbig = (
+        queries.select("qid", F.explode(F.expr(bigrams.format(c="qt"))).alias("bg"))
+        .distinct()
+    )
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    (F.ceil(F.size("toks") / F.lit(float(_CHUNK)))).cast("int") - 1,
+                )
+            ).alias("c"),
+            "toks",
+        )
+        .select(
+            "doc_id", "c",
+            F.expr(f"slice(toks, c * {_CHUNK} + 1, {_CHUNK})").alias("ct"),
+        )
+        .filter(F.size("ct") >= 2)
+    )
+    cbig = (
+        chunks.select("doc_id", "c", F.explode(F.expr(bigrams.format(c="ct"))).alias("bg"))
+        .distinct()
+    )
+    hits = (
+        cbig.join(F.broadcast(qbig), "bg")
+        .groupBy("qid", "doc_id", "c")
+        .agg(F.countDistinct("bg").alias("h"))
+    )
+    sess = hits.groupBy("qid", "doc_id").agg(F.max("h").alias("score"))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = sess.withColumn("rk", F.row_number().over(w))
+    qids = queries.select("qid").distinct()
+    gold = ranked.filter(F.col("doc_id") == F.col("qid")).select(
+        "qid", F.col("rk").cast("long").alias("gold_rank")
+    )
+    return (
+        qids.join(gold, "qid", "left")
+        .select(
+            "qid",
+            "gold_rank",
+            F.when(F.coalesce(F.col("gold_rank"), F.lit(999)) <= 5, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("recall_at5"),
+        )
+        .orderBy("qid")
+    )

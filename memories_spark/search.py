@@ -96,11 +96,11 @@ def hybrid_search(
         if merged.get("graph_weight") is not None and graph_weight == 0.0:
             graph_weight = 0.0  # intent only ever suppresses graph
 
-    mem = engine.table("memories")
+    # partition-pruned scan: a source_prefix reads only its folder's
+    # partition directory (engine.memories, F1 at the layout level)
+    mem = engine.memories(source_prefix)
     if not include_archived:
         mem = mem.filter(~F.coalesce(F.col("archived"), F.lit(False)))
-    if source_prefix:
-        mem = mem.filter(F.col("source").startswith(source_prefix))
     mem = mem.cache()
 
     # Lazy k clamp: the reference clamps k <= min(N, 100) with an eager

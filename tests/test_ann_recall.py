@@ -83,22 +83,19 @@ def test_multiprobe_beats_single_probe(spark, sf_dir):
 
 
 def test_trained_ivf_recall(spark, sf_dir):
-    """Trained-centroid IVF at nprobe=3 must recover a solid share of
-    the exact top-10 while scanning only ~3/16ths of the corpus."""
-    from memories_spark.plans.queries_ann import _CENTROID_IDS, _NPROBE
+    """Trained-centroid IVF (seeded init + one Lloyd step) at
+    nprobe=3 must recover a solid share of the exact top-10 while
+    scanning only ~3/16ths of the corpus."""
+    from memories_spark.plans.queries_ann import _NPROBE, trained_cell_dists
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cents = emb.filter(F.col("vec_id").isin(_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.desc(F.round(cosine_expr("embedding", "cv"), 9)), F.asc("cid")
-    )
+    d2 = trained_cell_dists(emb).cache()
+    aw = Window.partitionBy("vec_id").orderBy(F.asc("dist_fp"), F.asc("cid"))
     assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(aw))
+        d2.withColumn("rn", F.row_number().over(aw))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        .select("vec_id", F.col("cid").alias("cell"))
+        .join(emb, "vec_id")
         .cache()
     )
     recalls, cand_fracs = [], []
@@ -111,12 +108,13 @@ def test_trained_ivf_recall(spark, sf_dir):
             .select("vec_id", cosine_expr("embedding", "qv").alias("sim")),
             qid,
         )
-        qw = Window.orderBy(F.desc(F.round(cosine_expr("qv", "cv"), 9)), F.asc("cid"))
+        qw = Window.orderBy(F.asc("dist_fp"), F.asc("cid"))
         probes = (
-            qv.crossJoin(F.broadcast(cents))
+            d2.filter(F.col("vec_id") == qid)
             .withColumn("rn", F.row_number().over(qw))
             .filter(F.col("rn") <= _NPROBE)
-            .select(F.col("cid").alias("probe_cell"), "qv")
+            .select(F.col("cid").alias("probe_cell"))
+            .crossJoin(qv)
         )
         cands = assign.join(
             F.broadcast(probes), F.col("cell") == F.col("probe_cell")

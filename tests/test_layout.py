@@ -54,6 +54,59 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     assert "Exchange" not in join_part, join_part
 
 
+def test_memories_table_partitioned_by_folder(spark, tmp_path):
+    """The engine's memories table is laid out partitioned by the
+    top-level source folder, and a mutation in one folder must not
+    rewrite any other folder's files — the property that makes M1-M8
+    O(touched partition), not O(table), at 100 TB."""
+    import os
+
+    from memories_spark.engine import MemoriesEngine
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    now = "2024-01-01 00:00:00"
+    ids_a = eng.add([{"text": f"alpha {i}", "source": f"proja/doc{i}"} for i in range(3)], now)
+    eng.add([{"text": f"beta {i}", "source": f"projb/doc{i}"} for i in range(3)], now)
+    root = str(tmp_path / "store" / "memories")
+    parts = sorted(e for e in os.listdir(root) if e.startswith("folder="))
+    assert parts == ["folder=proja", "folder=projb"], parts
+
+    def files_of(part):
+        d = os.path.join(root, part)
+        return {
+            (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_b = files_of("folder=projb")
+    eng.update(ids_a[0], "2024-01-02 00:00:00", text="alpha updated")
+    assert files_of("folder=projb") == before_b  # projb untouched
+    # deleting every proja row removes its partition directory
+    eng.delete(ids_a)
+    parts = sorted(e for e in os.listdir(root) if e.startswith("folder="))
+    assert parts == ["folder=projb"], parts
+    assert files_of("folder=projb") == before_b
+    assert eng.count() == 3
+
+
+def test_memories_prefix_scan_prunes_partitions(spark, tmp_path):
+    """A source-prefix read must show PartitionFilters on folder —
+    the prefix-scoped search reads ONE partition directory."""
+    from memories_spark.engine import MemoriesEngine
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store2"))
+    now = "2024-01-01 00:00:00"
+    eng.add(
+        [{"text": f"t{i}", "source": f"proj{i % 4}/doc{i}"} for i in range(12)], now
+    )
+    df = eng.memories("proj1/").select("id")
+    plan = _executed(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "folder" in m.group(1), plan
+    assert df.count() == 3
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     docs = load_tables(spark, sf_dir)["documents"]
     out = str(tmp_path / "docs_by_lang")
