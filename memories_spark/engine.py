@@ -208,7 +208,12 @@ class MemoriesEngine:
         # snapshot to the next logically-identical plan.
         self.spark.catalog.refreshByPath(final)
 
-    def _write_memories(self, df: DataFrame, touched: list[str] | None) -> None:
+    def _write_memories(
+        self,
+        df: DataFrame,
+        touched: list[str] | None,
+        one_file_per_partition: bool = False,
+    ) -> None:
         """Partition-pruned rewrite of the memories table.
 
         The table is laid out as parquet partitioned by the top-level
@@ -222,7 +227,9 @@ class MemoriesEngine:
         O(table) per mutation, the scale-killer this layout removes).
         ``touched=None`` rewrites everything (reembed, rebuild,
         restore). A touched partition left with no rows has its
-        directory removed.
+        directory removed. ``one_file_per_partition`` shuffles rows
+        onto their folder before writing so each rewritten partition
+        lands as a single file (the compaction path).
         """
         final = self._dir("memories")
         with_folder = df.withColumn(FOLDER_COL, _folder_expr())
@@ -231,6 +238,8 @@ class MemoriesEngine:
             if not touched:
                 return
             with_folder = with_folder.filter(F.col(FOLDER_COL).isin(touched))
+        if one_file_per_partition:
+            with_folder = with_folder.repartition(FOLDER_COL)
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         with_folder.write.partitionBy(FOLDER_COL).mode("overwrite").parquet(tmp)
         if touched is None or not os.path.isdir(final):
@@ -753,6 +762,53 @@ class MemoriesEngine:
         self._write_memories(mem, touched)
         self._audit("rename_folder", [], now, detail=f"{old_prefix} -> {new_prefix} ({n} rows)")
         return n
+
+    # -- C7 action: small-file compaction ------------------------------
+
+    def compact(self, max_files: int = 1, dry_run: bool = False) -> dict:
+        """Rewrite over-fragmented partitions of the memories table
+        into one file each (the ACTION behind the C7
+        ``compaction_candidates`` query; reference POST
+        /maintenance/compact, app.py:1829-1867, which rebuilds its
+        Qdrant segment store). Appends fragment a partition one file
+        per add batch; compaction is the Delta ``OPTIMIZE``
+        bin-packing equivalent over the plain-parquet layout. Only
+        partitions with more than ``max_files`` files are rewritten —
+        the rest are untouched bytes, exactly like a mutation."""
+        root = self._dir("memories")
+        summary = {"partitions": 0, "files_before": 0, "files_after": 0}
+        if not os.path.isdir(root):
+            return summary
+
+        def _files(part: str) -> int:
+            d = os.path.join(root, part)
+            return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+        todo = []
+        for e in os.listdir(root):
+            if e.startswith(f"{FOLDER_COL}=") and _files(e) > max_files:
+                todo.append((unquote(e[len(FOLDER_COL) + 1:]), _files(e)))
+        summary["partitions"] = len(todo)
+        summary["files_before"] = sum(n for _, n in todo)
+        if dry_run or not todo:
+            summary["files_after"] = summary["files_before"]
+            return summary
+        touched = [v for v, _ in todo]
+        self._write_memories(
+            self.table("memories"), touched, one_file_per_partition=True
+        )
+        summary["files_after"] = sum(
+            _files(e)
+            for e in os.listdir(root)
+            if e.startswith(f"{FOLDER_COL}=")
+            and unquote(e[len(FOLDER_COL) + 1:]) in touched
+        )
+        self._audit(
+            "compact", [], None,
+            detail=f"{len(todo)} partitions, {summary['files_before']} -> "
+            f"{summary['files_after']} files",
+        )
+        return summary
 
     # -- S7: snapshot / restore ---------------------------------------
 

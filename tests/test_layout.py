@@ -107,6 +107,45 @@ def test_memories_prefix_scan_prunes_partitions(spark, tmp_path):
     assert df.count() == 3
 
 
+def test_compact_merges_small_files_per_partition(spark, tmp_path):
+    """engine.compact(): repeated appends fragment a partition into
+    one file per batch; compaction rewrites ONLY over-fragmented
+    partitions down to a single file, leaves others' bytes alone,
+    and preserves every row (the OPTIMIZE bin-packing equivalent
+    for the plain-parquet layout)."""
+    import os
+
+    from memories_spark.engine import MemoriesEngine
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    now = "2024-01-01 00:00:00"
+    for i in range(3):  # three append batches -> >=3 files in proja
+        eng.add([{"text": f"alpha {i}", "source": f"proja/doc{i}"}], now)
+    eng.add([{"text": "beta", "source": "projb/doc0"}], now)
+    root = str(tmp_path / "store" / "memories")
+
+    def files_of(part):
+        d = os.path.join(root, part)
+        return {
+            (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_b = files_of("folder=projb")
+    assert len(files_of("folder=proja")) >= 3
+    dry = eng.compact(max_files=1, dry_run=True)
+    assert dry["partitions"] == 1 and len(files_of("folder=proja")) >= 3
+    out = eng.compact(max_files=1)
+    assert out["partitions"] == 1
+    assert len(files_of("folder=proja")) == 1
+    assert out["files_after"] == 1
+    assert files_of("folder=projb") == before_b  # untouched bytes
+    assert eng.count() == 4
+    texts = {r.text for r in eng.table("memories").collect()}
+    assert texts == {"alpha 0", "alpha 1", "alpha 2", "beta"}
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     docs = load_tables(spark, sf_dir)["documents"]
     out = str(tmp_path / "docs_by_lang")

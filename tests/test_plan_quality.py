@@ -828,3 +828,24 @@ def test_psi_and_sampled_quantile_no_cartesian(spark, sf_dir):
     for name in ("psi_drift_audit", "sampled_quantile_error"):
         p = plan(QUERIES[name].fn(spark, sf_dir))
         assert "CartesianProduct" not in p, f"{name}: {p}"
+
+
+def test_ivf_training_broadcasts_centroids(spark, sf_dir):
+    """The IVF training + assignment passes join the exploded corpus
+    against the (k x dim) centroid table by BROADCAST — never a
+    shuffle of the corpus against centroids — and stay fully
+    JVM-side. The per-vector argmin is a partitioned window (no
+    global single-partition sort of corpus-sized data)."""
+    p = plan(QUERIES["ann_ivf_trained"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_longmemeval_broadcasts_query_bigrams(spark, sf_dir):
+    """R@5 harness: the Q x 7 query-bigram table broadcasts into the
+    corpus-sized chunk-bigram join; the corpus never self-joins."""
+    p = plan(QUERIES["longmemeval_recall_at5"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
