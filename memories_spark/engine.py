@@ -465,15 +465,39 @@ class MemoriesEngine:
 
     def delete_by_prefix(self, prefix: str, dry_run: bool = False) -> int:
         """Bulk delete by source prefix; pinned rows are skipped
-        (reference memory_engine.py:864-918, pinned guard :868-870)."""
-        mem = self.table("memories")
-        victims = mem.filter(
-            F.col("source").startswith(prefix) & ~F.coalesce(F.col("pinned"), F.lit(False))
+        (reference memory_engine.py:864-918, pinned guard :868-870).
+
+        Stays fully predicate-based: the victim set is never
+        materialized to the driver (a prefix can cover millions of
+        rows), the rewrite prunes to the prefix's partitions, and
+        link scrubbing is an anti-join against the victim id set —
+        no giant ``isin`` literal anywhere."""
+        doomed = F.col("source").startswith(prefix) & ~F.coalesce(
+            F.col("pinned"), F.lit(False)
         )
-        ids = [r.id for r in victims.select("id").collect()]
-        if dry_run or not ids:
-            return len(ids)
-        return self.delete(ids)
+        victims = self.memories(prefix).filter(doomed)
+        n = victims.count()
+        if dry_run or not n:
+            return n
+        # touched folders: a handful of scalars, not the victim rows
+        touched = [
+            r.f
+            for r in victims.select(_folder_expr().alias("f")).distinct().collect()
+        ]
+        # scrub links FIRST: victim_ids is a lazy plan over the
+        # memories table, so it must execute while the pre-delete
+        # state is still on disk
+        victim_ids = victims.select("id")
+        links = self.table("links")
+        self._write(
+            links.join(
+                victim_ids, links.from_id == victim_ids.id, "left_anti"
+            ).join(victim_ids, F.col("to_id") == victim_ids.id, "left_anti"),
+            "links",
+        )
+        self._write_memories(self.table("memories").filter(~doomed), touched)
+        self._audit("delete_by_prefix", [], None, detail=f"{prefix} ({n} rows)")
+        return n
 
     # -- M4: supersede -------------------------------------------------
 

@@ -2,9 +2,16 @@
 
 This is the local twin of the driver's CORRECTNESS gate (which runs
 at sf0.01); a failure here means a failure there.
-"""
+
+Queries run in THREADED shards: Spark schedules concurrent jobs from
+one session across its executor threads, so 8 in-flight queries cut
+wall time ~4-6x versus one-at-a-time (each query is a small job that
+leaves most cores idle). Each shard asserts ALL its failures at once
+so a red run still names every broken query."""
 
 from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -12,21 +19,53 @@ from memories_spark.plans.registry import QUERIES
 from tests.parity import compare
 
 ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
-
-
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_query_matches_oracle(spark, sf_dir, name):
-    spec = QUERIES[name]
-    df = spec.fn(spark, sf_dir)
-    ok, msg = compare(df, spec.oracle, sf_dir)
-    assert ok, f"{name}: {msg}"
-
-
 NO_ORACLE = sorted(n for n, s in QUERIES.items() if s.oracle is None)
 
+SHARD = 32
+POOL = 8
 
-@pytest.mark.parametrize("name", NO_ORACLE)
-def test_query_runs(spark, sf_dir, name):
-    spec = QUERIES[name]
-    df = spec.fn(spark, sf_dir)
-    assert df.count() >= 0
+
+def _shards(names):
+    # always at least one (possibly empty) shard: an empty parametrize
+    # list breaks id resolution, and a skip is clearer anyway
+    return [names[i : i + SHARD] for i in range(0, len(names), SHARD)] or [[]]
+
+
+def _shard_id(s):
+    return f"{s[0]}..{s[-1]}[{len(s)}]" if s else "empty"
+
+
+@pytest.mark.parametrize("shard", _shards(ORACLE_QUERIES), ids=_shard_id)
+def test_queries_match_oracle(spark, sf_dir, shard):
+    if not shard:
+        pytest.skip("no queries in this class")
+
+    def run(name):
+        spec = QUERIES[name]
+        try:
+            ok, msg = compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
+        except Exception as e:  # surface crashes as failures, keep batch going
+            ok, msg = False, f"raised {type(e).__name__}: {e}"
+        return name, ok, msg
+
+    with ThreadPoolExecutor(POOL) as ex:
+        results = list(ex.map(run, shard))
+    failures = [f"{n}: {m}" for n, ok, m in results if not ok]
+    assert not failures, "\n".join(failures)
+
+
+@pytest.mark.parametrize("shard", _shards(NO_ORACLE), ids=_shard_id)
+def test_queries_run(spark, sf_dir, shard):
+    if not shard:
+        pytest.skip("no queries in this class")
+
+    def run(name):
+        try:
+            return name, QUERIES[name].fn(spark, sf_dir).count() >= 0, "ok"
+        except Exception as e:
+            return name, False, f"raised {type(e).__name__}: {e}"
+
+    with ThreadPoolExecutor(POOL) as ex:
+        results = list(ex.map(run, shard))
+    failures = [f"{n}: {m}" for n, ok, m in results if not ok]
+    assert not failures, "\n".join(failures)
