@@ -387,7 +387,11 @@ class MemoriesEngine:
         data = [
             tuple(conv(f, r.get(f.name)) for f in MEMORY_SCHEMA.fields) for r in rows
         ]
-        return self.spark.createDataFrame(data, MEMORY_SCHEMA)
+        # driver-provided batches are small by construction; one slice
+        # writes one file per touched folder instead of fan-out into
+        # defaultParallelism near-empty tasks/files per add
+        rdd = self.spark.sparkContext.parallelize(data, numSlices=1)
+        return self.spark.createDataFrame(rdd, MEMORY_SCHEMA)
 
     # -- M2: update / PATCH -------------------------------------------
 

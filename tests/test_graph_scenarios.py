@@ -18,9 +18,18 @@ set at all, and with ``graph_weight > 0`` it must surface through
 PPR + the reserved-slot merge. The control (009) and scope (010)
 cases pin the inverse properties: graph support never displaces a
 direct answer and never leaks across a source-prefix boundary.
+
+Scenarios 1-9 share ONE module-scoped store, each namespaced under
+``eval/g{n}/`` and searched with that ``source_prefix`` — the
+prefix-pruned scan makes every scenario see exactly its own 22-25
+row corpus (the same isolation a multi-tenant store relies on), and
+building the store once keeps the suite CI-runnable. Scenario 10
+needs cross-prefix link isolation, so it builds its own store.
 """
 
 from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -57,192 +66,209 @@ NOISE = [
     "dependency updates batched by the bot into one weekly pr",
 ]
 
+# (scenario, memories [(key, text, source-suffix)], links)
+SCENARIOS = {
+    "g1": (
+        [
+            ("m1", "data mapper library is quillsql for every database access path", ""),
+            ("m2", "persistence layer configuration lives at conf/quill.toml with pool max twenty", ""),
+        ],
+        [("m1", "m2")],
+    ),
+    "g2": (
+        [
+            ("m1", "decision caching goes through memcache chosen for simplicity", ""),
+            ("m2", "expiry window fifteen minutes set inside conf/expiry.toml", ""),
+        ],
+        [("m1", "m2")],
+    ),
+    "g3": (
+        [
+            ("m1", "signin handled with passkeys, the account session comes from the gateway", ""),
+            ("m2", "rowstore table account-sessions keeps entries for one day", ""),
+        ],
+        [("m1", "m2")],
+    ),
+    "g4": (
+        [
+            ("m1", "billing service wraps outcomes in an either container never raising", "proj/billing"),
+            ("m2", "lesson: typed outcome wrappers keep failure paths visible to compilers", "learning/patterns"),
+        ],
+        [("m1", "m2")],
+    ),
+    "g5": (
+        [
+            ("m1", "endpoint contract checks every request body shape strictly", ""),
+            ("m3", "table blueprint checks every column shape strictly", ""),
+            ("m2", "shapecheck module found inside lib/shapes, fourth major release", ""),
+        ],
+        [("m1", "m2"), ("m3", "m2")],  # both seeds link to the neighbor
+    ),
+    "g6": (
+        [
+            ("m1", "production workloads deploy onto the nomad fleet infrastructure", ""),
+            ("m2", "credentials sealed by keywhiz, sidecar refreshes them every ninety days", ""),
+        ],
+        [("m1", "m2")],
+    ),
+    "g7": (
+        [
+            ("m1", "checks framework decision settled after the spike", ""),
+            ("m2", "specrunner config at specrunner.conf.ts with dom helpers", ""),
+            ("n1", "checks run nightly against the staging cluster", ""),
+            ("n2", "checks coverage threshold gate set at eighty percent", ""),
+            ("n3", "checks flake quarantine list reviewed each sprint", ""),
+        ],
+        [("m1", "m2")],
+    ),
+    "g8": (
+        [
+            ("m1", "logging bootstrap wires the emitter in app/boot", ""),
+            ("m2", "emit records as structured objects carrying traceToken from header", ""),
+        ],
+        [("m2", "m1")],  # incoming link: the NEWER memory links TO the hit
+    ),
+    "g9": (
+        [
+            ("m1", "container base image is distroless java seventeen, final size ninety megabytes", ""),
+            ("m2", "meeting notes from the platform sync last tuesday", ""),
+            ("m3", "holiday calendar for the support rotation", ""),
+        ],
+        [("m2", "m3")],  # links exist but point at irrelevant rows
+    ),
+}
+
 
 def _rec(text, source):
     return {"text": text, "source": source, "embedding": mock_embed(text)}
 
 
-def _build(spark, tmp_path, memories, links, noise_source="notes/pool"):
-    """memories: list[(key, text, source)]; links: [(from_key, to_key)].
-    The 20-row noise pool is appended after the scenario memories."""
-    eng = MemoriesEngine(spark, str(tmp_path / "store"))
-    recs = [_rec(t, s) for _, t, s in memories]
-    recs += [_rec(t, noise_source) for t in NOISE]
+@pytest.fixture(scope="module")
+def gstore(spark, tmp_path_factory):
+    """One store for scenarios 1-9, each under eval/g{n}/ (searched
+    with that source_prefix, so each sees only its own corpus)."""
+    eng = MemoriesEngine(spark, str(tmp_path_factory.mktemp("gscen") / "store"))
+    recs, keys, links = [], {}, []
+    for scen, (mems, ls) in SCENARIOS.items():
+        base = f"eval/{scen}"
+        for k, text, suffix in mems:
+            keys[(scen, k)] = len(recs)
+            recs.append(_rec(text, f"{base}/{suffix}" if suffix else f"{base}/m"))
+        for t in NOISE:
+            recs.append(_rec(t, f"{base}/noise"))
+        links += [(scen, a, b) for a, b in ls]
     ids = eng.add(recs, NOW)
-    by_key = {k: i for (k, _, _), i in zip(memories, ids)}
-    for a, b in links:
-        eng.add_link(by_key[a], by_key[b], "related_to", NOW)
-    return eng, by_key
+    key = {sk: ids[i] for sk, i in keys.items()}
+    for scen, a, b in links:
+        eng.add_link(key[(scen, a)], key[(scen, b)], "related_to", NOW)
+    return eng, key
 
 
 def _ids(rows):
     return [r.id for r in rows]
 
 
-def _search(eng, query, with_graph, k=2, **kw):
-    return hybrid_search(
-        eng,
-        query,
-        k=k,
-        graph_weight=0.3 if with_graph else 0.0,
-        auto_intent=False,
-        now=NOW,
-        **kw,
-    ).collect()
+def _search_pair(eng, query, prefix, k=2):
+    """(with graph, without graph) — two concurrent Spark jobs."""
+
+    def run(gw):
+        return hybrid_search(
+            eng, query, k=k, graph_weight=gw, auto_intent=False, now=NOW,
+            source_prefix=prefix,
+        ).collect()
+
+    with ThreadPoolExecutor(2) as ex:
+        return tuple(ex.map(run, (0.3, 0.0)))
 
 
-def _assert_link_only(eng, key, query, k=2):
+def _assert_link_only(gstore, scen, query, k=2):
     """The scenario invariant: answer memory m2 surfaces with graph
     expansion on, and cannot surface at the same k without it."""
-    with_graph = _search(eng, query, True, k=k)
-    assert key["m2"] in _ids(with_graph), with_graph
-    assert key["m2"] not in _ids(_search(eng, query, False, k=k))
+    eng, key = gstore
+    with_graph, without = _search_pair(eng, query, f"eval/{scen}/", k=k)
+    assert key[(scen, "m2")] in _ids(with_graph), with_graph
+    assert key[(scen, "m2")] not in _ids(without)
     return with_graph
 
 
-# --- graph-001: neighbor recall, disjoint vocabulary ----------------
-
-
-def test_graph_001_neighbor_recall_disjoint_vocabulary(spark, tmp_path):
-    mems = [
-        ("m1", "data mapper library is quillsql for every database access path", "eval/g1"),
-        ("m2", "persistence layer configuration lives at conf/quill.toml with pool max twenty", "eval/g1"),
-    ]
-    eng, key = _build(spark, tmp_path, mems, [("m1", "m2")])
-    query = "which data mapper library does the project use for database access"
-    with_graph = _assert_link_only(eng, key, query, k=5)
+def test_graph_001_neighbor_recall_disjoint_vocabulary(gstore):
+    rows = _assert_link_only(
+        gstore, "g1",
+        "which data mapper library does the project use for database access", k=5,
+    )
     # surfaced BY the graph: either injected via a reserved slot
     # ("graph") or lifted into top-5 by graph support ("direct+graph")
-    assert "graph" in next(r for r in with_graph if r.id == key["m2"]).match_type
+    _, key = gstore
+    assert "graph" in next(r for r in rows if r.id == key[("g1", "m2")]).match_type
 
 
-# --- graph-002: cross-session decision -> implementation ------------
+def test_graph_002_cross_session_decision(gstore):
+    _assert_link_only(gstore, "g2", "what did we decide about caching")
 
 
-def test_graph_002_cross_session_decision(spark, tmp_path):
-    mems = [
-        ("m1", "decision caching goes through memcache chosen for simplicity", "eval/g2"),
-        ("m2", "expiry window fifteen minutes set inside conf/expiry.toml", "eval/g2"),
-    ]
-    eng, key = _build(spark, tmp_path, mems, [("m1", "m2")])
-    _assert_link_only(eng, key, "what did we decide about caching")
+def test_graph_003_knowledge_chain_one_hop(gstore):
+    _assert_link_only(gstore, "g3", "how is signin session handled at the gateway")
 
 
-# --- graph-003: knowledge chain, shared word but 1-hop answer -------
+def test_graph_004_cross_source_connection(gstore):
+    _assert_link_only(
+        gstore, "g4", "why does the billing service use an either container"
+    )
 
 
-def test_graph_003_knowledge_chain_one_hop(spark, tmp_path):
-    mems = [
-        ("m1", "signin handled with passkeys, the account session comes from the gateway", "eval/g3"),
-        ("m2", "rowstore table account-sessions keeps entries for one day", "eval/g3"),
-    ]
-    eng, key = _build(spark, tmp_path, mems, [("m1", "m2")])
-    _assert_link_only(eng, key, "how is signin session handled at the gateway")
+def test_graph_005_multi_seed_convergence(gstore):
+    _assert_link_only(
+        gstore, "g5", "what checks request body and column shape strictly"
+    )
 
 
-# --- graph-004: cross-source general pattern <- project detail ------
+def test_graph_006_indirect_only(gstore):
+    _assert_link_only(gstore, "g6", "production infrastructure deploy workloads")
 
 
-def test_graph_004_cross_source_connection(spark, tmp_path):
-    mems = [
-        ("m1", "billing service wraps outcomes in an either container never raising", "proj/billing"),
-        ("m2", "lesson: typed outcome wrappers keep failure paths visible to compilers", "learning/patterns"),
-    ]
-    eng, key = _build(spark, tmp_path, mems, [("m1", "m2")])
-    _assert_link_only(eng, key, "why does the billing service use an either container")
-
-
-# --- graph-005: multi-seed convergence on a shared neighbor ---------
-
-
-def test_graph_005_multi_seed_convergence(spark, tmp_path):
-    mems = [
-        ("m1", "endpoint contract checks every request body shape strictly", "eval/g5"),
-        ("m3", "table blueprint checks every column shape strictly", "eval/g5"),
-        ("m2", "shapecheck module found inside lib/shapes, fourth major release", "eval/g5"),
-    ]
-    # BOTH searchable memories link to the shared neighbor
-    eng, key = _build(spark, tmp_path, mems, [("m1", "m2"), ("m3", "m2")])
-    _assert_link_only(eng, key, "what checks request body and column shape strictly")
-
-
-# --- graph-006: answer reachable only via the link ------------------
-
-
-def test_graph_006_indirect_only(spark, tmp_path):
-    mems = [
-        ("m1", "production workloads deploy onto the nomad fleet infrastructure", "eval/g6"),
-        ("m2", "credentials sealed by keywhiz, sidecar refreshes them every ninety days", "eval/g6"),
-    ]
-    eng, key = _build(spark, tmp_path, mems, [("m1", "m2")])
-    _assert_link_only(eng, key, "production infrastructure deploy workloads")
-
-
-# --- graph-007: linked neighbor wins over same-term distractors -----
-
-
-def test_graph_007_noise_resistance(spark, tmp_path):
-    mems = [
-        ("m1", "checks framework decision settled after the spike", "eval/g7"),
-        ("m2", "specrunner config at specrunner.conf.ts with dom helpers", "eval/g7"),
-        ("n1", "checks run nightly against the staging cluster", "eval/g7"),
-        ("n2", "checks coverage threshold gate set at eighty percent", "eval/g7"),
-        ("n3", "checks flake quarantine list reviewed each sprint", "eval/g7"),
-    ]
-    eng, key = _build(spark, tmp_path, mems, [("m1", "m2")])
-    query = "which checks framework decision did we settle on"
-    rows = _assert_link_only(eng, key, query)
+def test_graph_007_noise_resistance(gstore):
+    rows = _assert_link_only(
+        gstore, "g7", "which checks framework decision did we settle on"
+    )
     # k=2 with three same-term distractors competing: the linked
     # answer takes a slot the distractors wanted
-    assert key["m2"] in _ids(rows) and len(rows) == 2
+    assert len(rows) == 2
 
 
-# --- graph-008: incoming link discovery (B -> A, search hits A) -----
+def test_graph_008_bidirectional_incoming_link(gstore):
+    _assert_link_only(gstore, "g8", "where is the logging bootstrap wired")
 
 
-def test_graph_008_bidirectional_incoming_link(spark, tmp_path):
-    mems = [
-        ("m1", "logging bootstrap wires the emitter in app/boot", "eval/g8"),
-        ("m2", "emit records as structured objects carrying traceToken from header", "eval/g8"),
-    ]
-    # the NEWER memory links TO the old one; expansion must walk the
-    # incoming edge (graph_op.bidirectional)
-    eng, key = _build(spark, tmp_path, mems, [("m2", "m1")])
-    _assert_link_only(eng, key, "where is the logging bootstrap wired")
-
-
-# --- graph-009: control — direct match, irrelevant links ------------
-
-
-def test_graph_009_no_graph_baseline(spark, tmp_path):
-    mems = [
-        ("m1", "container base image is distroless java seventeen, final size ninety megabytes", "eval/g9"),
-        ("m2", "meeting notes from the platform sync last tuesday", "eval/g9"),
-        ("m3", "holiday calendar for the support rotation", "eval/g9"),
-    ]
-    eng, key = _build(spark, tmp_path, mems, [("m2", "m3")])
+def test_graph_009_no_graph_baseline(gstore):
+    eng, key = gstore
     query = "container base image size"
-    for with_graph in (True, False):
-        rows = _search(eng, query, with_graph)
-        # graph expansion must not displace the direct answer from #1
-        assert rows[0].id == key["m1"], rows
-
-
-# --- graph-010: scope boundary — link must not cross the prefix -----
+    with_graph, without = _search_pair(eng, query, "eval/g9/")
+    # graph expansion must not displace the direct answer from #1
+    assert with_graph[0].id == key[("g9", "m1")], with_graph
+    assert without[0].id == key[("g9", "m1")], without
 
 
 def test_graph_010_scope_boundary(spark, tmp_path):
-    mems = [
-        ("m1", "throttling for the invoices endpoint uses leaky bucket at forty per second", "wip/invoices"),
-        ("m2", "general lesson: leaky bucket smooths bursts better than fixed windows", "learning/general"),
-    ]
-    eng, key = _build(
-        spark, tmp_path, mems, [("m1", "m2")], noise_source="wip/notes"
-    )
+    """Needs its own store: the link crosses a source-prefix boundary
+    and the in-scope prefix must not leak the out-of-scope neighbor."""
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    recs = [
+        _rec("throttling for the invoices endpoint uses leaky bucket at forty per second", "wip/invoices"),
+        _rec("general lesson: leaky bucket smooths bursts better than fixed windows", "learning/general"),
+    ] + [_rec(t, "wip/notes") for t in NOISE]
+    ids = eng.add(recs, NOW)
+    m1, m2 = ids[0], ids[1]
+    eng.add_link(m1, m2, "related_to", NOW)
     query = "what throttling approach protects the invoices endpoint"
-    in_scope = _search(eng, query, True, source_prefix="wip/")
-    assert key["m1"] in _ids(in_scope)
+    in_scope = hybrid_search(
+        eng, query, k=2, graph_weight=0.3, auto_intent=False, now=NOW,
+        source_prefix="wip/",
+    ).collect()
+    assert m1 in _ids(in_scope)
     # the linked neighbor lives outside wip/ and must NOT leak in
-    assert key["m2"] not in _ids(in_scope), in_scope
+    assert m2 not in _ids(in_scope), in_scope
     # sanity: without the prefix the link does surface it
-    assert key["m2"] in _ids(_search(eng, query, True))
+    unscoped = hybrid_search(
+        eng, query, k=2, graph_weight=0.3, auto_intent=False, now=NOW
+    ).collect()
+    assert m2 in _ids(unscoped)

@@ -22,7 +22,7 @@ ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
 NO_ORACLE = sorted(n for n, s in QUERIES.items() if s.oracle is None)
 
 SHARD = 32
-POOL = 8
+POOL = 12
 
 
 def _shards(names):
