@@ -72,3 +72,17 @@ def write_parquet(df: DataFrame, path: str, partition_by: str | None = None) -> 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    """ORC (zlib) — the other columnar storage format Spark ships a
+    vectorized reader for; same pushdown/pruning properties as parquet,
+    common as the interchange format with Hive/Trino warehouses."""
+    w = df.write.mode("overwrite").option("compression", "zlib")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

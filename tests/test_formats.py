@@ -53,6 +53,14 @@ def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
     assert _canon(back) == _canon(ev)
 
 
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    ev = load_tables(spark, sf_dir)["events"].select(*[f.name for f in SCHEMA])
+    path = str(tmp_path / "ev_orc")
+    formats.write_orc(ev, path, partition_by="event_type")
+    back = formats.read_orc(spark, path)
+    assert _canon(back.select(*[f.name for f in SCHEMA])) == _canon(ev)
+
+
 def test_partitioned_parquet_roundtrip(spark, sf_dir, tmp_path):
     ev = load_tables(spark, sf_dir)["events"].select(*[f.name for f in SCHEMA])
     path = str(tmp_path / "ev_parq")
