@@ -663,21 +663,11 @@ class MemoriesEngine:
         self._audit("set_flags", ids, now, detail=",".join(flags))
         return n
 
-    def enforce_policies(
-        self, profiles: list[dict], now: str, dry_run: bool = False
-    ) -> dict:
-        """C6 lifecycle enforcement over the store (reference
-        enforce_policies, memory_engine.py:1080-1248): resolve each
-        row's most-specific profile (longest source prefix), archive
-        when ``age > ttl_days`` OR (``confidence < threshold`` AND
-        ``age > min_age_days``); pinned and already-archived rows are
-        untouched; evidence (reason, at, confidence, age) lands in the
-        metadata map. ``dry_run`` reports candidates without writing.
-
-        ``profiles``: dicts of ``source_prefix`` plus optional
-        ``ttl_days``, ``confidence_threshold``, ``min_age_days``,
-        ``confidence_half_life_days``.
-        """
+    def _policy_decisions(self, profiles: list[dict], now: str) -> DataFrame:
+        """The C6 decision set as a DataFrame: one (id, source, reason,
+        confidence, age_days) row per archive candidate. Never
+        collected on the enforcement path — a policy sweep may decide
+        millions of rows."""
         from memories_spark.functions.decay import half_life_decay
         from memories_spark.operators.lifecycle import archive_decision, resolve_profiles
 
@@ -717,37 +707,34 @@ class MemoriesEngine:
             F.col("min_age_days"),
             F.coalesce(F.col("pinned"), F.lit(False)),
         )
-        decided = resolved.select(
+        return resolved.select(
             "id",
             "source",
             reason.alias("reason"),
             F.round(confidence, 6).alias("confidence"),
             F.round(age_days, 3).alias("age_days"),
         ).filter(F.col("reason").isNotNull())
-        collected = [r.asDict() for r in decided.orderBy("id").collect()]
-        touched = [_folder_of(c.pop("source")) for c in collected]
-        candidates = collected
-        summary = {"candidates": candidates, "archived": 0}
-        if dry_run or not candidates:
-            return summary
 
-        by_id = {c["id"]: c for c in candidates}
-        mem = self.table("memories")
-        hit = F.col("id").isin(list(by_id))
-        reason_col = F.coalesce(
-            *[
-                F.when(F.col("id") == i, F.lit(c["reason"]))
-                for i, c in by_id.items()
-            ]
+    def _policy_rewrite(self, decided: DataFrame, now: str) -> DataFrame:
+        """Set-based policy application: the decision set LEFT-JOINS
+        onto the table rewrite, so a sweep archiving 10^6 rows is one
+        join — never a 10^6-branch CASE WHEN expression tree (the
+        round-2 scale defect this replaces)."""
+        dec = decided.select(
+            F.col("id").alias("_dec_id"), F.col("reason").alias("_dec_reason")
         )
+        mem = self.table("memories").join(
+            dec, F.col("id") == F.col("_dec_id"), "left"
+        )
+        hit = F.col("_dec_reason").isNotNull()
         evidence = F.map_from_arrays(
-            F.array(
-                F.lit("policy_archived_reason"), F.lit("policy_archived_at")
-            ),
-            F.array(reason_col, F.lit(now)),
+            F.array(F.lit("policy_archived_reason"), F.lit("policy_archived_at")),
+            F.array(F.col("_dec_reason"), F.lit(now)),
         )
-        mem = (
-            mem.withColumn("archived", F.when(hit, F.lit(True)).otherwise(F.col("archived")))
+        return (
+            mem.withColumn(
+                "archived", F.when(hit, F.lit(True)).otherwise(F.col("archived"))
+            )
             .withColumn(
                 "metadata",
                 F.when(
@@ -765,10 +752,45 @@ class MemoriesEngine:
                 "updated_at",
                 F.when(hit, F.lit(now).cast("timestamp")).otherwise(F.col("updated_at")),
             )
+            .select(*[f.name for f in MEMORY_SCHEMA.fields])
         )
-        self._write_memories(mem, touched)
-        summary["archived"] = len(candidates)
-        return summary
+
+    def enforce_policies(
+        self, profiles: list[dict], now: str, dry_run: bool = False
+    ) -> dict:
+        """C6 lifecycle enforcement over the store (reference
+        enforce_policies, memory_engine.py:1080-1248): resolve each
+        row's most-specific profile (longest source prefix), archive
+        when ``age > ttl_days`` OR (``confidence < threshold`` AND
+        ``age > min_age_days``); pinned and already-archived rows are
+        untouched; evidence (reason, at) lands in the metadata map.
+        ``dry_run`` collects and reports the candidate rows without
+        writing; the enforcement path is fully set-based — only
+        per-folder counts (a handful of scalars) reach the driver,
+        and the rewrite applies the decision set via a join.
+
+        ``profiles``: dicts of ``source_prefix`` plus optional
+        ``ttl_days``, ``confidence_threshold``, ``min_age_days``,
+        ``confidence_half_life_days``.
+        """
+        decided = self._policy_decisions(profiles, now)
+        if dry_run:
+            candidates = [r.asDict() for r in decided.orderBy("id").collect()]
+            for c in candidates:
+                c.pop("source")
+            return {"candidates": candidates, "archived": 0}
+
+        # touched folders + total in ONE job over the decision set
+        per_folder = (
+            decided.groupBy(_folder_expr().alias("f")).count().collect()
+        )
+        n = sum(r["count"] for r in per_folder)
+        if not n:
+            return {"candidates": [], "archived": 0}
+        touched = [r.f for r in per_folder]
+        self._write_memories(self._policy_rewrite(decided, now), touched)
+        self._audit("enforce_policies", [], now, detail=f"{n} archived")
+        return {"candidates": [], "archived": n}
 
     # -- C10: folder rename -------------------------------------------
 
@@ -1005,6 +1027,92 @@ class MemoriesEngine:
         self._write_memories(out, None)  # model migration: every row
         return n
 
+    def _rebuild_plan(
+        self, file_paths: list[str], now: str, embed_fn
+    ) -> tuple[DataFrame, DataFrame]:
+        """(rebuilt, persisted-chunks) — rebuilt is exposed for
+        plan-quality gates; the caller unpersists chunks after the
+        write.
+
+        Id assignment is DISTRIBUTED: doc order comes from a tiny
+        driver-built (path, doc_id) map (N files, scalars only) and
+        chunk ids from per-file offsets + a doc-partitioned
+        row_number — never a global single-partition window over the
+        corpus-sized chunk set (the round-2 scale defect this
+        replaces). Ids remain deterministic: (file path order,
+        numeric chunk order), 0..n-1."""
+        from pyspark.sql import Window
+        from pyspark.sql.functions import pandas_udf
+
+        from memories_spark.operators.chunking import chunk_markdown_df
+
+        raw = (
+            self.spark.read.format("text")
+            .option("wholetext", "true")
+            .load(file_paths)
+            .select(F.input_file_name().alias("path"), F.col("value").alias("content"))
+        )
+        # doc ids in path order: observed paths are N driver scalars
+        paths = sorted(r.path for r in raw.select("path").collect())
+        doc_map = self.spark.createDataFrame(
+            [(p, i + 1) for i, p in enumerate(paths)], "path string, doc_id long"
+        )
+        # the file stem plays the source name (reference Path(...).stem)
+        stem = F.regexp_replace(
+            F.element_at(F.split(F.col("path"), "/"), -1), r"\.[^.]*$", ""
+        )
+        docs = raw.join(F.broadcast(doc_map), "path").select(
+            "doc_id", stem.alias("source"), F.col("content").alias("text")
+        )
+        chunks = chunk_markdown_df(docs).persist()
+        # per-file offsets: one count row per FILE reaches the driver
+        counts = {
+            r.doc_id: r.n
+            for r in chunks.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+        }
+        offsets, acc = [], 0
+        for did in sorted(counts):
+            offsets.append((did, acc))
+            acc += counts[did]
+        off_df = self.spark.createDataFrame(offsets, "doc_id long, _off long")
+
+        @pandas_udf("array<float>")
+        def embed_batch(texts: pd.Series) -> pd.Series:
+            return texts.map(lambda t: embed_fn(t or ""))
+
+        # chunk order within a doc: length-then-lexicographic sorts
+        # chunk_2 before chunk_10 — a PARTITIONED window per doc
+        order = Window.partitionBy("doc_id").orderBy(
+            F.length("chunk_source"), F.col("chunk_source")
+        )
+        ts = F.lit(now).cast("timestamp")
+        null = lambda t: F.lit(None).cast(t)  # noqa: E731
+        rebuilt = (
+            chunks.join(F.broadcast(off_df), "doc_id")
+            .select(
+                (F.col("_off") + F.row_number().over(order) - 1)
+                .cast("long")
+                .alias("id"),
+                F.col("chunk_text").alias("text"),
+                F.col("chunk_source").alias("source"),
+                ts.alias("created_at"),
+                ts.alias("updated_at"),
+                null("timestamp").alias("document_at"),
+                null("timestamp").alias("last_reinforced_at"),
+                null("string").alias("category"),
+                F.lit(False).alias("pinned"),
+                F.lit(False).alias("archived"),
+                F.lit(True).alias("is_latest"),
+                null("long").alias("supersedes"),
+                null("long").alias("conflicts_with"),
+                null("string").alias("entity_key"),
+                null("string").alias("previous_text"),
+                embed_batch(F.col("chunk_text")).alias("embedding"),
+                null("map<string,string>").alias("metadata"),
+            )
+        )
+        return rebuilt, chunks
+
     def rebuild_from_files(self, file_paths: list[str], now: str, embed_fn=None) -> int:
         """S2 file rebuild scan (reference rebuild_from_files,
         memory_engine.py:2699-2764): read N markdown files, chunk them
@@ -1013,67 +1121,18 @@ class MemoriesEngine:
 
         Read + chunk + embed are all distributed: one row per file
         from the wholetext source, markdown packing via mapInPandas,
-        embedding via the same Arrow-batched stage as :meth:`reembed`.
+        embedding via the same Arrow-batched stage as :meth:`reembed`,
+        ids from per-file offsets (see :meth:`_rebuild_plan`).
         Returns the number of chunks written.
         """
-        from pyspark.sql import Window
-        from pyspark.sql.functions import pandas_udf
-
-        from memories_spark.operators.chunking import chunk_markdown_df
-
         if embed_fn is None:
             from memories_spark.extraction import mock_embed
 
             embed_fn = mock_embed
 
-        raw = (
-            self.spark.read.format("text")
-            .option("wholetext", "true")
-            .load(file_paths)
-            .select(F.input_file_name().alias("path"), F.col("value").alias("content"))
-        )
-        # the file stem plays the source name (reference Path(...).stem)
-        stem = F.regexp_replace(
-            F.element_at(F.split(F.col("path"), "/"), -1), r"\.[^.]*$", ""
-        )
-        docs = raw.select(
-            F.row_number().over(Window.orderBy("path")).cast("long").alias("doc_id"),
-            stem.alias("source"),
-            F.col("content").alias("text"),
-        )
-        chunks = chunk_markdown_df(docs)
-
-        @pandas_udf("array<float>")
-        def embed_batch(texts: pd.Series) -> pd.Series:
-            return texts.map(lambda t: embed_fn(t or ""))
-
-        # fresh deterministic ids: (file order, numeric chunk order) —
-        # length-then-lexicographic sorts chunk_2 before chunk_10
-        order = Window.orderBy(
-            F.col("doc_id"), F.length("chunk_source"), F.col("chunk_source")
-        )
-        ts = F.lit(now).cast("timestamp")
-        null = lambda t: F.lit(None).cast(t)  # noqa: E731
-        rebuilt = chunks.select(
-            (F.row_number().over(order) - 1).cast("long").alias("id"),
-            F.col("chunk_text").alias("text"),
-            F.col("chunk_source").alias("source"),
-            ts.alias("created_at"),
-            ts.alias("updated_at"),
-            null("timestamp").alias("document_at"),
-            null("timestamp").alias("last_reinforced_at"),
-            null("string").alias("category"),
-            F.lit(False).alias("pinned"),
-            F.lit(False).alias("archived"),
-            F.lit(True).alias("is_latest"),
-            null("long").alias("supersedes"),
-            null("long").alias("conflicts_with"),
-            null("string").alias("entity_key"),
-            null("string").alias("previous_text"),
-            embed_batch(F.col("chunk_text")).alias("embedding"),
-            null("map<string,string>").alias("metadata"),
-        )
+        rebuilt, chunks = self._rebuild_plan(file_paths, now, embed_fn)
         self._write_memories(rebuilt, None)  # full index rebuild
+        chunks.unpersist()
         n_chunks = self.table("memories").count()
         self._set_next_id(n_chunks)  # fresh ids 0..n-1 were assigned
         return n_chunks
@@ -1106,18 +1165,21 @@ class MemoriesEngine:
                 ],
                 "query_id long, query_vec array<float>",
             )
-            hits = topk_cosine(
-                mem.select(F.col("id").alias("vec_id"), "embedding"),
-                queries,
-                k=1,
-                exclude_self=False,
-            ).collect()
-            created = {
-                int(r.id): str(r.created_at)
-                for r in mem.select("id", "created_at").collect()
-            }
+            # join the k=1 hit set back to the corpus for created_at:
+            # only |records| decision rows ever reach the driver — the
+            # corpus (id, created_at) map itself is never collected
+            hits = (
+                topk_cosine(
+                    mem.select(F.col("id").alias("vec_id"), "embedding"),
+                    queries,
+                    k=1,
+                    exclude_self=False,
+                )
+                .join(mem.select(F.col("id").alias("vec_id"), "created_at"), "vec_id")
+                .collect()
+            )
             best = {
-                int(r.query_id): (int(r.vec_id), float(r.sim), created[int(r.vec_id)])
+                int(r.query_id): (int(r.vec_id), float(r.sim), str(r.created_at))
                 for r in hits
             }
 

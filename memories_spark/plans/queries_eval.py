@@ -35,6 +35,8 @@ _CORPUS_N = 200   # sessions (documents) in the haystack
 _Q_N = 20         # questions = gold docs 0..19
 _CHUNK = 30       # tokens per chunk ("session chunking")
 _QTOK = 8         # question = first 8 tokens of the gold doc
+_MAX_CHUNKS = 32  # per-doc chunk cap — pinned on BOTH engines so the
+                  # parity holds for docs longer than 960 tokens
 
 _LME_ORACLE = f"""
 WITH docs AS (
@@ -50,7 +52,7 @@ qbig AS (
   SELECT DISTINCT qid, qt[i] || ' ' || qt[i+1] AS bg
   FROM queries CROSS JOIN qpos WHERE i + 1 <= len(qt)
 ),
-cpos AS (SELECT unnest(range(0, 32)) AS c),
+cpos AS (SELECT unnest(range(0, {_MAX_CHUNKS})) AS c),
 chunks AS (
   SELECT doc_id, c,
          list_slice(toks, c*{_CHUNK}+1, least((c+1)*{_CHUNK}, len(toks))) AS ct
@@ -122,7 +124,10 @@ def longmemeval_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.sequence(
                     F.lit(0),
-                    (F.ceil(F.size("toks") / F.lit(float(_CHUNK)))).cast("int") - 1,
+                    F.least(
+                        (F.ceil(F.size("toks") / F.lit(float(_CHUNK)))).cast("int") - 1,
+                        F.lit(_MAX_CHUNKS - 1),
+                    ),
                 )
             ).alias("c"),
             "toks",

@@ -1,11 +1,11 @@
-"""Interchange formats: CSV / JSON-lines / parquet round-trips.
+"""Interchange formats: CSV / JSON-lines / parquet / ORC round-trips.
 
 The reference's interchange surface is NDJSON export/import
 (reference memories_server.py export/import endpoints; our
 engine.export_ndjson / import_ndjson mirror it). This module is the
 generic engine-level counterpart: write any DataFrame to
-CSV / JSON-lines / parquet and read it back with an explicit schema,
-preserving values exactly.
+CSV / JSON-lines / parquet / ORC and read it back with an explicit
+schema, preserving values exactly.
 
 Scale notes: CSV/JSON are interchange formats, not storage — no
 column pruning, no predicate pushdown, full-row parsing on every

@@ -138,3 +138,20 @@ def test_import_smart_borderline_older_skipped(engine):
     assert s == {"added": 0, "skipped": 1, "replaced": 0}
     texts = {r.text for r in engine.table("memories").collect()}
     assert "the api uses port 7443" in texts
+
+
+def test_rebuild_plan_has_no_global_window(engine, tmp_path):
+    """Id assignment in a rebuild must never funnel the corpus-sized
+    chunk set through a single-partition sort: doc ids come from a
+    driver-built path map, chunk ids from per-file offsets + a
+    doc-PARTITIONED window (round-2 scale defect, fixed)."""
+    md = tmp_path / "gamma.md"
+    md.write_text(MD)
+    rebuilt, chunks = engine._rebuild_plan([str(md)], LATER, mock_embed)
+    p = rebuilt._jdf.queryExecution().explainString(
+        rebuilt._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    chunks.unpersist()
+    assert "Exchange SinglePartition" not in p, p

@@ -280,3 +280,47 @@ def test_audit_trail_records_mutations(engine):
     assert after[-1].action == "restore_snapshot" or any(
         r.action == "restore_snapshot" for r in after
     )
+
+
+def test_enforce_policies_set_based_at_scale(spark, tmp_path):
+    """The enforcement path must be set-based: a sweep deciding 10^4
+    candidates applies them through a JOIN of the decision set onto
+    the table rewrite — not a 10^4-branch CASE WHEN expression tree
+    (which chokes Catalyst long before the data hurts), and no
+    candidate rows are collected to the driver."""
+    eng = MemoriesEngine(spark, str(tmp_path / "bigstore"))
+    n = 10_000
+    eng.add(
+        [{"text": f"fact {i}", "source": f"bulk/{i % 7}"} for i in range(n)], NOW
+    )
+    profiles = [{"source_prefix": "bulk/", "ttl_days": 1}]
+    later = "2024-07-01 12:00:00"  # 30 days after NOW: all expired
+
+    decided = eng._policy_decisions(profiles, later)
+    rewrite = eng._policy_rewrite(decided, later)
+    p = rewrite._jdf.queryExecution().explainString(
+        rewrite._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Join" in p, p
+    # the WHENs are a constant handful of column rewrites, never
+    # one branch per victim
+    assert p.count("CASE WHEN") < 50, p.count("CASE WHEN")
+
+    summary = eng.enforce_policies(profiles, later)
+    assert summary["archived"] == n
+    live = eng.table("memories").filter(~F.col("archived")).count()
+    assert live == 0
+
+
+def test_enforce_policies_evidence_via_join(spark, tmp_path):
+    """Per-row evidence (reason/at) must survive the set-based apply."""
+    eng = MemoriesEngine(spark, str(tmp_path / "evstore"))
+    eng.add([{"text": "t", "source": "a/x"}], NOW)
+    later = "2024-07-01 12:00:00"
+    eng.enforce_policies([{"source_prefix": "a/", "ttl_days": 1}], later)
+    row = eng.table("memories").collect()[0]
+    assert row.archived
+    assert row.metadata["policy_archived_reason"] == "ttl_expired"
+    assert row.metadata["policy_archived_at"] == later

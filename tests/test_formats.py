@@ -1,5 +1,5 @@
-"""Interchange-format round-trips: CSV / JSON-lines / parquet must
-preserve the events table exactly (values, nulls, timestamps at
+"""Interchange-format round-trips: CSV / JSON-lines / parquet / ORC
+must preserve the events table exactly (values, nulls, timestamps at
 microsecond precision) under explicit schemas.
 """
 

@@ -156,3 +156,51 @@ def test_longmemeval_top_session_is_gold_for_exact_queries(lme_engine):
         m = _SESSION_RE.search(rows[0].source)
         hits += int(m and int(m.group(1)) == gold)
     assert hits >= 4, hits
+
+
+def test_chunk_cap_parity_on_long_docs(spark, tmp_path):
+    """Docs longer than 960 tokens (32 chunks x 30 tokens) must hit
+    the SAME per-doc chunk cap on both engines. Real testdata maxes
+    out near 100 tokens, so this builds a synthetic corpus with
+    >32-chunk docs and runs the registered query against its own
+    DuckDB oracle over that corpus (the latent divergence the
+    round-2 review flagged: oracle capped at 32 chunks, Spark side
+    unbounded)."""
+    import shutil
+
+    from tests.parity import compare
+    from memories_spark.plans.registry import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "sfLONG"
+    dst.mkdir()
+    for name in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        shutil.copy(f"{src}/{name}.parquet", dst / f"{name}.parquet")
+
+    # 40 docs of 1200 tokens each (40 raw chunks -> capped at 32);
+    # doc i's tokens repeat a small vocabulary so queries (8-token
+    # prefixes) overlap several docs' later chunks too
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = []
+    for i in range(40):
+        texts.append(" ".join(f"w{(i * 7 + j) % 90}" for j in range(1200)))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * 40,
+                "source": [f"gen/{i}" for i in range(40)],
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(dst / "documents.parquet"),
+    )
+
+    spec = QUERIES["longmemeval_recall_at5"]
+    ok, detail = compare(spec.fn(spark, str(dst)), spec.oracle, str(dst))
+    assert ok, detail
