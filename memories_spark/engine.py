@@ -344,11 +344,16 @@ class MemoriesEngine:
         next_id = self._next_id(len(records))
         rows = []
         for i, rec in enumerate(records):
-            meta = {
-                k: str(v)
-                for k, v in rec.items()
-                if k not in {f.name for f in MEMORY_SCHEMA.fields}
-            }
+            # extra keys land in the metadata map, merged over an
+            # explicit ``metadata`` dict if the record carries one
+            meta = {k: str(v) for k, v in (rec.get("metadata") or {}).items()}
+            meta.update(
+                {
+                    k: str(v)
+                    for k, v in rec.items()
+                    if k not in {f.name for f in MEMORY_SCHEMA.fields}
+                }
+            )
             rows.append(
                 {
                     "id": next_id + i,
@@ -994,9 +999,21 @@ class MemoriesEngine:
         source_prefix: str | None = None,
         since: str | None = None,
         until: str | None = None,
+        now: str | None = None,
     ) -> int:
         """Filtered NDJSON export, ids/embeddings stripped (reference
-        export_memories, memory_engine.py:2398-2445)."""
+        export_memories, memory_engine.py:2398-2445). Every other
+        field — timestamps, category, flags, entity_key, metadata —
+        is exported so import is lossless.
+
+        The reference's first-line ``_header`` record becomes a
+        ``_header.json`` file in the export directory: the record
+        part-files stay a plain distributed NDJSON write (no
+        coalesce(1) — a 100 TB export writes in parallel), and the
+        underscore prefix keeps the header invisible to Spark/Hadoop
+        readers scanning the directory."""
+        import json as _json
+
         mem = self.table("memories")
         if source_prefix:
             mem = mem.filter(F.col("source").startswith(source_prefix))
@@ -1006,7 +1023,18 @@ class MemoriesEngine:
             mem = mem.filter(F.col("created_at") <= F.lit(until).cast("timestamp"))
         out = mem.drop("id", "embedding")
         n = out.count()
-        out.coalesce(1).write.mode("overwrite").json(out_dir)
+        out.write.mode("overwrite").json(out_dir)
+        header = {
+            "_header": True,
+            "exported_at": now or datetime.now().isoformat(),
+            "source_filter": source_prefix,
+            "since": since,
+            "until": until,
+            "count": n,
+            "version": "4.0.0",
+        }
+        with open(os.path.join(out_dir, "_header.json"), "w") as f:
+            f.write(_json.dumps(header, separators=(",", ":")))
         return n
 
     def reembed(self, embed_fn, batch_hint: int = 256) -> int:
@@ -1208,20 +1236,139 @@ class MemoriesEngine:
             self.add(to_add, now)
         return summary
 
-    def import_ndjson(self, in_dir: str, now: str, source_remap: dict | None = None) -> int:
-        """NDJSON import with optional source-prefix remap (reference
-        import_memories, memory_engine.py:2447-2543)."""
-        df = self.spark.read.json(in_dir)
-        rows = []
-        for r in df.collect():
-            d = r.asDict(recursive=True)
-            src = d.get("source") or ""
-            for old, new in (source_remap or {}).items():
-                if src.startswith(old):
-                    src = new + src[len(old):]
-                    break
-            rows.append({"text": d.get("text") or "", "source": src})
-        if not rows:
-            return 0
-        self.add(rows, now)
-        return len(rows)
+    #: Import reads every exported field back (MEMORY_SCHEMA minus the
+    #: instance-local id and the deliberately-stripped embedding).
+    _IMPORT_FIELDS = [
+        f for f in MEMORY_SCHEMA.fields if f.name not in ("id", "embedding")
+    ]
+
+    def import_ndjson(
+        self,
+        in_dir: str,
+        now: str,
+        source_remap: dict | None = None,
+        strategy: str = "add",
+        create_backup: bool = True,
+    ) -> dict:
+        """NDJSON import (reference import_memories,
+        memory_engine.py:2447-2543): header-validated, source-prefix
+        remapped, FULL field fidelity — created_at/updated_at,
+        category, flags, entity_key and the metadata map all survive
+        a round-trip, so decay/temporal signals don't reset.
+
+        The ``add`` strategy is fully distributed: records never
+        reach the driver — the remap is a column expression, ids come
+        from the reserved counter range + ``zipWithIndex``, and rows
+        append straight into their partitions. ``smart`` delegates to
+        :meth:`import_smart` (per-record novelty decisions; the
+        decision list is import-sized, never corpus-sized).
+
+        Returns the reference's summary dict: ``imported``,
+        ``skipped``, ``updated``, ``errors``, ``backup``.
+        """
+        import json as _json
+
+        result: dict = {
+            "imported": 0, "skipped": 0, "updated": 0, "errors": [], "backup": None,
+        }
+        # --- header validation (reference memory_engine.py:2490-2499) ---
+        header = None
+        header_path = os.path.join(in_dir, "_header.json")
+        if os.path.exists(header_path):
+            try:
+                with open(header_path) as f:
+                    header = _json.loads(f.read())
+            except (ValueError, OSError):
+                header = None
+        if not header or not header.get("_header"):
+            result["errors"].append(
+                {"line": 1, "error": "Missing header: first line must contain _header: true"}
+            )
+            return result
+
+        # --- pre-import backup (reference create_backup=True path) ---
+        if create_backup and os.path.isdir(self._dir("memories")):
+            result["backup"] = self.snapshot(now)
+
+        schema = T.StructType(self._IMPORT_FIELDS)
+        df = self.spark.read.schema(schema).json(in_dir)
+
+        n_total = df.count()
+        valid = df.filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        n_bad = n_total - valid.count()
+        if n_bad:
+            result["errors"].append(
+                {"error": f"{n_bad} records missing required field (text or source)"}
+            )
+
+        # source remap as a column expression (first matching prefix
+        # wins, like the reference's break)
+        src = F.col("source")
+        remapped = None
+        for old, new in (source_remap or {}).items():
+            branch = F.concat(
+                F.lit(new), F.expr(f"substring(source, {len(old) + 1})")
+            )
+            cond = src.startswith(old)
+            remapped = (
+                F.when(cond, branch) if remapped is None else remapped.when(cond, branch)
+            )
+        if remapped is not None:
+            valid = valid.withColumn("source", remapped.otherwise(src))
+
+        if strategy in ("smart", "smart+extract"):
+            records = [r.asDict(recursive=True) for r in valid.collect()]
+            for r in records:
+                for k in ("created_at", "updated_at", "document_at"):
+                    if r.get(k) is not None:
+                        r[k] = str(r[k])
+            s = self.import_smart(records, now)
+            result["imported"] = s["added"]
+            result["skipped"] = s["skipped"]
+            result["updated"] = s["replaced"]
+            return result
+        if strategy != "add":
+            result["errors"].append({"line": 0, "error": f"Unknown strategy: {strategy}"})
+            return result
+
+        # --- distributed add: import markers, ids, straight append ---
+        marker = F.create_map(
+            F.lit("imported"), F.lit("true"), F.lit("import_source"), F.col("source")
+        )
+        prepared = valid.select(
+            "text",
+            "source",
+            F.coalesce(F.col("created_at"), F.lit(now).cast("timestamp")).alias(
+                "created_at"
+            ),
+            F.coalesce(F.col("updated_at"), F.lit(now).cast("timestamp")).alias(
+                "updated_at"
+            ),
+            "document_at",
+            "last_reinforced_at",
+            "category",
+            F.coalesce(F.col("pinned"), F.lit(False)).alias("pinned"),
+            F.coalesce(F.col("archived"), F.lit(False)).alias("archived"),
+            F.coalesce(F.col("is_latest"), F.lit(True)).alias("is_latest"),
+            "supersedes",
+            "conflicts_with",
+            "entity_key",
+            "previous_text",
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.map_concat(
+                F.coalesce(F.col("metadata"), F.expr("CAST(map() AS map<string,string>)")),
+                marker,
+            ).alias("metadata"),
+        )
+        n = prepared.count()
+        if not n:
+            return result
+        offset = self._next_id(n)
+        rdd = prepared.rdd.zipWithIndex().map(
+            lambda t: (offset + t[1],) + tuple(t[0])
+        )
+        new_rows = self.spark.createDataFrame(rdd, MEMORY_SCHEMA)
+        self._append_memories(new_rows)
+        self._audit("import_ndjson", [], now, detail=f"{in_dir} ({n} rows)")
+        result["imported"] = n
+        return result

@@ -214,11 +214,99 @@ def test_export_import_roundtrip(engine, tmp_path, spark):
     n = engine.export_ndjson(out, source_prefix="team/")
     assert n == 4
     eng2 = MemoriesEngine(spark, str(tmp_path / "store2"))
-    imported = eng2.import_ndjson(out, LATER, source_remap={"team/": "imported/"})
-    assert imported == 4
+    result = eng2.import_ndjson(out, LATER, source_remap={"team/": "imported/"})
+    assert result["imported"] == 4 and result["errors"] == []
     assert eng2.count(source_prefix="imported/") == 4
     texts = {r.text for r in eng2.table("memories").collect()}
     assert "alpha fact" in texts
+
+
+def test_export_import_full_field_fidelity(spark, tmp_path):
+    """Export -> import must preserve EVERY record field (reference
+    tests/test_import_export_roundtrip.py: created_at/updated_at and
+    custom fields survive; memory_engine.py:2508-2533): timestamps,
+    category, flags, entity_key and metadata all round-trip, so
+    decay/temporal signals don't reset on migration."""
+    eng = MemoriesEngine(spark, str(tmp_path / "src"))
+    eng.add(
+        [
+            {
+                "text": "full record", "source": "team/full",
+                "category": "decision", "pinned": True,
+                "document_at": "2024-01-15 08:00:00",
+                "entity_key": "ek1", "topic": "db",  # -> metadata
+            },
+            {"text": "bare record", "source": "team/bare"},
+        ],
+        NOW,
+    )
+    out = str(tmp_path / "exp")
+    eng.export_ndjson(out)
+    eng2 = MemoriesEngine(spark, str(tmp_path / "dst"))
+    result = eng2.import_ndjson(out, LATER)
+    assert result["imported"] == 2
+
+    src_rows = {r.text: r for r in eng.table("memories").collect()}
+    dst_rows = {r.text: r for r in eng2.table("memories").collect()}
+    skip = {"id", "embedding", "metadata"}
+    for text, s in src_rows.items():
+        d = dst_rows[text]
+        for f in s.__fields__:
+            if f in skip:
+                continue
+            assert getattr(d, f) == getattr(s, f), (text, f, getattr(d, f), getattr(s, f))
+        # metadata: original keys survive, import markers are added
+        orig = s.metadata or {}
+        got = d.metadata or {}
+        for k, v in orig.items():
+            assert got[k] == v
+        assert got["imported"] == "true"
+        assert got["import_source"] == s.source
+
+
+def test_import_rejects_missing_header(spark, tmp_path):
+    bad = tmp_path / "nohdr"
+    bad.mkdir()
+    (bad / "part-00000.json").write_text('{"text": "t", "source": "s"}\n')
+    eng = MemoriesEngine(spark, str(tmp_path / "dst2"))
+    result = eng.import_ndjson(str(bad), LATER)
+    assert result["imported"] == 0
+    assert result["errors"] and "header" in result["errors"][0]["error"].lower()
+
+
+def test_import_add_never_collects_records(engine, tmp_path, spark, monkeypatch):
+    """The add-strategy import path must be fully distributed: zero
+    driver collects of record data (the round-2 defect: collect +
+    re-add through the driver)."""
+    from pyspark.sql import DataFrame
+
+    out = str(tmp_path / "exp3")
+    engine.export_ndjson(out)
+
+    def boom(self):
+        raise AssertionError("import_ndjson(add) collected a DataFrame")
+
+    eng2 = MemoriesEngine(spark, str(tmp_path / "dst3"))
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    result = eng2.import_ndjson(out, LATER)
+    monkeypatch.undo()
+    assert result["imported"] == 5
+    assert eng2.count() == 5
+
+
+def test_import_pre_backup_and_source_remap_longest_first(engine, tmp_path, spark):
+    out = str(tmp_path / "exp4")
+    engine.export_ndjson(out)
+    # importing INTO a non-empty store snapshots it first
+    eng2 = MemoriesEngine(spark, str(tmp_path / "dst4"))
+    eng2.add([{"text": "pre-existing", "source": "keep"}], NOW)
+    result = eng2.import_ndjson(
+        out, LATER, source_remap={"team/proj/": "tp/", "team/": "t/"}
+    )
+    assert result["backup"] in eng2.list_snapshots()
+    srcs = {r.source for r in eng2.table("memories").collect()}
+    # first matching prefix wins: team/proj/* -> tp/*, team/other -> t/other
+    assert {"tp/a", "tp/b", "tp/e", "t/other/c", "solo/d", "keep"} == srcs
 
 
 def test_export_drops_ids_and_embeddings(engine, tmp_path, spark):
@@ -324,3 +412,16 @@ def test_enforce_policies_evidence_via_join(spark, tmp_path):
     assert row.archived
     assert row.metadata["policy_archived_reason"] == "ttl_expired"
     assert row.metadata["policy_archived_at"] == later
+
+
+def test_import_smart_strategy_from_files(engine, tmp_path, spark):
+    """strategy='smart' dispatches the file import through the S5
+    novelty check (reference import_memories strategy dispatch,
+    memory_engine.py:2536-2543)."""
+    out = str(tmp_path / "exp5")
+    engine.export_ndjson(out, source_prefix="team/proj/a")
+    # importing back into the SAME store: exact texts -> all skipped
+    result = engine.import_ndjson(out, LATER, strategy="smart", create_backup=False)
+    assert result["imported"] == 1  # no embeddings in store: novel path
+    result2 = engine.import_ndjson(out, LATER, strategy="bogus", create_backup=False)
+    assert result2["errors"] and "Unknown strategy" in result2["errors"][0]["error"]
