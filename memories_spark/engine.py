@@ -94,6 +94,22 @@ LINK_SCHEMA = T.StructType(
     ]
 )
 
+#: Physical links storage is an APPEND-ONLY log: adds and tombstones
+#: (``deleted=true``) both append; per (from_id, to_id, type) key the
+#: row with the highest ``seq`` wins and the live view filters
+#: tombstones out. Link mutations therefore never rewrite existing
+#: files — the O(table)-per-edge-write defect the memories table was
+#: cured of in round 2, applied to the links side (Delta's
+#: MERGE-as-append-log pattern over plain parquet). ``compact()``
+#: folds the log back to its resolved state when it fragments.
+LINK_LOG_SCHEMA = T.StructType(
+    list(LINK_SCHEMA.fields)
+    + [
+        T.StructField("deleted", T.BooleanType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
 RETRIEVAL_SCHEMA = T.StructType(
     [
         T.StructField("memory_id", T.LongType()),
@@ -122,11 +138,14 @@ AUDIT_SCHEMA = T.StructType(
 
 _SCHEMAS = {
     "memories": MEMORY_SCHEMA,
-    "links": LINK_SCHEMA,
+    "links_log": LINK_LOG_SCHEMA,
     "retrieval_log": RETRIEVAL_SCHEMA,
     "search_feedback": FEEDBACK_SCHEMA,
     "audit_log": AUDIT_SCHEMA,
 }
+
+#: Driver-side counter files snapshotted/restored with the store.
+_COUNTER_FILES = ("next_id", "links_seq")
 
 
 class MemoriesEngine:
@@ -143,6 +162,8 @@ class MemoriesEngine:
         return os.path.join(self.path, name)
 
     def table(self, name: str) -> DataFrame:
+        if name == "links":
+            return self._links_live()
         d = self._dir(name)
         if not os.path.isdir(d):
             return self.spark.createDataFrame([], _SCHEMAS[name])
@@ -463,12 +484,10 @@ class MemoriesEngine:
         n = len(victims)
         if n:
             touched = [_folder_of(r.source) for r in victims]
-            self._write_memories(mem.filter(~F.col("id").isin(ids)), touched)
-            links = self.table("links")
-            self._write(
-                links.filter(~F.col("from_id").isin(ids) & ~F.col("to_id").isin(ids)),
-                "links",
+            self._scrub_links(
+                self.spark.createDataFrame([(int(i),) for i in ids], "id long")
             )
+            self._write_memories(mem.filter(~F.col("id").isin(ids)), touched)
             self._audit("delete", ids, now)
         return n
 
@@ -496,14 +515,7 @@ class MemoriesEngine:
         # scrub links FIRST: victim_ids is a lazy plan over the
         # memories table, so it must execute while the pre-delete
         # state is still on disk
-        victim_ids = victims.select("id")
-        links = self.table("links")
-        self._write(
-            links.join(
-                victim_ids, links.from_id == victim_ids.id, "left_anti"
-            ).join(victim_ids, F.col("to_id") == victim_ids.id, "left_anti"),
-            "links",
-        )
+        self._scrub_links(victims.select("id"))
         self._write_memories(self.table("memories").filter(~doomed), touched)
         self._audit("delete_by_prefix", [], None, detail=f"{prefix} ({n} rows)")
         return n
@@ -568,7 +580,95 @@ class MemoriesEngine:
         )
         return mid, "inserted"
 
-    # -- M7: links ----------------------------------------------------
+    # -- M7: links (append-only log + tombstones) -----------------------
+
+    def _links_latest(self) -> DataFrame:
+        """Per-key log resolution: the highest-seq row wins. Pure
+        partial-aggregable groupBy on the edge key — no window, no
+        driver state."""
+        log_dir = self._dir("links_log")
+        if not os.path.isdir(log_dir):
+            return self.spark.createDataFrame([], LINK_LOG_SCHEMA)
+        log = self.spark.read.schema(LINK_LOG_SCHEMA).parquet(log_dir)
+        return (
+            log.groupBy("from_id", "to_id", "type")
+            .agg(
+                F.max_by(F.struct("created_at", "deleted", "seq"), "seq").alias("_w")
+            )
+            .select(
+                "from_id",
+                "to_id",
+                "type",
+                F.col("_w.created_at").alias("created_at"),
+                F.col("_w.deleted").alias("deleted"),
+                F.col("_w.seq").alias("seq"),
+            )
+        )
+
+    def _links_live(self) -> DataFrame:
+        """The links table as consumers see it (LINK_SCHEMA): latest
+        state per edge, tombstones filtered out."""
+        return self._links_latest().filter(~F.col("deleted")).select(
+            *[f.name for f in LINK_SCHEMA.fields]
+        )
+
+    def _next_link_seq(self) -> int:
+        """One monotonic sequence number per append batch. Rows inside
+        a batch share a seq — keys are unique within a batch, so
+        resolution never ties."""
+        seq_file = os.path.join(self.path, "links_seq")
+        if os.path.exists(seq_file):
+            with open(seq_file) as f:
+                nxt = int(f.read().strip() or 0)
+        else:
+            row = self._links_latest().agg(F.max("seq")).first()
+            nxt = (int(row[0]) + 1) if row and row[0] is not None else 0
+        with open(seq_file, "w") as f:
+            f.write(str(nxt + 1))
+        return nxt
+
+    def _append_link_rows(self, df: DataFrame) -> None:
+        self._append(
+            df.select(*[f.name for f in LINK_LOG_SCHEMA.fields]), "links_log"
+        )
+
+    def add_links(
+        self, edges: list[tuple[int, int, str]], now: str, allow_dangling: bool = False
+    ) -> int:
+        """Batch edge insert — ONE validation job + ONE append for the
+        whole set (the path extraction auto-linking uses; the
+        reference validates per-edge, memory_engine.py:772-817).
+        Unknown types / self-links raise; duplicates of live edges
+        and (unless ``allow_dangling``) edges with missing endpoints
+        are skipped. Returns the number of edges appended."""
+        for f_id, t_id, link_type in edges:
+            if link_type not in LINK_TYPES:
+                raise ValueError(f"unknown link type: {link_type}")
+            if f_id == t_id:
+                raise ValueError("self-links are not allowed")
+        batch = list({(int(f), int(t), ty) for f, t, ty in edges})
+        if not batch:
+            return 0
+        df = self.spark.createDataFrame(
+            batch, "from_id long, to_id long, type string"
+        )
+        if not allow_dangling:
+            ids = self.table("memories").select("id")
+            df = df.join(
+                ids.withColumnRenamed("id", "from_id"), "from_id", "left_semi"
+            ).join(ids.withColumnRenamed("id", "to_id"), "to_id", "left_semi")
+        live = self.table("links").select("from_id", "to_id", "type")
+        df = df.join(live, ["from_id", "to_id", "type"], "left_anti")
+        accepted = df.collect()  # edge batches are driver-sized inputs
+        if not accepted:
+            return 0
+        seq = self._next_link_seq()
+        ts = datetime.fromisoformat(now)
+        rows = [
+            (r.from_id, r.to_id, r.type, ts, False, seq) for r in accepted
+        ]
+        self._append_link_rows(self.spark.createDataFrame(rows, LINK_LOG_SCHEMA))
+        return len(rows)
 
     def add_link(
         self,
@@ -580,49 +680,52 @@ class MemoriesEngine:
     ) -> bool:
         """Typed edge with reference validation: unknown types and
         self-links rejected, duplicates rejected, dangling targets
-        skipped (memory_engine.py:772-817)."""
-        if link_type not in LINK_TYPES:
-            raise ValueError(f"unknown link type: {link_type}")
-        if from_id == to_id:
-            raise ValueError("self-links are not allowed")
-        if not allow_dangling:
-            live = {
-                r.id
-                for r in self.table("memories")
-                .filter(F.col("id").isin([from_id, to_id]))
-                .select("id")
-                .collect()
-            }
-            if from_id not in live or to_id not in live:
-                return False
-        links = self.table("links")
-        dup = links.filter(
-            (F.col("from_id") == from_id)
-            & (F.col("to_id") == to_id)
-            & (F.col("type") == link_type)
-        ).count()
-        if dup:
-            return False
-        row = self.spark.createDataFrame(
-            [(from_id, to_id, link_type, now)],
-            "from_id long, to_id long, type string, created_at string",
-        ).withColumn("created_at", F.col("created_at").cast("timestamp"))
-        self._write(links.unionByName(row), "links")
-        return True
+        skipped (memory_engine.py:772-817). A pure append — prior
+        links files are untouched bytes."""
+        return self.add_links([(from_id, to_id, link_type)], now, allow_dangling) == 1
 
     def remove_link(self, from_id: int, to_id: int, link_type: str) -> bool:
-        links = self.table("links")
-        keep = links.filter(
-            ~(
+        hit = (
+            self.table("links")
+            .filter(
                 (F.col("from_id") == from_id)
                 & (F.col("to_id") == to_id)
                 & (F.col("type") == link_type)
             )
+            .collect()
         )
-        removed = links.count() - keep.count()
-        if removed:
-            self._write(keep, "links")
-        return bool(removed)
+        if not hit:
+            return False
+        seq = self._next_link_seq()
+        self._append_link_rows(
+            self.spark.createDataFrame(
+                [(from_id, to_id, link_type, hit[0].created_at, True, seq)],
+                LINK_LOG_SCHEMA,
+            )
+        )
+        return True
+
+    def _scrub_links(self, victim_ids: DataFrame) -> None:
+        """Tombstone every live edge touching a victim id (reference
+        _scrub_links_to, memory_engine.py:818-829) — two semi-joins +
+        one append, never a log rewrite. Must run while the
+        pre-delete memories state is on disk (victim_ids is lazy)."""
+        live = self.table("links")
+        vf = victim_ids.select(F.col("id").alias("_vid"))
+        d1 = live.join(vf, live.from_id == F.col("_vid"), "left_semi")
+        d2 = live.join(vf, live.to_id == F.col("_vid"), "left_semi")
+        doomed = d1.unionByName(d2).dropDuplicates(["from_id", "to_id", "type"])
+        seq = self._next_link_seq()
+        self._append_link_rows(
+            doomed.select(
+                "from_id",
+                "to_id",
+                "type",
+                "created_at",
+                F.lit(True).alias("deleted"),
+                F.lit(seq).alias("seq"),
+            )
+        )
 
     def get_links(self, memory_id: int, direction: str = "both") -> DataFrame:
         """Outgoing/incoming/both edges for one node (the incoming
@@ -845,6 +948,8 @@ class MemoriesEngine:
                 todo.append((unquote(e[len(FOLDER_COL) + 1:]), _files(e)))
         summary["partitions"] = len(todo)
         summary["files_before"] = sum(n for _, n in todo)
+        if not dry_run:
+            summary["links_files"] = self._compact_links(max_files)
         if dry_run or not todo:
             summary["files_after"] = summary["files_before"]
             return summary
@@ -864,6 +969,20 @@ class MemoriesEngine:
             f"{summary['files_after']} files",
         )
         return summary
+
+    def _compact_links(self, max_files: int = 1) -> int:
+        """Fold a fragmented links log back to its resolved live state
+        (tombstones dropped, one file). Bounds the append-only log's
+        growth; a no-op while the log stays small. Returns the file
+        count after."""
+        log_dir = self._dir("links_log")
+        if not os.path.isdir(log_dir):
+            return 0
+        n = sum(1 for f in os.listdir(log_dir) if f.endswith(".parquet"))
+        if n <= max_files:
+            return n
+        self._write(self._links_latest().filter(~F.col("deleted")), "links_log")
+        return sum(1 for f in os.listdir(log_dir) if f.endswith(".parquet"))
 
     # -- S7: snapshot / restore ---------------------------------------
 
@@ -888,9 +1007,10 @@ class MemoriesEngine:
             d = self._dir(name)
             if os.path.isdir(d):
                 shutil.copytree(d, os.path.join(dest, name))
-        counter = os.path.join(self.path, "next_id")
-        if os.path.exists(counter):
-            shutil.copy2(counter, os.path.join(dest, "next_id"))
+        for cname in _COUNTER_FILES:
+            counter = os.path.join(self.path, cname)
+            if os.path.exists(counter):
+                shutil.copy2(counter, os.path.join(dest, cname))
         for stale in self.list_snapshots()[:-keep] if keep > 0 else []:
             shutil.rmtree(os.path.join(snap_root, stale))
         return tag
@@ -919,12 +1039,13 @@ class MemoriesEngine:
         for name in (n for n in _SCHEMAS if n != "audit_log"):
             self.spark.catalog.refreshByPath(self._dir(name))
         self._audit("restore_snapshot", [], None, detail=tag)
-        counter_snap = os.path.join(src, "next_id")
-        counter = os.path.join(self.path, "next_id")
-        if os.path.exists(counter_snap):
-            shutil.copy2(counter_snap, counter)
-        elif os.path.exists(counter):
-            os.remove(counter)
+        for cname in _COUNTER_FILES:
+            counter_snap = os.path.join(src, cname)
+            counter = os.path.join(self.path, cname)
+            if os.path.exists(counter_snap):
+                shutil.copy2(counter_snap, counter)
+            elif os.path.exists(counter):
+                os.remove(counter)
 
     # -- R9: reinforcement as event log + batch apply -----------------
 

@@ -166,6 +166,10 @@ def run_extraction(
         .collect()
     }
 
+    # link writes batch into ONE append at the end (the links table is
+    # an append-only log; per-edge writes would still be one file per
+    # edge, and one batched validation job beats 2 jobs per edge)
+    pending_links: list[tuple[int, int, str]] = []
     for i, (fact, dec) in enumerate(zip(facts, decisions)):
         action = dec["action"]
         if action == "NOOP":
@@ -197,7 +201,7 @@ def run_extraction(
             # archive + leave the "latest" set (reference is_latest:false)
             # in ONE partition-pruned rewrite of the old row's folder
             engine.set_flags([tid], now, archived=True, is_latest=False)
-            engine.add_link(new_id, tid, "supersedes", now)
+            pending_links.append((new_id, tid, "supersedes"))
             summary["updated"] += 1
             summary["new_ids"].append(new_id)
         elif action == "CONFLICT":
@@ -232,7 +236,9 @@ def run_extraction(
             # C8 auto-linking: link to up to 3 similar existing rows
             for s in similar[i][:AUTO_LINK_K]:
                 if s["sim"] >= 0.005 and s["id"] != new_id:
-                    engine.add_link(new_id, s["id"], "related_to", now)
+                    pending_links.append((new_id, s["id"], "related_to"))
+    if pending_links:
+        engine.add_links(pending_links, now)
     return summary
 
 

@@ -157,3 +157,57 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     # only the en partition's files are read
     n_en = docs.filter(F.col("lang") == "en").count()
     assert df.count() == n_en
+
+
+def test_links_are_append_only(spark, tmp_path):
+    """Link mutations never rewrite existing log files: an add_link /
+    remove_link leaves every prior file's bytes untouched (name,
+    size, mtime) and only appends — the O(table)-per-edge-write
+    defect round 2 flagged, cured by the tombstone log."""
+    import os
+
+    from memories_spark.engine import MemoriesEngine
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(
+        [{"text": f"t{i}", "source": "s"} for i in range(4)],
+        "2024-06-01 12:00:00",
+    )
+    assert eng.add_link(0, 1, "related_to", "2024-06-01 12:00:00")
+    log_dir = str(tmp_path / "store" / "links_log")
+
+    def snap():
+        return {
+            f: (os.path.getsize(os.path.join(log_dir, f)),
+                os.path.getmtime(os.path.join(log_dir, f)))
+            for f in os.listdir(log_dir)
+            if f.endswith(".parquet")
+        }
+
+    before = snap()
+    assert eng.add_link(1, 2, "caused_by", "2024-06-01 13:00:00")
+    after = snap()
+    for f, meta in before.items():
+        assert after[f] == meta, f  # untouched bytes
+    assert len(after) > len(before)  # appended
+
+    # tombstones append too; resolution hides the edge
+    before = snap()
+    assert eng.remove_link(0, 1, "related_to")
+    after = snap()
+    for f, meta in before.items():
+        assert after[f] == meta, f
+    assert len(after) > len(before)
+    live = {(r.from_id, r.to_id) for r in eng.table("links").collect()}
+    assert live == {(1, 2)}
+
+    # re-add after tombstone: the edge is live again (latest seq wins)
+    assert eng.add_link(0, 1, "related_to", "2024-06-01 14:00:00")
+    live = {(r.from_id, r.to_id) for r in eng.table("links").collect()}
+    assert live == {(0, 1), (1, 2)}
+
+    # compaction folds the log to one file, dropping tombstones
+    eng.compact(max_files=1)
+    assert sum(1 for f in os.listdir(log_dir) if f.endswith(".parquet")) == 1
+    live = {(r.from_id, r.to_id) for r in eng.table("links").collect()}
+    assert live == {(0, 1), (1, 2)}

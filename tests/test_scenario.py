@@ -101,7 +101,7 @@ def test_full_lifecycle(engine, tmp_path):
     out = str(tmp_path / "export")
     n_exported = engine.export_ndjson(out)
     other = MemoriesEngine(engine.spark, str(tmp_path / "store2"))
-    n_imported = other.import_ndjson(out, T3)
+    n_imported = other.import_ndjson(out, T3)["imported"]
     assert n_imported == n_exported
     # export carries every row (archived included, flags flattened out)
     texts_a = {r.text for r in engine.table("memories").select("text").collect()}
