@@ -506,10 +506,13 @@ def test_weighted_sample_broadcasts_rates(spark, sf_dir):
 
 
 def test_ivfpq_prunes_then_rerank(spark, sf_dir):
-    """IVF-PQ,rerank: every join is broadcast-hash (cells, codebook,
-    LUT, shortlist are all tiny), nothing nested-loops over the
-    corpus, and all three stages stay in codegen."""
+    """IVF-PQ,rerank: the probe scan reads the PERSISTED
+    cell-partitioned assignment with partition pruning, every join
+    is broadcast-hash (codebook, LUT, shortlist are all tiny),
+    nothing nested-loops over the corpus, and all three stages stay
+    in codegen."""
     p = plan(QUERIES["ann_ivfpq_rerank"].fn(spark, sf_dir))
+    assert re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", p), p
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
@@ -830,16 +833,36 @@ def test_psi_and_sampled_quantile_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in p, f"{name}: {p}"
 
 
-def test_ivf_training_broadcasts_centroids(spark, sf_dir):
-    """The IVF training + assignment passes join the exploded corpus
-    against the (k x dim) centroid table by BROADCAST — never a
-    shuffle of the corpus against centroids — and stay fully
-    JVM-side. The per-vector argmin is a partitioned window (no
-    global single-partition sort of corpus-sized data)."""
+def test_ivf_trained_serves_from_partition_pruned_index(spark, sf_dir):
+    """Trained IVF serves from the PERSISTED index: the probe scan
+    reads the cell-partitioned assignment with partition pruning
+    (only the nprobe cells' files), training never appears in the
+    query plan, everything stays JVM-side with broadcast joins."""
     p = plan(QUERIES["ann_ivf_trained"].fn(spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN", p)
+    assert m, p
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_ivf_training_pass_broadcasts_centroids(spark, sf_dir):
+    """The one-off index BUILD joins the exploded corpus against the
+    (k x dim) centroid table by BROADCAST — never a shuffle of the
+    corpus against centroids — and stays fully JVM-side. The
+    per-vector argmin is a partitioned window (no global
+    single-partition sort of corpus-sized data)."""
+    from memories_spark.plans.queries_ann import trained_cell_dists
+    from memories_spark.sources.tables import load_tables
+
+    d2 = trained_cell_dists(load_tables(spark, sf_dir)["embeddings"])
+    p = d2._jdf.queryExecution().explainString(
+        d2._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "Exchange SinglePartition" not in p, p
 
 
 def test_longmemeval_broadcasts_query_bigrams(spark, sf_dir):
