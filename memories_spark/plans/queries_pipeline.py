@@ -4,10 +4,11 @@ the multimodal decode/frame-sample plumbing driven end-to-end.
 
 The exact-dedup and auto-link queries complete the dedup/linking
 family (reference C1 deduplicate memory_engine.py:2239-2272 and C8
-auto-linking llm_extract.py:730-772); the multimodal queries exercise
-the Arrow-batched ``mapInPandas`` stages in
-``operators/multimodal.py`` with shape oracles (the featurizer itself
-is the deterministic stand-in for a codec, honestly non-SQL).
+auto-linking llm_extract.py:730-772); the multimodal queries drive
+the REAL stdlib codecs in ``operators/multimodal.py`` (PPM / WAV /
+RVID) through Arrow-batched ``mapInPandas`` stages, with oracles
+that re-derive every decoded unit from the generation formulas —
+the decode path is value-checked, not just shape-checked.
 """
 
 from __future__ import annotations
@@ -129,68 +130,147 @@ def auto_link_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 # ---------------------------------------------------------------------
-# Multimodal: feature extraction + frame sampling, driven end-to-end
+# Multimodal: real codecs driven end-to-end (decode -> stats/frames)
 # ---------------------------------------------------------------------
+
+#: Media derivation is capped so the synth+decode volume stays test-
+#: sized at every SF; at 100 TB the payloads are a real table and the
+#: cap disappears with the generator.
+_MEDIA_CAP = 500
 
 
 def _derived_media(docs: DataFrame) -> DataFrame:
-    """Deterministic media table derived from documents: payload =
-    md5(text) bytes, kind round-robins image/audio/video, duration
-    derived from the id. Both engines can derive the identifiers; the
-    payload bytes feed the real Arrow-batched stages."""
-    kind = (
-        F.when(F.col("doc_id") % 3 == 0, "image")
-        .when(F.col("doc_id") % 3 == 1, "audio")
-        .otherwise("video")
+    """Deterministic media table derived from documents with REAL
+    payloads (PPM / WAV / RVID, operators/multimodal.py codecs):
+    content comes from integer formulas over doc_id, so a SQL oracle
+    can re-derive every decoded byte — the decode path is
+    value-checked, not just shape-checked. Encoding runs Arrow-
+    batched (the data-synthesis boundary)."""
+    import pandas as pd
+
+    from memories_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        encode_rvid,
+        encode_wav,
     )
-    duration = (F.lit(1000) + (F.col("doc_id") % 20) * 377).cast("long")
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        kind.alias("kind"),
-        F.unhex(F.expr("md5(text)")).alias("payload"),
-        F.struct(duration.alias("duration_ms")).alias("meta"),
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for did in pdf["doc_id"]:
+                i = int(did)
+                duration = 1000 + (i % 20) * 377
+                if i % 3 == 0:
+                    kind = "image"
+                    rgb = bytes((i * 13 + p * 7) % 256 for p in range(8 * 6 * 3))
+                    payload = encode_ppm(8, 6, rgb)
+                    meta = {"width": 8, "height": 6, "sample_rate": None,
+                            "duration_ms": None, "format": "ppm"}
+                elif i % 3 == 1:
+                    kind = "audio"
+                    samples = [((i * 37 + j * 11) % 201) - 100 for j in range(duration)]
+                    payload = encode_wav(samples, 1000)
+                    meta = {"width": None, "height": None, "sample_rate": 1000,
+                            "duration_ms": duration, "format": "wav"}
+                else:
+                    kind = "video"
+                    n_frames = min(16, duration // 500)
+                    frames = [
+                        encode_ppm(
+                            4, 4,
+                            bytes((i * 101 + f * 97 + p * 7) % 256 for p in range(48)),
+                        )
+                        for f in range(n_frames)
+                    ]
+                    payload = encode_rvid(frames, 500)
+                    meta = {"width": 4, "height": 4, "sample_rate": None,
+                            "duration_ms": duration, "format": "rvid"}
+                out["media_id"].append(i)
+                out["kind"].append(kind)
+                out["payload"].append(payload)
+                out["meta"].append(meta)
+            yield pd.DataFrame(out)
+
+    return (
+        docs.filter(F.col("doc_id") < _MEDIA_CAP)
+        .select("doc_id")
+        .mapInPandas(gen, MEDIA_SCHEMA)
     )
 
 
-_MEDIA_ROLLUP_ORACLE = """
-SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       CAST(count(*) AS BIGINT) AS n,
-       CAST(8 AS BIGINT) AS feature_dim
-FROM documents
-GROUP BY 1 ORDER BY kind
+_GRAY = (
+    "( (({base} + (3*qs.q)*7) % 256)"
+    " + (({base} + (3*qs.q+1)*7) % 256)"
+    " + (({base} + (3*qs.q+2)*7) % 256) ) // 3"
+)
+
+_MEDIA_ROLLUP_ORACLE = f"""
+WITH img AS (
+  SELECT d.doc_id, {_GRAY.format(base="d.doc_id*13")} AS unit
+  FROM documents d, LATERAL (SELECT unnest(range(0, 48)) AS q) qs
+  WHERE d.doc_id % 3 = 0 AND d.doc_id < {_MEDIA_CAP}
+),
+aud AS (
+  SELECT d.doc_id, ((d.doc_id*37 + js.j*11) % 201) - 100 AS unit
+  FROM documents d,
+       LATERAL (SELECT unnest(range(0, 1000 + (d.doc_id % 20)*377)) AS j) js
+  WHERE d.doc_id % 3 = 1 AND d.doc_id < {_MEDIA_CAP}
+),
+vid AS (
+  SELECT d.doc_id, {_GRAY.format(base="d.doc_id*101 + fs.f*97")} AS unit
+  FROM documents d,
+       LATERAL (SELECT unnest(range(0, least(16, (1000 + (d.doc_id % 20)*377) // 500))) AS f) fs,
+       LATERAL (SELECT unnest(range(0, 16)) AS q) qs
+  WHERE d.doc_id % 3 = 2 AND d.doc_id < {_MEDIA_CAP}
+),
+items AS (
+  SELECT 'image' AS kind, doc_id, sum(unit) AS ssum, count(*) AS sn FROM img GROUP BY doc_id
+  UNION ALL
+  SELECT 'audio', doc_id, sum(unit), count(*) FROM aud GROUP BY doc_id
+  UNION ALL
+  SELECT 'video', doc_id, sum(unit), count(*) FROM vid GROUP BY doc_id
+)
+SELECT kind, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(ssum) AS BIGINT) AS signal_sum,
+       CAST(sum(sn) AS BIGINT) AS signal_n
+FROM items GROUP BY kind ORDER BY kind
 """
 
 
 @register(
     "media_feature_rollup",
     oracle=_MEDIA_ROLLUP_ORACLE,
-    doc="Multimodal feature extraction driven end-to-end: binary "
-    "payload column -> Arrow-batched mapInPandas featurizer "
-    "(operators/multimodal.py, codec step stubbed deterministically) "
-    "-> per-kind rollup. The oracle checks the shape contract (row "
-    "coverage per kind, feature dimensionality actually produced); "
-    "the feature values themselves are the non-SQL codec boundary.",
+    doc="Multimodal decode driven end-to-end with REAL codecs: binary "
+    "payloads (PPM images, WAV audio, RVID frame containers) -> "
+    "Arrow-batched mapInPandas decode (operators/multimodal.py) -> "
+    "all-integer per-item content statistics -> per-kind rollup. The "
+    "oracle re-derives every decoded unit (luma values, int16 "
+    "samples) from the generation formulas, so the codec path is "
+    "VALUE-checked: one mis-parsed byte anywhere moves signal_sum.",
     tags=("multimodal",),
 )
 def media_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    feats = mm_op.extract_features(_derived_media(docs), dim=8)
+    stats = mm_op.signal_stats(_derived_media(docs))
     return (
-        feats.groupBy("kind")
+        stats.groupBy("kind")
         .agg(
             F.count("*").alias("n"),
-            F.max(F.size("feature")).cast("long").alias("feature_dim"),
+            F.sum("signal_sum").cast("long").alias("signal_sum"),
+            F.sum("signal_n").cast("long").alias("signal_n"),
         )
         .orderBy("kind")
     )
 
 
-_FRAME_ORACLE = """
+_FRAME_ORACLE = f"""
 SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(least(16, (1000 + (doc_id % 20) * 377) // 500) AS BIGINT) AS n_frames,
        CAST((least(16, (1000 + (doc_id % 20) * 377) // 500) - 1) * 500 AS BIGINT) AS last_frame_ms
-FROM documents WHERE doc_id % 3 = 2
+FROM documents WHERE doc_id % 3 = 2 AND doc_id < {_MEDIA_CAP}
 ORDER BY media_id
 """
 
@@ -198,11 +278,11 @@ ORDER BY media_id
 @register(
     "video_frame_sample",
     oracle=_FRAME_ORACLE,
-    doc="Video frame sampling: one row per sampled timestamp every "
-    "500 ms (max 16), emitted by the Arrow-batched row-exploding "
-    "mapInPandas stage (operators/multimodal.py sample_frames); "
-    "rolled back up per video so the oracle verifies the explosion "
-    "count and timestamp arithmetic exactly.",
+    doc="Video frame sampling through the real container codec: the "
+    "RVID payload is decoded (operators/multimodal.py sample_frames) "
+    "and one row per stored frame is emitted with the frame's actual "
+    "PPM bytes; rolled back up per video so the oracle verifies the "
+    "explosion count and timestamp arithmetic exactly.",
     tags=("multimodal",),
 )
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,23 +302,32 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Frame-level near-dup detection (phash-bucket dedup across videos)
 # ---------------------------------------------------------------------
 
-_PHASH_ORACLE = """
-WITH vids AS (
-  SELECT doc_id AS media_id, md5(text) AS ptxt,
-         1000 + (doc_id % 20) * 377 AS duration
-  FROM documents WHERE doc_id % 3 = 2
+_PHASH_ORACLE = f"""
+WITH pix AS (
+  SELECT d.doc_id, fs.f, qs.q,
+         {_GRAY.format(base="d.doc_id*101 + fs.f*97")} AS gray
+  FROM documents d,
+       LATERAL (SELECT unnest(range(0, least(16, (1000 + (d.doc_id % 20)*377) // 500))) AS f) fs,
+       LATERAL (SELECT unnest(range(0, 16)) AS q) qs
+  WHERE d.doc_id % 3 = 2 AND d.doc_id < {_MEDIA_CAP}
 ),
-frames AS (
-  SELECT media_id,
-         md5(ptxt || '-' || CAST(i AS VARCHAR)) AS fp
-  FROM vids, (SELECT unnest(generate_series(0, 15)) AS i)
-  WHERE i < least(16, duration // 500)
+fr AS (
+  SELECT doc_id, f, q, gray,
+         sum(gray) OVER (PARTITION BY doc_id, f) AS total
+  FROM pix
+),
+fps AS (
+  SELECT doc_id AS media_id, f,
+         printf('%04x', CAST(sum(
+           CASE WHEN gray*16 > total THEN (CAST(1 AS BIGINT) << (15 - q)) ELSE 0 END
+         ) AS BIGINT)) AS fp
+  FROM fr GROUP BY doc_id, f
 ),
 buckets AS (
-  SELECT substr(fp, 1, 2) AS bucket,
+  SELECT fp AS bucket,
          CAST(count(*) AS BIGINT) AS n_frames,
          CAST(count(DISTINCT media_id) AS BIGINT) AS n_videos
-  FROM frames GROUP BY substr(fp, 1, 2)
+  FROM fps GROUP BY fp
 )
 SELECT bucket, n_frames, n_videos
 FROM buckets WHERE n_frames > 1
@@ -250,18 +339,16 @@ LIMIT 20
 @register(
     "frame_phash_dedup",
     oracle=_PHASH_ORACLE,
-    doc="Frame-level near-duplicate detection across videos: every "
-    "sampled frame gets a perceptual-hash stub from the "
-    "Arrow-batched fingerprint stage "
-    "(operators/multimodal.frame_fingerprints — the decode->phash "
-    "boundary, stubbed deterministically per the multimodal "
-    "contract), frames bucket by hash prefix, and buckets holding "
-    "more than one frame surface as near-dup candidates with "
-    "their video spread — the video analogue of MinHash banding: "
-    "candidate generation is a pure groupBy on the bucket key, "
-    "never a frame-to-frame join. The oracle re-derives the "
-    "fingerprint chain in SQL, so the mapInPandas explosion, "
-    "hashing and rollup are all value-checked, not just counted.",
+    doc="Frame-level near-duplicate detection across videos with a "
+    "REAL perceptual hash: every RVID frame is decoded to pixels and "
+    "average-hashed (integer luma, bit = pixel above the frame mean "
+    "— operators/multimodal.frame_fingerprints), frames bucket by "
+    "hash, and buckets holding more than one frame surface as "
+    "near-dup candidates with their video spread — the video "
+    "analogue of MinHash banding: candidate generation is a pure "
+    "groupBy on the hash key, never a frame-to-frame join. The "
+    "oracle re-derives luma -> mean -> bit vector -> hex in SQL, so "
+    "the decode + hash chain is value-checked end to end.",
     tags=("multimodal", "dedup"),
 )
 def frame_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,7 +356,7 @@ def frame_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = mm_op.frame_fingerprints(
         _derived_media(docs), every_ms=500, max_frames=16
     )
-    buckets = fps.groupBy(F.substring("fp", 1, 2).alias("bucket")).agg(
+    buckets = fps.groupBy(F.col("fp").alias("bucket")).agg(
         F.count("*").alias("n_frames"),
         F.countDistinct("media_id").alias("n_videos"),
     )

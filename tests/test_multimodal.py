@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests: binary payload schema, Arrow-batched
-feature extraction, frame sampling, stubbed codec boundary."""
+"""Multimodal tests: real stdlib codecs (WAV/PPM/RVID), binary payload
+schema, Arrow-batched feature extraction, frame sampling, windowing,
+average-hash fingerprints — all computed from DECODED content."""
 
 from __future__ import annotations
 
@@ -12,6 +13,67 @@ from memories_spark.operators import multimodal as mm
 @pytest.fixture(scope="module")
 def media(spark):
     return mm.synthesize_media(spark, 30).cache()
+
+
+# -- codecs -----------------------------------------------------------
+
+
+def test_wav_roundtrip():
+    samples = [((j * 31) % 201) - 100 for j in range(500)]
+    payload = mm.encode_wav(samples, 1000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    sr, back = mm.decode_audio(payload)
+    assert sr == 1000 and back == samples
+
+
+def test_ppm_roundtrip():
+    rgb = bytes(range(4 * 3 * 3))
+    payload = mm.encode_ppm(4, 3, rgb)
+    assert payload.startswith(b"P6")
+    w, h, back = mm.decode_image(payload)
+    assert (w, h, back) == (4, 3, rgb)
+
+
+def test_ppm_parses_comments():
+    rgb = bytes(2 * 2 * 3)
+    raw = b"P6\n# a comment\n2 2\n255\n" + rgb
+    assert mm.decode_image(raw) == (2, 2, rgb)
+
+
+def test_rvid_roundtrip():
+    frames = [mm.encode_ppm(2, 2, bytes([i] * 12)) for i in range(3)]
+    payload = mm.encode_rvid(frames, 250)
+    interval, back = mm.decode_video(payload)
+    assert interval == 250 and back == frames
+
+
+def test_corrupt_payloads_raise():
+    with pytest.raises(ValueError):
+        mm.decode_image(b"JUNKJUNKJUNK")
+    with pytest.raises(ValueError):
+        mm.decode_video(b"NOTRVID")
+    with pytest.raises(Exception):
+        mm.decode_audio(b"\x00" * 16)
+
+
+def test_features_are_decode_sensitive():
+    """Flipping one PIXEL must move the feature vector — proves the
+    featurizer reads decoded content, not payload bytes hashing."""
+    rgb = bytes(200 for _ in range(8 * 8 * 3))
+    a = mm.encode_ppm(8, 8, rgb)
+    b = mm.encode_ppm(8, 8, bytes([0]) + rgb[1:])
+    fa = mm._downsample(mm.decode_signal(a, "image"), 8)
+    fb = mm._downsample(mm.decode_signal(b, "image"), 8)
+    assert fa != fb and fa[1:] == fb[1:]  # only the first bucket moved
+
+
+def test_ahash_bits_known_case():
+    # 2x2 gray values 10,10,10,250 -> only the bright pixel above mean
+    rgb = bytes([10, 10, 10] * 3 + [250, 250, 250])
+    assert mm.ahash_bits(rgb) == 0b0001
+
+
+# -- Spark stages -----------------------------------------------------
 
 
 def test_media_schema(media):
@@ -27,16 +89,8 @@ def test_extract_features_deterministic(media):
     assert len(f1) == 30
     assert all(len(v) == 16 for v in f1.values())
     assert all(-1.0 <= x <= 1.0 for v in f1.values() for x in v)
-    # distinct payloads -> distinct features
+    # distinct decoded content -> distinct features
     assert len({tuple(v) for v in f1.values()}) == 30
-
-
-def test_real_codec_is_explicit_stub(media):
-    with pytest.raises(Exception) as exc_info:
-        mm.extract_features(media, dim=8, use_real_codec=True).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
-    )
 
 
 def test_sample_frames_only_video(media):
@@ -44,7 +98,8 @@ def test_sample_frames_only_video(media):
     rows = frames.collect()
     video_ids = {r.media_id for r in media.filter(F.col("kind") == "video").collect()}
     assert {r.media_id for r in rows} <= video_ids
-    # every sampled video produces <= max_frames, correctly spaced
+    # every sampled video produces <= max_frames, correctly spaced,
+    # and each frame payload is a decodable PPM
     by_media = {}
     for r in rows:
         by_media.setdefault(r.media_id, []).append(r)
@@ -53,13 +108,16 @@ def test_sample_frames_only_video(media):
         assert [f.frame_ms for f in sorted(fr, key=lambda x: x.frame_idx)] == [
             i * 500 for i in range(len(fr))
         ]
+    for r in rows:
+        w, h, rgb = mm.decode_image(bytes(r.frame_payload))
+        assert (w, h) == (4, 4) and len(rgb) == 48
     # frame payloads are per-frame distinct
     assert len({bytes(r.frame_payload) for r in rows}) == len(rows)
 
 
 def test_media_stats(media):
     stats = {(r.kind, r.format): r.n for r in mm.media_stats(media).collect()}
-    assert stats == {("audio", "wav"): 10, ("image", "png"): 10, ("video", "mp4"): 10}
+    assert stats == {("audio", "wav"): 10, ("image", "ppm"): 10, ("video", "rvid"): 10}
 
 
 def test_features_join_back(media, spark):
@@ -73,10 +131,8 @@ def test_features_join_back(media, spark):
 def test_window_audio_hops_and_overlaps(media):
     """Audio windowing: only audio rows explode; windows advance by
     the hop (overlapping when hop < window), stay within duration,
-    and energies are deterministic across runs."""
-    from memories_spark.operators.multimodal import window_audio
-
-    wins = window_audio(media, window_ms=400, hop_ms=200).collect()
+    and energies are the RMS of the decoded samples."""
+    wins = mm.window_audio(media, window_ms=400, hop_ms=200).collect()
     assert wins, "audio rows must produce windows"
     kinds = {r.media_id % 3 for r in wins}
     assert kinds == {1}, kinds  # synthesize_media: kind=audio iff id%3==1
@@ -91,8 +147,29 @@ def test_window_audio_hops_and_overlaps(media):
             assert r.end_ms == r.start_ms + 400
             assert 0.0 <= r.energy <= 1.0
     # deterministic: re-running yields identical rows
-    again = window_audio(media, window_ms=400, hop_ms=200).collect()
-    key = lambda r: (r.media_id, r.win_idx)  # noqa: E731
+    again = mm.window_audio(media, window_ms=400, hop_ms=200).collect()
     assert sorted(map(tuple, wins), key=lambda t: t[:2]) == sorted(
         map(tuple, again), key=lambda t: t[:2]
     )
+
+
+def test_window_audio_energy_matches_hand_rms(media):
+    row = media.filter(F.col("kind") == "audio").orderBy("media_id").first()
+    sr, samples = mm.decode_audio(bytes(row.payload))
+    win = mm.window_audio(media, window_ms=400, hop_ms=200).filter(
+        (F.col("media_id") == row.media_id) & (F.col("win_idx") == 0)
+    ).first()
+    lo, hi = 0, 400 * sr // 1000
+    expect = (sum(s * s for s in samples[lo:hi]) / (hi - lo)) ** 0.5 / 32767.0
+    assert abs(win.energy - expect) < 1e-6
+
+
+def test_frame_fingerprints_from_decoded_pixels(media):
+    fps = mm.frame_fingerprints(media, every_ms=500, max_frames=4).collect()
+    assert fps
+    # recompute one fingerprint by hand from the decoded frame
+    r0 = sorted(fps, key=lambda r: (r.media_id, r.frame_idx))[0]
+    vid = media.filter(F.col("media_id") == r0.media_id).first()
+    _, frames = mm.decode_video(bytes(vid.payload))
+    _, _, rgb = mm.decode_image(frames[0])
+    assert r0.fp == format(mm.ahash_bits(rgb), "04x")
