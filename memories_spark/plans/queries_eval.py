@@ -166,3 +166,177 @@ def longmemeval_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------
+# MuSiQue-style multi-hop support-chain recall
+# ---------------------------------------------------------------------
+
+_MH_HOP = 150      # chain: gold doc q -> q+150 -> q+300
+_MH_CORPUS = 500   # documents table is a fixed 500-doc corpus
+
+_MH_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < {_MH_CORPUS}
+),
+queries AS (
+  SELECT doc_id AS qid, list_slice(toks, 1, {_QTOK}) AS qt
+  FROM docs WHERE doc_id < {_Q_N} AND len(toks) >= {_QTOK}
+),
+qpos AS (SELECT unnest(range(1, {_QTOK})) AS i),
+qbig AS (
+  SELECT DISTINCT qid, qt[i] || ' ' || qt[i+1] AS bg
+  FROM queries CROSS JOIN qpos WHERE i + 1 <= len(qt)
+),
+dpos AS (SELECT unnest(range(1, 200)) AS i),
+dbig AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+  FROM docs CROSS JOIN dpos WHERE i + 1 <= len(toks)
+),
+hits AS (
+  SELECT q.qid, db.doc_id, CAST(count(DISTINCT db.bg) AS BIGINT) AS h
+  FROM qbig q JOIN dbig db ON q.bg = db.bg
+  GROUP BY q.qid, db.doc_id
+),
+-- chain edges per question: qid -> qid+{_MH_HOP} -> qid+{2 * _MH_HOP}
+prop AS (
+  SELECT qid, doc_id, 4 * h AS s FROM hits
+  UNION ALL
+  SELECT qid, qid + {_MH_HOP} AS doc_id, 2 * h AS s
+  FROM hits WHERE doc_id = qid          -- 1 hop from the gold seed
+  UNION ALL
+  SELECT qid, qid + {2 * _MH_HOP} AS doc_id, 1 * h AS s
+  FROM hits WHERE doc_id = qid          -- 2 hops from the gold seed
+),
+direct_rank AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY h DESC, doc_id ASC) AS rk
+  FROM hits
+),
+graph_rank AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id ASC) AS rk
+  FROM (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS s FROM prop GROUP BY qid, doc_id)
+),
+chain AS (
+  SELECT qid, unnest([qid, qid + {_MH_HOP}, qid + {2 * _MH_HOP}]) AS cdoc
+  FROM (SELECT DISTINCT qid FROM queries)
+)
+SELECT c.qid,
+       CAST(count(CASE WHEN d.rk <= 5 THEN 1 END) AS BIGINT) AS chain_at5_direct,
+       CAST(count(CASE WHEN g.rk <= 5 THEN 1 END) AS BIGINT) AS chain_at5_graph
+FROM chain c
+LEFT JOIN direct_rank d ON d.qid = c.qid AND d.doc_id = c.cdoc
+LEFT JOIN graph_rank g ON g.qid = c.qid AND g.doc_id = c.cdoc
+GROUP BY c.qid
+ORDER BY c.qid
+"""
+
+
+@register(
+    "musique_multihop_recall",
+    oracle=_MH_ORACLE,
+    bench=True,
+    doc="MuSiQue-style multi-hop support-chain recall@5 (reference "
+    "eval/run_musique_graph_eval.py: 2/3-hop chains of supporting "
+    "paragraphs wired with related_to links, search scored with and "
+    "without graph expansion): each question (8-token gold-doc "
+    "prefix) has a 3-doc support chain q -> q+150 -> q+300; direct "
+    "retrieval ranks by distinct word-bigram overlap, graph "
+    "retrieval adds integer chain-propagated mass (4/2/1 over 0/1/2 "
+    "hops — the PPR-decay shape in exact arithmetic); per question "
+    "the metric reports how many chain members land in the top-5 "
+    "under each mode. The whole metric is replayable: integer hit "
+    "counts, integer propagation, id tie-breaks. The end-to-end "
+    "hybrid-stack twin (real hybrid_search + links + reserved-slot "
+    "merge) lives in tests/test_musique_chains.py with a pinned "
+    "with-graph uplift. Scale shape: query bigrams broadcast; the "
+    "corpus bigram table never self-joins; propagation is a "
+    "3-branch union of the seed hits, not an edge traversal join.",
+    tags=("eval", "graph", "retrieval"),
+)
+def musique_multihop_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") < _MH_CORPUS)
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
+    queries = (
+        docs.filter((F.col("doc_id") < _Q_N) & (F.size("toks") >= _QTOK))
+        .select(F.col("doc_id").alias("qid"), F.slice("toks", 1, _QTOK).alias("qt"))
+    )
+    bigrams = (
+        "transform(sequence(1, size({c}) - 1), "
+        "i -> concat(element_at({c}, i), ' ', element_at({c}, i + 1)))"
+    )
+    qbig = (
+        queries.select("qid", F.explode(F.expr(bigrams.format(c="qt"))).alias("bg"))
+        .distinct()
+    )
+    dbig = (
+        docs.select("doc_id", F.explode(F.expr(bigrams.format(c="toks"))).alias("bg"))
+        .distinct()
+    )
+    hits = (
+        dbig.join(F.broadcast(qbig), "bg")
+        .groupBy("qid", "doc_id")
+        .agg(F.countDistinct("bg").cast("long").alias("h"))
+        .localCheckpoint(eager=True)  # seeds feed 4 consumers below
+    )
+    seed = hits.filter(F.col("doc_id") == F.col("qid"))
+    prop = (
+        hits.select("qid", "doc_id", (F.lit(4) * F.col("h")).alias("s"))
+        .unionByName(
+            seed.select(
+                "qid",
+                (F.col("qid") + _MH_HOP).alias("doc_id"),
+                (F.lit(2) * F.col("h")).alias("s"),
+            )
+        )
+        .unionByName(
+            seed.select(
+                "qid",
+                (F.col("qid") + 2 * _MH_HOP).alias("doc_id"),
+                (F.lit(1) * F.col("h")).alias("s"),
+            )
+        )
+    )
+    wd = Window.partitionBy("qid").orderBy(F.desc("h"), F.asc("doc_id"))
+    direct_rank = hits.select(
+        "qid", "doc_id", F.row_number().over(wd).alias("rk")
+    )
+    gsum = prop.groupBy("qid", "doc_id").agg(F.sum("s").cast("long").alias("s"))
+    wg = Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("doc_id"))
+    graph_rank = gsum.select("qid", "doc_id", F.row_number().over(wg).alias("rk"))
+
+    chain = (
+        queries.select("qid")
+        .distinct()
+        .select(
+            "qid",
+            F.explode(
+                F.array(
+                    F.col("qid"),
+                    F.col("qid") + _MH_HOP,
+                    F.col("qid") + 2 * _MH_HOP,
+                )
+            ).alias("cdoc"),
+        )
+    )
+    d = direct_rank.select(
+        F.col("qid").alias("dq"), F.col("doc_id").alias("dd"), F.col("rk").alias("drk")
+    )
+    g = graph_rank.select(
+        F.col("qid").alias("gq"), F.col("doc_id").alias("gd"), F.col("rk").alias("grk")
+    )
+    return (
+        chain.join(d, (F.col("qid") == F.col("dq")) & (F.col("cdoc") == F.col("dd")), "left")
+        .join(g, (F.col("qid") == F.col("gq")) & (F.col("cdoc") == F.col("gd")), "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.when(F.col("drk") <= 5, 1)).cast("long").alias("chain_at5_direct"),
+            F.count(F.when(F.col("grk") <= 5, 1)).cast("long").alias("chain_at5_graph"),
+        )
+        .orderBy("qid")
+    )
