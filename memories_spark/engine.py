@@ -556,8 +556,7 @@ class MemoriesEngine:
             return None
         src = originals.select("source").orderBy("id").first().source
         [new_id] = self.add([{"text": merged_text, "source": src}], now)
-        for old_id in ids:
-            self.add_link(new_id, old_id, "supersedes", now)
+        self.add_links([(new_id, old_id, "supersedes") for old_id in ids], now)
         self.set_flags(ids, now, archived=True)
         return new_id
 
@@ -903,19 +902,35 @@ class MemoriesEngine:
     # -- C10: folder rename -------------------------------------------
 
     def rename_folder(self, old_prefix: str, new_prefix: str, now: str) -> int:
-        """Prefix rewrite of ``source`` (reference app.py:2685-2713)."""
+        """Prefix rewrite of ``source`` (reference app.py:2685-2713).
+
+        Only FOLDER scalars ever reach the driver: a prefix can cover
+        millions of distinct sources, so touched partitions come from
+        two distinct-folder aggregations (old layout + post-rename
+        layout), not a distinct-source collect."""
         mem = self.table("memories")
         hit = F.col("source").startswith(old_prefix)
-        old_sources = [r.source for r in mem.filter(hit).select("source").distinct().collect()]
-        if not old_sources:
-            return 0
-        n = mem.filter(hit).count()
-        touched = [_folder_of(s) for s in old_sources] + [
-            _folder_of(new_prefix + s[len(old_prefix):]) for s in old_sources
-        ]
         new_source = F.concat(
             F.lit(new_prefix), F.expr(f"substring(source, {len(old_prefix) + 1})")
         )
+        hits = mem.filter(hit)
+        counted = (
+            hits.select(_folder_expr().alias("of"))
+            .groupBy("of")
+            .count()
+            .collect()
+        )
+        n = sum(r["count"] for r in counted)
+        if not n:
+            return 0
+        new_folders = [
+            r.nf
+            for r in hits.select(new_source.alias("source"))
+            .select(_folder_expr().alias("nf"))
+            .distinct()
+            .collect()
+        ]
+        touched = [r.of for r in counted] + new_folders
         mem = mem.withColumn("source", F.when(hit, new_source).otherwise(F.col("source")))
         self._write_memories(mem, touched)
         self._audit("rename_folder", [], now, detail=f"{old_prefix} -> {new_prefix} ({n} rows)")

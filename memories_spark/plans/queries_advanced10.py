@@ -84,6 +84,11 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.withColumn("rn", F.row_number().over(cap_w))
         .filter(F.col("rn") <= 100)
         .drop("rn")
+        # feeds THREE consumers (degrees + both sides of the pair
+        # self-join): persist so the fact-table join + distinct +
+        # basket-cap window run once — the materialized incidence
+        # list a production CF pipeline would checkpoint
+        .persist()
     )
     deg = bought.groupBy("p").agg(F.count("*").alias("n"))
     b = bought.select(F.col("c").alias("bc"), F.col("p").alias("part_b"))

@@ -485,6 +485,11 @@ def rareterm_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
+        # the (doc, shingle) table feeds FIVE consumers (df counts,
+        # blocking, sizes, both sides of the exact verify); persist so
+        # tokenize+shingle runs once — at 100 TB this is the
+        # materialized stage a production similarity join would write
+        .persist()
     )
     f = sh.groupBy("s").agg(F.count("*").alias("df"))
     rare = sh.join(

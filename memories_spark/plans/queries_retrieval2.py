@@ -92,7 +92,9 @@ def _five_signals(spark: SparkSession, sf_dir: str) -> dict[str, tuple[DataFrame
     cand = vec.select("id").union(bm.select("id")).distinct().cache()
     now = F.lit(_NOW).cast("timestamp")
 
-    ca = cand.join(_anchors(t["events"]), "id", "left")
+    # anchors = a full events scan + groupBy; ca feeds BOTH time
+    # signals, so cache it alongside the ranked lists
+    ca = cand.join(_anchors(t["events"]), "id", "left").cache()
     rec_scored = ca.select("id", half_life_decay(F.col("last_ts"), now, _RECENCY_HL).alias("s"))
     conf_scored = ca.select("id", half_life_decay(F.col("first_ts"), now, _CONFIDENCE_HL).alias("s"))
     fb_scored = (
