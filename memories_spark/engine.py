@@ -209,14 +209,19 @@ class MemoriesEngine:
             .select(*[f.name for f in MEMORY_SCHEMA.fields])
         )
 
-    def _write(self, df: DataFrame, name: str) -> None:
-        """Version swap for the SMALL side tables (links, event logs):
-        write the next table state, then atomic rename. The memories
-        table never goes through here — it is partition-pruned
-        (:meth:`_write_memories`)."""
+    def _write(self, df: DataFrame, name: str, single_file: bool = True) -> None:
+        """Version swap: write the next table state, then atomic
+        rename. ``single_file`` packs the result into one file —
+        right for the small side tables; the links-log compaction
+        passes ``False`` (links are O(edges-per-row x corpus), so a
+        coalesce(1) there would funnel a corpus-sized table through
+        one task). The memories table never goes through here — it
+        is partition-pruned (:meth:`_write_memories`)."""
         final = self._dir(name)
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if single_file:
+            df = df.coalesce(1)
+        df.write.mode("overwrite").parquet(tmp)
         old = f"{final}.old-{uuid.uuid4().hex[:8]}"
         if os.path.isdir(final):
             os.rename(final, old)
@@ -987,8 +992,11 @@ class MemoriesEngine:
 
     def _compact_links(self, max_files: int = 1) -> int:
         """Fold a fragmented links log back to its resolved live state
-        (tombstones dropped, one file). Bounds the append-only log's
-        growth; a no-op while the log stays small. Returns the file
+        (tombstones dropped, packed into ``max_files`` files). Bounds
+        the append-only log's growth; a no-op while the log stays
+        small. ``max_files`` is the caller's file budget — links are
+        O(edges-per-row x corpus), so at scale the caller sizes it to
+        the table, never an implicit coalesce(1). Returns the file
         count after."""
         log_dir = self._dir("links_log")
         if not os.path.isdir(log_dir):
@@ -996,7 +1004,11 @@ class MemoriesEngine:
         n = sum(1 for f in os.listdir(log_dir) if f.endswith(".parquet"))
         if n <= max_files:
             return n
-        self._write(self._links_latest().filter(~F.col("deleted")), "links_log")
+        self._write(
+            self._links_latest().filter(~F.col("deleted")).repartition(max_files),
+            "links_log",
+            single_file=False,
+        )
         return sum(1 for f in os.listdir(log_dir) if f.endswith(".parquet"))
 
     # -- S7: snapshot / restore ---------------------------------------
