@@ -293,6 +293,7 @@ class MemoriesEngine:
                     shutil.rmtree(os.path.join(final, e))
             shutil.rmtree(tmp)
         self.spark.catalog.refreshByPath(final)
+        self._bump_table_version()
 
     def _append_memories(self, df: DataFrame) -> None:
         """Adds are pure appends into their partitions: no read, no
@@ -303,6 +304,23 @@ class MemoriesEngine:
             FOLDER_COL
         ).mode("append").parquet(final)
         self.spark.catalog.refreshByPath(final)
+        self._bump_table_version()
+
+    # -- table versioning (index staleness) ----------------------------
+
+    def table_version(self) -> int:
+        """Monotonic memories-table version, bumped by every write —
+        what derived indexes pin themselves to."""
+        vf = os.path.join(self.path, "table_version")
+        if os.path.exists(vf):
+            with open(vf) as f:
+                return int(f.read().strip() or 0)
+        return 0
+
+    def _bump_table_version(self) -> None:
+        nxt = self.table_version() + 1
+        with open(os.path.join(self.path, "table_version"), "w") as f:
+            f.write(str(nxt))
 
     def _append(self, df: DataFrame, name: str) -> None:
         d = self._dir(name)
@@ -1065,6 +1083,7 @@ class MemoriesEngine:
                 shutil.copytree(snap_table, cur)
         for name in (n for n in _SCHEMAS if n != "audit_log"):
             self.spark.catalog.refreshByPath(self._dir(name))
+        self._bump_table_version()  # derived indexes must go stale
         self._audit("restore_snapshot", [], None, detail=tag)
         for cname in _COUNTER_FILES:
             counter_snap = os.path.join(src, cname)
@@ -1288,6 +1307,49 @@ class MemoriesEngine:
             )
         )
         return rebuilt, chunks
+
+    # -- serving-side vector index (IVF) --------------------------------
+
+    def build_vector_index(self, cells: int = 16, nprobe: int = 3) -> dict:
+        """One-off IVF index build over the store's embeddings (the
+        engine-level analogue of the reference's Qdrant collection —
+        an APPROXIMATE index serving the vector branch;
+        qdrant_store.py builds HNSW where we build IVF because probes
+        map onto partition pruning). The index pins the current
+        :meth:`table_version`; any later mutation makes consumers
+        fall back to the exact scan until the next build."""
+        from memories_spark.operators import ann_index
+
+        emb = self.table("memories").filter(F.col("embedding").isNotNull())
+        return ann_index.build_ivf(
+            self.spark,
+            emb,
+            "id",
+            self._dir("_ann_index"),
+            cells=cells,
+            nprobe=nprobe,
+            version=self.table_version(),
+        )
+
+    def vector_index_meta(self) -> dict | None:
+        """The index meta iff it exists AND is fresh (built at the
+        current table version); None means exact-scan fallback."""
+        from memories_spark.operators import ann_index
+
+        meta = ann_index.read_meta(self._dir("_ann_index"))
+        if meta is None or meta.get("version") != self.table_version():
+            return None
+        return meta
+
+    def vector_candidates(self, qvec: list[float], meta: dict) -> DataFrame:
+        """The probed cells' id set for one query vector: centroid
+        math runs driver-side (k x dim scalars), the id scan is
+        partition-pruned to the probed cells."""
+        from memories_spark.operators import ann_index
+
+        idx = self._dir("_ann_index")
+        cells = ann_index.probe_cells(self.spark, idx, qvec, int(meta["nprobe"]))
+        return ann_index.candidate_ids(self.spark, idx, cells)
 
     def rebuild_from_files(self, file_paths: list[str], now: str, embed_fn=None) -> int:
         """S2 file rebuild scan (reference rebuild_from_files,

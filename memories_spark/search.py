@@ -78,9 +78,18 @@ def hybrid_search(
     auto_intent: bool = True,
     now: str | None = None,
     embed_fn=mock_embed,
+    ann: bool = False,
 ) -> DataFrame:
     """Full hybrid retrieval; returns a top-k DataFrame of
     (id, text, source, rrf_score, similarity, match_type, ranks...).
+
+    ``ann=True`` serves the vector branch from the engine's persisted
+    IVF index when one is FRESH (built at the current table version):
+    the query's probe cells are computed driver-side and the cosine
+    scan covers only those cells' partition files — the 100 TB vector
+    path (the reference's Qdrant HNSW is likewise approximate,
+    qdrant_store.py). Stale or missing index falls back to the exact
+    scan, so results are never silently wrong after a mutation.
     """
     now_dt = datetime.fromisoformat(now) if now else datetime(2024, 1, 1)
 
@@ -113,6 +122,14 @@ def hybrid_search(
     # --- vector branch -------------------------------------------------
     qvec = [float(x) for x in embed_fn(query_text)]
     with_emb = mem.filter(F.col("embedding").isNotNull())
+    if ann:
+        meta = engine.vector_index_meta()
+        if meta is not None and len(qvec) == int(meta["dim"]):
+            # IVF-probed candidates: partition-pruned id scan,
+            # exact cosine only inside the probed cells
+            with_emb = with_emb.join(
+                engine.vector_candidates(qvec, meta), "id", "left_semi"
+            )
     vec_scored = with_emb.select(
         "id",
         F.round(

@@ -1,0 +1,128 @@
+"""Serving-side IVF vector index: build / probe / staleness fallback.
+
+The engine-level analogue of the reference's Qdrant collection
+(qdrant_store.py): an approximate index serves the vector branch;
+exactness is restored by fallback whenever the index is stale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from memories_spark.engine import MemoriesEngine
+from memories_spark.extraction import mock_embed
+from memories_spark.operators import ann_index
+from memories_spark.search import hybrid_search
+
+NOW = "2024-06-01 12:00:00"
+LATER = "2024-06-02 12:00:00"
+
+_TOPICS = [
+    "database", "cache", "queue", "metrics", "billing", "auth",
+    "search", "deploy", "storage", "network", "email", "backup",
+]
+
+
+def _corpus(n=240):
+    recs = []
+    for i in range(n):
+        t = _TOPICS[i % len(_TOPICS)]
+        text = f"{t} note {i}: the {t} subsystem handles item {i % 7} with policy {i % 5}"
+        recs.append(
+            {"text": text, "source": f"corp/{t}", "embedding": mock_embed(text)}
+        )
+    return recs
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    eng = MemoriesEngine(spark, str(tmp_path_factory.mktemp("annserve") / "store"))
+    eng.add(_corpus(), NOW)
+    eng.build_vector_index(cells=16, nprobe=3)
+    return eng
+
+
+def test_index_layout_and_meta(store):
+    idx = store._dir("_ann_index")
+    meta = store.vector_index_meta()
+    assert meta is not None
+    assert meta["cells"] == 16 and meta["nprobe"] == 3
+    assert meta["version"] == store.table_version()
+    parts = [e for e in os.listdir(os.path.join(idx, "assign")) if e.startswith("cell=")]
+    assert 2 <= len(parts) <= 16  # cell-partitioned layout
+    # every indexed row is assigned to exactly one cell
+    n_assigned = store.spark.read.parquet(os.path.join(idx, "assign")).count()
+    assert n_assigned == store.count()
+
+
+def test_driver_probe_matches_spark_assignment(store):
+    """Probing with a STORED vector must name that vector's own cell
+    first — the driver-side fixed-point math mirrors the build."""
+    idx = store._dir("_ann_index")
+    assign = {
+        int(r.id): int(r.cell)
+        for r in store.spark.read.parquet(os.path.join(idx, "assign")).collect()
+    }
+    rows = store.table("memories").orderBy("id").limit(5).collect()
+    for r in rows:
+        cells = ann_index.probe_cells(store.spark, idx, list(r.embedding), 1)
+        assert cells[0] == assign[r.id], r.id
+
+
+def test_ann_recall_floor_vs_exact(store):
+    """Top-10 recall of the ANN-served vector branch vs the exact
+    scan, over queries restating stored texts. nprobe=3 of 16 cells
+    scans ~1/5 of the corpus; the floor is far under the measured
+    value so it guards regressions, not corpus noise."""
+    queries = [
+        "the cache subsystem handles item 3",
+        "billing subsystem policy",
+        "metrics note subsystem handles",
+        "storage subsystem handles item",
+        "the auth subsystem policy",
+    ]
+    recalls = []
+    for q in queries:
+        exact = {r.id for r in hybrid_search(
+            store, q, k=10, auto_intent=False, now=NOW,
+            vector_weight=1.0, feedback_weight=0.0, confidence_weight=0.0,
+        ).collect()}
+        approx = {r.id for r in hybrid_search(
+            store, q, k=10, auto_intent=False, now=NOW, ann=True,
+            vector_weight=1.0, feedback_weight=0.0, confidence_weight=0.0,
+        ).collect()}
+        recalls.append(len(exact & approx) / len(exact))
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.5, recalls
+
+
+def test_stale_index_falls_back_to_exact(spark, tmp_path):
+    """Any mutation bumps the table version; ann=True must then give
+    EXACTLY the exact-scan results (fallback, not a stale index)."""
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(_corpus(60), NOW)
+    eng.build_vector_index(cells=8, nprobe=2)
+    assert eng.vector_index_meta() is not None
+
+    eng.add([{"text": "fresh cache fact about item 3",
+              "source": "corp/cache",
+              "embedding": mock_embed("fresh cache fact about item 3")}], LATER)
+    assert eng.vector_index_meta() is None  # stale now
+
+    q = "cache fact about item 3"
+    with_ann = [r.id for r in hybrid_search(
+        eng, q, k=5, auto_intent=False, now=LATER, ann=True).collect()]
+    exact = [r.id for r in hybrid_search(
+        eng, q, k=5, auto_intent=False, now=LATER).collect()]
+    assert with_ann == exact
+    # the new row (an exact restatement) is findable — nothing is
+    # silently served from the pre-mutation index
+    new_id = eng.table("memories").agg(F.max("id")).first()[0]
+    assert new_id in with_ann
+
+    # rebuild refreshes the index; ann serving resumes
+    eng.build_vector_index(cells=8, nprobe=2)
+    assert eng.vector_index_meta() is not None
