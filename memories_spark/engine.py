@@ -1331,6 +1331,20 @@ class MemoriesEngine:
             version=self.table_version(),
         )
 
+    def refresh_vector_index(self) -> dict:
+        """Incremental index maintenance: re-assign the current live
+        vector set to the EXISTING trained centroids (one assignment
+        pass, no retraining) and pin the new table version — the
+        cheap catch-up after mutations; run :meth:`build_vector_index`
+        periodically to refresh centroid quality."""
+        from memories_spark.operators import ann_index
+
+        emb = self.table("memories").filter(F.col("embedding").isNotNull())
+        return ann_index.refresh_ivf(
+            self.spark, emb, "id", self._dir("_ann_index"),
+            version=self.table_version(),
+        )
+
     def vector_index_meta(self) -> dict | None:
         """The index meta iff it exists AND is fresh (built at the
         current table version); None means exact-scan fallback."""

@@ -145,6 +145,45 @@ def build_ivf(
     return meta
 
 
+def refresh_ivf(
+    spark: SparkSession,
+    emb: DataFrame,
+    id_col: str,
+    index_dir: str,
+    version: int,
+) -> dict:
+    """Re-assign the CURRENT vector set to the existing trained
+    centroids and swap the assignment in — the incremental
+    index-maintenance path (FAISS ``add`` without ``train``): one
+    broadcast-join assignment pass instead of seed selection + Lloyd.
+    Correct for any mutation mix (the whole live set is re-assigned);
+    only centroid QUALITY drifts until the next full build."""
+    meta = read_meta(index_dir)
+    if meta is None:
+        raise ValueError(f"no index at {index_dir} to refresh")
+    dim = int(meta["dim"])
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    aw = Window.partitionBy("id").orderBy(F.asc("dist_fp"), F.asc("cid"))
+    assign = (
+        dists_to(pts(emb.select(F.col(id_col).alias(id_col), "embedding"), id_col, dim), cent)
+        .withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") == 1)
+        .select("id", F.col("cid").alias("cell"))
+    )
+    tmp = os.path.join(index_dir, f"assign.tmp-{uuid.uuid4().hex[:8]}")
+    assign.write.partitionBy("cell").parquet(tmp)
+    final = os.path.join(index_dir, "assign")
+    old = os.path.join(index_dir, f"assign.old-{uuid.uuid4().hex[:8]}")
+    os.rename(final, old)
+    os.rename(tmp, final)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(final)
+    meta["version"] = int(version)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        f.write(json.dumps(meta))
+    return meta
+
+
 def read_meta(index_dir: str) -> dict | None:
     path = os.path.join(index_dir, "meta.json")
     if not os.path.exists(path):

@@ -126,3 +126,51 @@ def test_stale_index_falls_back_to_exact(spark, tmp_path):
     # rebuild refreshes the index; ann serving resumes
     eng.build_vector_index(cells=8, nprobe=2)
     assert eng.vector_index_meta() is not None
+
+
+def test_refresh_reassigns_without_retraining(spark, tmp_path):
+    """refresh_vector_index(): after mutations, one assignment pass
+    against the EXISTING centroids restores freshness — new rows are
+    ANN-servable, deleted rows leave the assignment."""
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(_corpus(60), NOW)
+    eng.build_vector_index(cells=8, nprobe=3)
+    cents_before = sorted(
+        (int(r.cid), int(r.sd), float(r.c))
+        for r in spark.read.parquet(
+            os.path.join(eng._dir("_ann_index"), "centroids")
+        ).collect()
+    )
+
+    [new_id] = eng.add([{"text": "fresh cache fact about item 3",
+                         "source": "corp/cache",
+                         "embedding": mock_embed("fresh cache fact about item 3")}],
+                       LATER)
+    eng.delete([0])
+    assert eng.vector_index_meta() is None  # stale
+
+    meta = eng.refresh_vector_index()
+    assert eng.vector_index_meta() is not None
+    assert meta["version"] == eng.table_version()
+    # centroids untouched (no retraining)...
+    cents_after = sorted(
+        (int(r.cid), int(r.sd), float(r.c))
+        for r in spark.read.parquet(
+            os.path.join(eng._dir("_ann_index"), "centroids")
+        ).collect()
+    )
+    assert cents_after == cents_before
+    # ...but the assignment reflects the mutations
+    assigned = {
+        int(r.id)
+        for r in spark.read.parquet(
+            os.path.join(eng._dir("_ann_index"), "assign")
+        ).collect()
+    }
+    assert new_id in assigned and 0 not in assigned
+    # and the new row is ANN-servable (its own cell is probed for a
+    # near-verbatim query)
+    hits = [r.id for r in hybrid_search(
+        eng, "fresh cache fact about item 3", k=5, auto_intent=False,
+        now=LATER, ann=True).collect()]
+    assert new_id in hits
