@@ -422,7 +422,9 @@ def streamed_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    from memories_spark.streaming import drain_stream
+
+    drain_stream(q)
     return (
         spark.table(qname)
         .filter(F.col("user_id") >= 0)

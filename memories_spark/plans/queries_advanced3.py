@@ -462,7 +462,9 @@ def streamed_funnel_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    from memories_spark.streaming import drain_stream
+
+    drain_stream(q)
     return (
         spark.table(qname)
         .select(

@@ -62,7 +62,9 @@ def streamed_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    from memories_spark.streaming import drain_stream
+
+    drain_stream(q)
     return spark.table(qname).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
