@@ -57,5 +57,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # FAIR scheduling: this engine runs mixed workloads in one
+        # session (serving queries, maintenance jobs, streaming
+        # micro-batches). Under FIFO a streaming micro-batch queues
+        # behind every previously submitted batch job and a loaded
+        # session can starve it past any drain timeout; FAIR gives
+        # each concurrent job a share, so stream drains make progress
+        # regardless of backlog — same reasoning as a multi-tenant
+        # cluster's scheduler pools.
+        .config("spark.scheduler.mode", "FAIR")
+        # stop() on a wedged stream must not block forever (default
+        # stopTimeout is unbounded) — the strict drain path stops and
+        # raises, and the raise must win.
+        .config("spark.sql.streaming.stopTimeout", "60s")
     )
     return builder.getOrCreate()

@@ -169,13 +169,19 @@ def _ids(rows):
 
 
 def _search_pair(eng, query, prefix, k=2):
-    """(with graph, without graph) — two concurrent Spark jobs."""
+    """(with graph, without graph) — construction serialized (py4j),
+    the two Spark jobs still execute concurrently."""
+    import threading
+
+    lock = threading.Lock()
 
     def run(gw):
-        return hybrid_search(
-            eng, query, k=k, graph_weight=gw, auto_intent=False, now=NOW,
-            source_prefix=prefix,
-        ).collect()
+        with lock:
+            df = hybrid_search(
+                eng, query, k=k, graph_weight=gw, auto_intent=False, now=NOW,
+                source_prefix=prefix,
+            )
+        return df.collect()
 
     with ThreadPoolExecutor(2) as ex:
         return tuple(ex.map(run, (0.3, 0.0)))

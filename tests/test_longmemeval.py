@@ -127,11 +127,16 @@ def _recall_any_at_5(rows, gold_sidx):
 def _collect_all(engine, questions):
     """Run the question set as CONCURRENT Spark jobs (one session,
     overlapping scheduling) — same results, ~4x less wall time."""
+    import threading
     from concurrent.futures import ThreadPoolExecutor
+
+    lock = threading.Lock()
 
     def run(gq):
         gold, q = gq
-        return gold, hybrid_search(engine, q, k=10, now=NOW).collect()
+        with lock:  # serialize py4j-heavy plan construction
+            df = hybrid_search(engine, q, k=10, now=NOW)
+        return gold, df.collect()
 
     with ThreadPoolExecutor(8) as ex:
         return list(ex.map(run, questions))

@@ -32,6 +32,7 @@ graph OFF none).
 
 from __future__ import annotations
 
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import pytest
@@ -153,13 +154,20 @@ def mhstore(spark, tmp_path_factory):
     return eng, key
 
 
+_BUILD_LOCK = threading.Lock()
+
+
 def _run_all(eng, graph_weight):
     def run(item):
         scen, (q, _, _) = item
-        return scen, hybrid_search(
-            eng, q, k=5, graph_weight=graph_weight, auto_intent=False,
-            now=NOW, source_prefix=f"eval/{scen}/",
-        ).collect()
+        # plan construction is py4j-heavy; serialize it (the lock the
+        # oracle-parity harness also uses) and collect concurrently
+        with _BUILD_LOCK:
+            df = hybrid_search(
+                eng, q, k=5, graph_weight=graph_weight, auto_intent=False,
+                now=NOW, source_prefix=f"eval/{scen}/",
+            )
+        return scen, df.collect()
 
     with ThreadPoolExecutor(6) as ex:
         return dict(ex.map(run, CHAINS.items()))
