@@ -5,6 +5,13 @@ multi-probe LSH) with the real IVF structure: data-dependent
 centroids, a partition-assignment build pass, and multi-cell probing
 at query time — the FAISS-style layout that scales vector search
 past the point where hashing alone keeps recall.
+
+The expensive, query-independent stages (k-means training, cell
+assignment, PQ encoding) run as PERSISTED index builds cached per
+corpus fingerprint; queries probe by partition pruning (see the
+"Persisted ANN index builds" section below). The engine-level
+serving twin over a mutable store — with table-version staleness and
+incremental refresh — lives in ``operators/ann_index.py``.
 """
 
 from __future__ import annotations
