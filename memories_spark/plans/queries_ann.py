@@ -743,3 +743,170 @@ def ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "vec_id", "approx_ip", "sim")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------
+# nprobe recall sweep: the IVF tuning curve
+# ---------------------------------------------------------------------
+
+_SWEEP_MAX_NPROBE = 4
+
+_NPROBE_SWEEP_ORACLE = f"""
+WITH dims AS (SELECT unnest(range(1, {_DIM + 1})) AS d),
+pts AS (
+  SELECT e.vec_id, dims.d, CAST(e.embedding[dims.d] AS DOUBLE) AS x
+  FROM embeddings e CROSS JOIN dims
+),
+seeds AS (
+  SELECT vec_id AS cid, d, x AS c FROM pts WHERE vec_id IN ({_CENT_LIST})
+),
+d1 AS (
+  SELECT p.vec_id, s.cid,
+         sum(CAST(round((p.x - s.c)*(p.x - s.c)*1e9) AS BIGINT)) AS dist_fp
+  FROM pts p JOIN seeds s ON p.d = s.d GROUP BY p.vec_id, s.cid
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp ASC, cid ASC) AS rk
+    FROM d1
+  ) WHERE rk = 1
+),
+cent AS (
+  SELECT a1.cid, p.d,
+         CAST(sum({fixed_point_sql('p.x', 7)}) AS DOUBLE)/count(*)/10000000.0 AS c
+  FROM a1 JOIN pts p ON a1.vec_id = p.vec_id GROUP BY a1.cid, p.d
+),
+d2 AS (
+  SELECT p.vec_id, c.cid,
+         sum(CAST(round((p.x - c.c)*(p.x - c.c)*1e9) AS BIGINT)) AS dist_fp
+  FROM pts p JOIN cent c ON p.d = c.d GROUP BY p.vec_id, c.cid
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist_fp ASC, cid ASC) AS rk
+    FROM d2
+  ) WHERE rk = 1
+),
+cellrank AS (
+  SELECT cid, row_number() OVER (ORDER BY dist_fp ASC, cid ASC) AS crk
+  FROM d2 WHERE vec_id = 0
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+exact10 AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           row_number() OVER (ORDER BY round({cosine_sql('e.embedding', 'q.qv', _DIM)}, 6) DESC, e.vec_id ASC) AS rk
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+  ) WHERE rk <= 10
+),
+grid AS (SELECT unnest(range(1, {_SWEEP_MAX_NPROBE + 1})) AS nprobe),
+members AS (
+  SELECT g.nprobe, a.vec_id
+  FROM grid g
+  JOIN cellrank cr ON cr.crk <= g.nprobe
+  JOIN assign a ON a.cell = cr.cid
+  WHERE a.vec_id != 0
+),
+ann10 AS (
+  SELECT nprobe, vec_id FROM (
+    SELECT m.nprobe, m.vec_id,
+           row_number() OVER (PARTITION BY m.nprobe
+             ORDER BY round({cosine_sql('e.embedding', 'q.qv', _DIM)}, 6) DESC, m.vec_id ASC) AS rk
+    FROM members m JOIN embeddings e ON e.vec_id = m.vec_id CROSS JOIN q
+  ) WHERE rk <= 10
+),
+counts AS (
+  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM members GROUP BY nprobe
+)
+SELECT c.nprobe, c.n_candidates,
+       CAST(count(e.vec_id) AS BIGINT) AS hits_at10,
+       round(CAST(count(e.vec_id) AS DOUBLE) / 10.0, 2) AS recall_at10
+FROM counts c
+LEFT JOIN ann10 a ON a.nprobe = c.nprobe
+LEFT JOIN exact10 e ON e.vec_id = a.vec_id
+GROUP BY c.nprobe, c.n_candidates
+ORDER BY c.nprobe
+"""
+
+
+@register(
+    "ann_nprobe_recall_sweep",
+    oracle=_NPROBE_SWEEP_ORACLE,
+    doc="The IVF tuning curve a production ANN deployment sizes "
+    "itself with: for nprobe = 1..4 over the persisted trained "
+    "index, report the candidate volume scanned and recall@10 "
+    "against the exact brute-force top-10 — the cost/recall "
+    "trade-off as one oracle-checked table (FAISS's nprobe sweep; "
+    "reference R1 served by Qdrant exposes the same knob as "
+    "hnsw_ef). Plan: the probe ranking joins the persisted "
+    "cell-partitioned assignment once; the nprobe grid is a 4-row "
+    "broadcast; per-nprobe top-10s are partitioned windows over the "
+    "shared candidate scan; recall joins a 10-row broadcast.",
+    tags=("vector", "ann", "eval"),
+)
+def ann_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    idx = ensure_ivf_trained_index(spark, sf_dir)
+    cent = spark.read.parquet(os.path.join(idx, "centroids"))
+    assign = spark.read.parquet(os.path.join(idx, "assign"))
+
+    # the query's cells ranked by distance (16 rows)
+    qd = _dists_to(_pts(emb.filter(F.col("vec_id") == 0)), cent)
+    cw = Window.orderBy(F.asc("dist_fp"), F.asc("cid"))
+    cellrank = qd.select("cid", F.row_number().over(cw).alias("crk")).filter(
+        F.col("crk") <= _SWEEP_MAX_NPROBE
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    # exact top-10 (the ground truth): one brute-force scan
+    ew = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    exact10 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine_expr("embedding", "qv"), 6).alias("sim"))
+        .withColumn("rk", F.row_number().over(ew))
+        .filter(F.col("rk") <= 10)
+        .select("vec_id")
+    )
+
+    grid = spark.range(1, _SWEEP_MAX_NPROBE + 1).select(
+        F.col("id").cast("int").alias("nprobe")
+    )
+    members = (
+        grid.join(F.broadcast(cellrank), F.col("crk") <= F.col("nprobe"))
+        .join(assign, F.col("cell") == F.col("cid"))
+        .filter(F.col("vec_id") != 0)
+        .select("nprobe", "vec_id")
+    )
+    aw = Window.partitionBy("nprobe").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ann10 = (
+        members.join(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "nprobe", "vec_id", F.round(cosine_expr("embedding", "qv"), 6).alias("sim")
+        )
+        .withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") <= 10)
+        .select("nprobe", "vec_id")
+    )
+    counts = members.groupBy("nprobe").agg(F.count("*").alias("n_candidates"))
+    hits = (
+        ann10.join(F.broadcast(exact10.withColumn("_hit", F.lit(1))), "vec_id", "left")
+        .groupBy("nprobe")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hits_at10"))
+    )
+    return (
+        counts.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            "n_candidates",
+            F.coalesce(F.col("hits_at10"), F.lit(0)).cast("long").alias("hits_at10"),
+            F.round(
+                F.coalesce(F.col("hits_at10"), F.lit(0)).cast("double") / F.lit(10.0), 2
+            ).alias("recall_at10"),
+        )
+        .orderBy("nprobe")
+    )
