@@ -40,6 +40,23 @@ from pyspark.sql import types as T
 
 LINK_TYPES = {"supersedes", "related_to", "blocked_by", "caused_by", "reinforces"}
 
+
+def _patch_map(existing: F.Column, patch: F.Column, patch_keys: list[str]) -> F.Column:
+    """``existing`` overlaid with ``patch`` (patch wins on key clash).
+
+    ``map_concat`` alone throws ``Duplicate map key`` under Spark's
+    default ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` whenever a patch
+    key is already present — e.g. a second-generation NDJSON round
+    trip re-stamping the ``imported`` marker, a metadata PATCH
+    updating an existing key, or a policy re-archiving a row that
+    carries old evidence. Stripping the patch's keys from the existing
+    map first makes the overlay exact under ANY dedup policy."""
+    keep = F.map_filter(
+        F.coalesce(existing, F.expr("CAST(map() AS map<string,string>)")),
+        lambda k, _: ~k.isin(*patch_keys),
+    )
+    return F.map_concat(keep, patch)
+
 #: Partition column of the memories table: top-level source folder.
 #: Mirrors the reference's Qdrant payload index on ``source``
 #: (qdrant_store.py:136-173) as physical partition pruning — prefix
@@ -483,7 +500,7 @@ class MemoriesEngine:
                     F.array(*[F.lit(k) for k in clean]),
                     F.array(*[F.lit(v) for v in clean.values()]),
                 )
-                merged = F.map_concat(F.coalesce(F.col("metadata"), F.expr("map()")), patch)
+                merged = _patch_map(F.col("metadata"), patch, list(clean))
                 mem = mem.withColumn("metadata", F.when(hit, merged).otherwise(F.col("metadata")))
         mem = mem.withColumn(
             "updated_at", F.when(hit, F.lit(now).cast("timestamp")).otherwise(F.col("updated_at"))
@@ -869,12 +886,10 @@ class MemoriesEngine:
                 "metadata",
                 F.when(
                     hit,
-                    F.map_concat(
-                        F.coalesce(
-                            F.col("metadata"),
-                            F.expr("CAST(map() AS map<string,string>)"),
-                        ),
+                    _patch_map(
+                        F.col("metadata"),
                         evidence,
+                        ["policy_archived_reason", "policy_archived_at"],
                     ),
                 ).otherwise(F.col("metadata")),
             )
@@ -1579,9 +1594,8 @@ class MemoriesEngine:
             "entity_key",
             "previous_text",
             F.lit(None).cast("array<float>").alias("embedding"),
-            F.map_concat(
-                F.coalesce(F.col("metadata"), F.expr("CAST(map() AS map<string,string>)")),
-                marker,
+            _patch_map(
+                F.col("metadata"), marker, ["imported", "import_source"]
             ).alias("metadata"),
         )
         n = prepared.count()

@@ -61,11 +61,24 @@ def get_spark(
         # session (serving queries, maintenance jobs, streaming
         # micro-batches). Under FIFO a streaming micro-batch queues
         # behind every previously submitted batch job and a loaded
-        # session can starve it past any drain timeout; FAIR gives
-        # each concurrent job a share, so stream drains make progress
-        # regardless of backlog — same reasoning as a multi-tenant
-        # cluster's scheduler pools.
+        # session can starve it past any drain timeout. The mode alone
+        # is NOT enough — without an allocation file every job lands
+        # in one FIFO-internal 'default' pool — so the shipped
+        # fairscheduler.xml makes the default pool FAIR-internal and
+        # defines a 'streaming' pool (with minShare) that streaming
+        # sinks start their queries under (streaming/events.py).
         .config("spark.scheduler.mode", "FAIR")
+        .config(
+            "spark.scheduler.allocation.file",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "fairscheduler.xml"),
+        )
+        # Map-patch semantics: metadata overlays (PATCH, import
+        # markers, policy evidence) want last-writer-wins on key
+        # clash. The expression layer already strips clashing keys
+        # before map_concat (engine._patch_map) so results are exact
+        # under any policy; LAST_WIN here is defense in depth for
+        # ad-hoc map_concat in user SQL against this session.
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # stop() on a wedged stream must not block forever (default
         # stopTimeout is unbounded) — the strict drain path stops and
         # raises, and the raise must win.

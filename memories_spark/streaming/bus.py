@@ -48,11 +48,12 @@ def event_bus_sink(stream: DataFrame, out_dir: str, checkpoint_dir: str):
             .json(out_dir)
         )
 
-    return (
+    from memories_spark.streaming.events import start_in_streaming_pool
+
+    return start_in_streaming_pool(
         stream.writeStream.foreachBatch(deliver)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
 
 

@@ -34,6 +34,26 @@ from pyspark.sql import types as T
 
 from memories_spark.functions.texttools import tokens_expr
 
+
+def start_in_streaming_pool(writer):
+    """Start a streaming query under the dedicated ``streaming`` FAIR
+    pool (defined in fairscheduler.xml with a minShare), so its
+    micro-batch jobs never FIFO-queue behind a batch backlog — the
+    starvation the session's FAIR mode exists to prevent. Structured
+    Streaming captures the starting thread's local properties for
+    every micro-batch job, so setting the pool around ``start()`` is
+    sufficient and permanent for the query's lifetime."""
+    spark = SparkSession.getActiveSession()
+    sc = spark.sparkContext if spark else None
+    prev = sc.getLocalProperty("spark.scheduler.pool") if sc else None
+    if sc:
+        sc.setLocalProperty("spark.scheduler.pool", "streaming")
+    try:
+        return writer.start()
+    finally:
+        if sc:
+            sc.setLocalProperty("spark.scheduler.pool", prev)
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -213,11 +233,10 @@ def incremental_term_stats_sink(
         )
         terms.write.mode("append").parquet(stats_dir)
 
-    return (
+    return start_in_streaming_pool(
         docs_stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
 
 
@@ -428,11 +447,10 @@ def incremental_kmv_sink(
         else:
             os.rename(tmp, kmv_dir)
 
-    return (
+    return start_in_streaming_pool(
         events_stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
 
 
@@ -606,11 +624,10 @@ def incremental_histogram_sink(
         )
         bins.write.mode("overwrite").parquet(f"{hist_dir}/batch={batch_id}")
 
-    return (
+    return start_in_streaming_pool(
         events_stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
 
 
@@ -709,9 +726,8 @@ def incremental_topk_sink(
         else:
             os.rename(tmp, state_dir)
 
-    return (
+    return start_in_streaming_pool(
         events_stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )

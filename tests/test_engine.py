@@ -425,3 +425,60 @@ def test_import_smart_strategy_from_files(engine, tmp_path, spark):
     assert result["imported"] == 1  # no embeddings in store: novel path
     result2 = engine.import_ndjson(out, LATER, strategy="bogus", create_backup=False)
     assert result2["errors"] and "Unknown strategy" in result2["errors"][0]["error"]
+
+
+@pytest.fixture()
+def strict_map_policy(spark):
+    """Force Spark's default map_concat duplicate-key EXCEPTION policy
+    so these tests prove the expression-level overlay fix stands on
+    its own (the session sets LAST_WIN as defense in depth, which
+    would otherwise mask a regression)."""
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    yield
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+
+
+def test_metadata_patch_overwrites_existing_key(engine, strict_map_policy):
+    """PATCHing a key that already exists must overwrite it, not throw
+    'Duplicate map key' (map_concat under EXCEPTION policy)."""
+    engine.update(1, LATER, metadata={"topic": "databases"})
+    engine.update(1, LATER, metadata={"topic": "caches", "extra": "y"})
+    row = engine.get([1]).collect()[0]
+    assert row.metadata == {"topic": "caches", "extra": "y"}
+
+
+def test_import_roundtrip_twice(engine, tmp_path, spark, strict_map_policy):
+    """Second-generation round trip: export a store that was itself
+    populated by import (metadata already carries imported /
+    import_source), import again — the marker re-stamp must overlay,
+    not collide."""
+    out1 = str(tmp_path / "gen1")
+    engine.export_ndjson(out1)
+    eng2 = MemoriesEngine(spark, str(tmp_path / "gen1store"))
+    r1 = eng2.import_ndjson(out1, LATER)
+    assert r1["imported"] == 5 and r1["errors"] == []
+
+    out2 = str(tmp_path / "gen2")
+    eng2.export_ndjson(out2)
+    eng3 = MemoriesEngine(spark, str(tmp_path / "gen2store"))
+    r2 = eng3.import_ndjson(out2, LATER, source_remap={"team/": "again/"})
+    assert r2["imported"] == 5 and r2["errors"] == []
+    row = [r for r in eng3.table("memories").collect() if r.text == "beta fact"][0]
+    assert row.metadata["imported"] == "true"
+    # marker re-stamped to the CURRENT (remapped) source, not gen-1's
+    assert row.metadata["import_source"] == "again/proj/b"
+
+
+def test_policy_rearchive_overlays_evidence(spark, tmp_path, strict_map_policy):
+    """Archive -> unarchive -> re-archive: the second sweep's evidence
+    must overwrite the stale keys instead of throwing on map_concat."""
+    eng = MemoriesEngine(spark, str(tmp_path / "rearch"))
+    eng.add([{"text": "old fact", "source": "team/x"}], "2024-01-01 00:00:00")
+    profiles = [{"source_prefix": "team/", "ttl_days": 30}]
+    assert eng.enforce_policies(profiles, NOW)["archived"] == 1
+    eng.set_flags([0], NOW, archived=False)
+    assert eng.enforce_policies(profiles, LATER)["archived"] == 1
+    row = eng.get([0]).collect()[0]
+    assert row.metadata["policy_archived_at"] == LATER
+    assert row.metadata["policy_archived_reason"] == "ttl_expired"
