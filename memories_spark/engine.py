@@ -901,7 +901,11 @@ class MemoriesEngine:
         )
 
     def enforce_policies(
-        self, profiles: list[dict], now: str, dry_run: bool = False
+        self,
+        profiles: list[dict],
+        now: str,
+        dry_run: bool = False,
+        dry_run_limit: int = 1000,
     ) -> dict:
         """C6 lifecycle enforcement over the store (reference
         enforce_policies, memory_engine.py:1080-1248): resolve each
@@ -909,10 +913,13 @@ class MemoriesEngine:
         when ``age > ttl_days`` OR (``confidence < threshold`` AND
         ``age > min_age_days``); pinned and already-archived rows are
         untouched; evidence (reason, at) lands in the metadata map.
-        ``dry_run`` collects and reports the candidate rows without
-        writing; the enforcement path is fully set-based — only
-        per-folder counts (a handful of scalars) reach the driver,
-        and the rewrite applies the decision set via a join.
+        ``dry_run`` reports a BOUNDED candidate page
+        (``dry_run_limit`` rows by id, plus ``total_candidates`` /
+        ``truncated``) without writing — a sweep can decide millions
+        of rows and an unbounded report would flood the driver. The
+        enforcement path is fully set-based — only per-folder counts
+        (a handful of scalars) reach the driver, and the rewrite
+        applies the decision set via a join.
 
         ``profiles``: dicts of ``source_prefix`` plus optional
         ``ttl_days``, ``confidence_threshold``, ``min_age_days``,
@@ -920,10 +927,21 @@ class MemoriesEngine:
         """
         decided = self._policy_decisions(profiles, now)
         if dry_run:
-            candidates = [r.asDict() for r in decided.orderBy("id").collect()]
+            decided = decided.cache()
+            total = decided.count()
+            candidates = [
+                r.asDict()
+                for r in decided.orderBy("id").limit(dry_run_limit).collect()
+            ]
+            decided.unpersist()
             for c in candidates:
                 c.pop("source")
-            return {"candidates": candidates, "archived": 0}
+            return {
+                "candidates": candidates,
+                "archived": 0,
+                "total_candidates": total,
+                "truncated": total > len(candidates),
+            }
 
         # touched folders + total in ONE job over the decision set
         per_folder = (

@@ -35,6 +35,37 @@ SIM_UPDATE = 0.80     # [0.80, 0.95): same entity, UPDATE
 AUTO_LINK_K = 3       # reference C8, llm_extract.py:730-772
 EMBED_DIM = 32
 
+#: Per-source-prefix extraction profile knobs with these defaults
+#: (reference extraction_profiles.py:7-19 DEFAULTS — mode/rules are
+#: prompt-side there; the observable knobs under a mocked provider
+#: are the caps and the AUDN similarity bands).
+PROFILE_DEFAULTS = {
+    "max_facts": MAX_FACTS,
+    "max_fact_chars": MAX_FACT_CHARS,
+    "sim_noop": SIM_NOOP,
+    "sim_update": SIM_UPDATE,
+    "enabled": True,
+}
+
+
+def resolve_profile(profiles: list[dict] | None, source: str) -> dict:
+    """Longest-prefix cascade resolution (reference
+    extraction_profiles.py:68-113): DEFAULTS overlaid by every
+    matching profile from least- to most-specific prefix, so the
+    most-specific explicitly-set knob wins. Profiles are a tiny
+    driver-side config list and ``source`` is one string — pure
+    scalar work, no Spark job."""
+    resolved = dict(PROFILE_DEFAULTS)
+    matches = sorted(
+        (p for p in (profiles or []) if source.startswith(p["source_prefix"])),
+        key=lambda p: len(p["source_prefix"]),
+    )
+    for p in matches:
+        for key, val in p.items():
+            if key != "source_prefix" and val is not None:
+                resolved[key] = val
+    return resolved
+
 
 def mock_embed(text: str, dim: int = EMBED_DIM) -> list[float]:
     """Deterministic hashed bag-of-words embedding (L2-normalized).
@@ -54,11 +85,18 @@ def mock_embed(text: str, dim: int = EMBED_DIM) -> list[float]:
 
 
 class Provider(Protocol):
-    """The LLM boundary (reference llm_provider.py:1-428)."""
+    """The LLM boundary (reference llm_provider.py:1-428).
+
+    ``bands`` carries the resolved profile's (sim_noop, sim_update)
+    AUDN thresholds — the reference passes the profile into the
+    prompt (llm_extract.py:820-860); a deterministic provider applies
+    the bands directly."""
 
     def extract_facts(self, transcript: str) -> list[dict]: ...
 
-    def decide(self, fact: dict, similar: list[dict]) -> dict: ...
+    def decide(
+        self, fact: dict, similar: list[dict], bands: tuple[float, float] | None = None
+    ) -> dict: ...
 
 
 @dataclass
@@ -89,8 +127,11 @@ class MockProvider:
             facts.append({"text": body, "category": category, "directive": kind})
         return facts[:MAX_FACTS]
 
-    def decide(self, fact: dict, similar: list[dict]) -> dict:
+    def decide(
+        self, fact: dict, similar: list[dict], bands: tuple[float, float] | None = None
+    ) -> dict:
         self.calls.append((fact["text"], len(similar)))
+        sim_noop, sim_update = bands if bands else (SIM_NOOP, SIM_UPDATE)
         if fact["directive"] == "DELETE":
             target = similar[0]["id"] if similar else None
             return {"action": "DELETE", "target_id": target}
@@ -98,9 +139,9 @@ class MockProvider:
             target = similar[0]["id"] if similar else None
             return {"action": "CONFLICT", "target_id": target}
         top = similar[0]["sim"] if similar else 0.0
-        if top >= SIM_NOOP:
+        if top >= sim_noop:
             return {"action": "NOOP", "target_id": similar[0]["id"]}
-        if top >= SIM_UPDATE:
+        if top >= sim_update:
             return {"action": "UPDATE", "target_id": similar[0]["id"]}
         return {"action": "ADD", "target_id": None}
 
@@ -140,6 +181,7 @@ def run_extraction(
     source: str,
     now: str,
     dry_run: bool = False,
+    profiles: list[dict] | None = None,
 ) -> dict:
     """Execute the AUDN pipeline (reference run_extraction,
     llm_extract.py:820-1053; action rules :534-693).
@@ -148,95 +190,139 @@ def run_extraction(
     archived rows; UPDATE archives the old row, clears its
     ``is_latest`` and links new→old with ``supersedes``; CONFLICT
     adds the new fact flagged ``conflicts_with`` keeping both.
+
+    The source's longest-prefix extraction profile (reference
+    llm_extract.py:820-860 + extraction_profiles.py:68-113) sets the
+    fact caps and the AUDN similarity bands; ``profiles`` is the
+    config list (see :func:`resolve_profile`).
+
+    Write path is BATCHED — O(1) write jobs per extraction, never
+    O(facts): the protection lookup reads only the ≤max_facts DELETE/
+    UPDATE target rows (the reference keeps its whole corpus in
+    memory so its per-fact loop is free, llm_extract.py:534-693; a
+    full pinned/archived corpus collect here would ship millions of
+    ids to the driver at scale), then ONE ``add`` appends every new
+    row, ONE ``set_flags`` archives every superseded row, ONE
+    ``delete`` drops every DELETE target, and ONE ``add_links``
+    appends every edge.
     """
-    facts = provider.extract_facts(transcript)
+    prof = resolve_profile(profiles, source)
+    if not prof.get("enabled", True):
+        return {"extracted": 0, "added": 0, "updated": 0, "deleted": 0,
+                "noop": 0, "conflict": 0, "blocked": 0, "decisions": [],
+                "new_ids": [], "disabled": True}
+    max_chars = int(prof["max_fact_chars"])
+    bands = (float(prof["sim_noop"]), float(prof["sim_update"]))
+    facts = [
+        {**f, "text": f["text"][:max_chars]}
+        for f in provider.extract_facts(transcript)[: int(prof["max_facts"])]
+    ]
     similar = _similar_topk(engine, facts)
-    decisions = [provider.decide(f, similar[i]) for i, f in enumerate(facts)]
+    decisions = [provider.decide(f, similar[i], bands) for i, f in enumerate(facts)]
     summary = {"extracted": len(facts), "added": 0, "updated": 0,
                "deleted": 0, "noop": 0, "conflict": 0, "blocked": 0,
                "decisions": decisions, "new_ids": []}
     if dry_run:
         return summary
 
-    protected = {
-        int(r.id)
-        for r in engine.table("memories")
-        .filter(F.coalesce(F.col("pinned"), F.lit(False)) | F.coalesce(F.col("archived"), F.lit(False)))
-        .select("id")
-        .collect()
-    }
+    # ONE bounded lookup: just the ≤2*max_facts target rows — the
+    # pinned/archived protection flags and the UPDATE previous_texts.
+    target_ids = sorted(
+        {
+            int(d["target_id"])
+            for d in decisions
+            if d["action"] in ("DELETE", "UPDATE") and d.get("target_id") is not None
+        }
+    )
+    tinfo = (
+        {
+            int(r.id): r
+            for r in engine.get(target_ids)
+            .select("id", "text", "pinned", "archived")
+            .collect()
+        }
+        if target_ids
+        else {}
+    )
 
-    # link writes batch into ONE append at the end (the links table is
-    # an append-only log; per-edge writes would still be one file per
-    # edge, and one batched validation job beats 2 jobs per edge)
-    pending_links: list[tuple[int, int, str]] = []
+    def _protected(tid: int) -> bool:
+        r = tinfo.get(tid)
+        return r is not None and (bool(r.pinned) or bool(r.archived))
+
+    # pass 1: per-fact decisions → batched action sets (driver scalars)
+    new_rows: list[dict] = []       # one engine.add for ALL new rows
+    new_row_facts: list[int] = []   # fact index per new row (links/ids)
+    update_targets: list[int] = []  # one set_flags rewrite
+    delete_targets: list[int] = []  # one delete batch
     for i, (fact, dec) in enumerate(zip(facts, decisions)):
         action = dec["action"]
         if action == "NOOP":
             summary["noop"] += 1
         elif action == "DELETE":
             tid = dec.get("target_id")
-            if tid is None or tid in protected:
+            if tid is None or _protected(int(tid)):
                 summary["blocked"] += 1
             else:
-                engine.delete([tid])
+                delete_targets.append(int(tid))
                 summary["deleted"] += 1
         elif action == "UPDATE":
-            tid = dec["target_id"]
-            old = engine.get([tid]).collect()
-            prev_text = old[0].text if old else None
-            [new_id] = engine.add(
-                [
-                    {
-                        "text": fact["text"],
-                        "source": source,
-                        "category": fact["category"],
-                        "supersedes": tid,
-                        "previous_text": prev_text,
-                        "embedding": mock_embed(fact["text"]),
-                    }
-                ],
-                now,
+            tid = int(dec["target_id"])
+            old = tinfo.get(tid)
+            new_rows.append(
+                {
+                    "text": fact["text"],
+                    "source": source,
+                    "category": fact["category"],
+                    "supersedes": tid,
+                    "previous_text": old.text if old else None,
+                    "embedding": mock_embed(fact["text"]),
+                }
             )
-            # archive + leave the "latest" set (reference is_latest:false)
-            # in ONE partition-pruned rewrite of the old row's folder
-            engine.set_flags([tid], now, archived=True, is_latest=False)
-            pending_links.append((new_id, tid, "supersedes"))
+            new_row_facts.append(i)
+            update_targets.append(tid)
             summary["updated"] += 1
-            summary["new_ids"].append(new_id)
         elif action == "CONFLICT":
-            [new_id] = engine.add(
-                [
-                    {
-                        "text": fact["text"],
-                        "source": source,
-                        "category": fact["category"],
-                        "conflicts_with": dec.get("target_id"),
-                        "embedding": mock_embed(fact["text"]),
-                    }
-                ],
-                now,
+            new_rows.append(
+                {
+                    "text": fact["text"],
+                    "source": source,
+                    "category": fact["category"],
+                    "conflicts_with": dec.get("target_id"),
+                    "embedding": mock_embed(fact["text"]),
+                }
             )
+            new_row_facts.append(i)
             summary["conflict"] += 1
-            summary["new_ids"].append(new_id)
         else:  # ADD
-            [new_id] = engine.add(
-                [
-                    {
-                        "text": fact["text"],
-                        "source": source,
-                        "category": fact["category"],
-                        "embedding": mock_embed(fact["text"]),
-                    }
-                ],
-                now,
+            new_rows.append(
+                {
+                    "text": fact["text"],
+                    "source": source,
+                    "category": fact["category"],
+                    "embedding": mock_embed(fact["text"]),
+                }
             )
+            new_row_facts.append(i)
             summary["added"] += 1
-            summary["new_ids"].append(new_id)
-            # C8 auto-linking: link to up to 3 similar existing rows
-            for s in similar[i][:AUTO_LINK_K]:
+
+    # pass 2: O(1) write jobs — add, flags, delete, links
+    new_ids = engine.add(new_rows, now) if new_rows else []
+    summary["new_ids"] = new_ids
+    pending_links: list[tuple[int, int, str]] = []
+    for new_id, fact_i, row in zip(new_ids, new_row_facts, new_rows):
+        if row.get("supersedes") is not None:
+            pending_links.append((new_id, int(row["supersedes"]), "supersedes"))
+        elif row.get("conflicts_with") is None:
+            # C8 auto-linking for plain ADDs: up to 3 similar rows
+            for s in similar[fact_i][:AUTO_LINK_K]:
                 if s["sim"] >= 0.005 and s["id"] != new_id:
                     pending_links.append((new_id, s["id"], "related_to"))
+    if update_targets:
+        # archive + leave the "latest" set (reference is_latest:false)
+        # in ONE partition-pruned rewrite across all touched folders
+        engine.set_flags(sorted(set(update_targets)), now, archived=True, is_latest=False)
+    if delete_targets:
+        engine.delete(sorted(set(delete_targets)), now)
     if pending_links:
         engine.add_links(pending_links, now)
     return summary

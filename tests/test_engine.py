@@ -278,16 +278,26 @@ def test_import_add_never_collects_records(engine, tmp_path, spark, monkeypatch)
     """The add-strategy import path must be fully distributed: zero
     driver collects of record data (the round-2 defect: collect +
     re-add through the driver)."""
-    from pyspark.sql import DataFrame
+    # the CONCRETE class: pyspark 4's public DataFrame is a base whose
+    # classic subclass overrides collect — patching the base is vacuous
+    DataFrame = type(engine.table("memories"))
 
     out = str(tmp_path / "exp3")
     engine.export_ndjson(out)
 
-    def boom(self):
-        raise AssertionError("import_ndjson(add) collected a DataFrame")
+    orig_collect = DataFrame.collect
+
+    def scalar_only(df):
+        rows = orig_collect(df)
+        # the counter-file bootstrap (max(id), 1 row / 1 col) is a
+        # legitimate scalar; anything wider is record data on the driver
+        assert len(rows) <= 1 and (not rows or len(rows[0]) <= 1), (
+            f"import_ndjson(add) collected record data: {df.columns}"
+        )
+        return rows
 
     eng2 = MemoriesEngine(spark, str(tmp_path / "dst3"))
-    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "collect", scalar_only)
     result = eng2.import_ndjson(out, LATER)
     monkeypatch.undo()
     assert result["imported"] == 5
@@ -395,6 +405,15 @@ def test_enforce_policies_set_based_at_scale(spark, tmp_path):
     # the WHENs are a constant handful of column rewrites, never
     # one branch per victim
     assert p.count("CASE WHEN") < 50, p.count("CASE WHEN")
+
+    # the dry-run REPORT is bounded too: a 10^4-candidate sweep
+    # returns a paged id-ordered sample plus the total, never an
+    # unbounded collect of every candidate row
+    dry = eng.enforce_policies(profiles, later, dry_run=True, dry_run_limit=50)
+    assert dry["total_candidates"] == n and dry["truncated"] is True
+    assert len(dry["candidates"]) == 50
+    ids = [c["id"] for c in dry["candidates"]]
+    assert ids == sorted(ids)
 
     summary = eng.enforce_policies(profiles, later)
     assert summary["archived"] == n

@@ -134,3 +134,135 @@ def test_mock_embed_deterministic_and_normalized():
     assert a == mock_embed("hello world")
     assert abs(sum(x * x for x in a) - 1.0) < 1e-9
     assert mock_embed("hello world") != mock_embed("different text")
+
+
+def test_profiles_change_decisions_for_same_transcript(engine):
+    """J10 wired into extraction (reference llm_extract.py:820-860 +
+    extraction_profiles.py:68-113): two source prefixes with different
+    AUDN bands produce different ADD/UPDATE/NOOP decisions for the
+    SAME transcript. 'the api uses port 7443 now' scores in the
+    default UPDATE band [0.80, 0.95) vs memory 0; a profile that
+    raises sim_update above that similarity turns it into an ADD, and
+    one that lowers sim_noop below it turns it into a NOOP."""
+    transcript = "FACT: the api uses port 7443 now"
+    profiles = [
+        {"source_prefix": "strict/", "sim_update": 0.99},
+        {"source_prefix": "lenient/", "sim_noop": 0.5},
+    ]
+    s_default = run_extraction(
+        engine, transcript, MockProvider(), "proj/net", LATER,
+        dry_run=True, profiles=profiles,
+    )
+    s_strict = run_extraction(
+        engine, transcript, MockProvider(), "strict/net", LATER,
+        dry_run=True, profiles=profiles,
+    )
+    s_lenient = run_extraction(
+        engine, transcript, MockProvider(), "lenient/net", LATER,
+        dry_run=True, profiles=profiles,
+    )
+    assert [d["action"] for d in s_default["decisions"]] == ["UPDATE"]
+    assert [d["action"] for d in s_strict["decisions"]] == ["ADD"]
+    assert [d["action"] for d in s_lenient["decisions"]] == ["NOOP"]
+
+
+def test_profile_longest_prefix_and_caps(engine):
+    """Most-specific prefix wins the cascade; max_facts/max_fact_chars
+    caps come from the resolved profile."""
+    from memories_spark.extraction import resolve_profile
+
+    profiles = [
+        {"source_prefix": "team/", "max_facts": 2, "sim_noop": 0.9},
+        {"source_prefix": "team/proj/", "max_facts": 1},
+    ]
+    r = resolve_profile(profiles, "team/proj/x")
+    assert r["max_facts"] == 1          # most-specific explicit knob
+    assert r["sim_noop"] == 0.9         # inherited from parent prefix
+    assert r["sim_update"] == 0.80      # default
+
+    s = run_extraction(
+        engine, "FACT: one\nFACT: two\nFACT: three", MockProvider(),
+        "team/proj/x", LATER, dry_run=True, profiles=profiles,
+    )
+    assert s["extracted"] == 1
+
+    s2 = run_extraction(
+        engine, "FACT: one\nFACT: two\nFACT: three", MockProvider(),
+        "team/other", LATER, dry_run=True, profiles=profiles,
+    )
+    assert s2["extracted"] == 2
+
+
+def test_profile_disabled_prefix_noops(engine):
+    s = run_extraction(
+        engine, "FACT: something", MockProvider(), "quiet/src", LATER,
+        profiles=[{"source_prefix": "quiet/", "enabled": False}],
+    )
+    assert s.get("disabled") is True
+    assert engine.count() == 3
+
+
+def test_extraction_writes_are_batched_and_bounded(spark, tmp_path, monkeypatch):
+    """The scale gate (round-3 verdict item 1): a many-fact extraction
+    issues a FIXED number of write jobs — one add, one set_flags, one
+    delete, one add_links — and never collects an O(corpus) row set
+    (the old path collected every pinned/archived id in the store).
+    Corpus: 400 rows, 396 of them pinned; facts: 24 mixed actions."""
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    # patch the CONCRETE DataFrame class (pyspark 4 routes the public
+    # pyspark.sql.DataFrame to a classic/connect subclass whose own
+    # collect would shadow a base-class patch)
+    DataFrame = type(eng.table("memories"))
+    rows = [
+        {"text": f"corpus filler fact number {i} entry", "source": f"bulk/f{i % 7}",
+         "pinned": True, "embedding": mock_embed(f"corpus filler fact number {i} entry")}
+        for i in range(396)
+    ]
+    rows += [
+        {"text": f"deletable topic {w} note", "source": "live/x",
+         "embedding": mock_embed(f"deletable topic {w} note")}
+        for w in ("alpha", "beta", "gamma", "delta")
+    ]
+    eng.add(rows, NOW)
+
+    transcript = "\n".join(
+        [f"FACT: fresh standalone insight {i} about subsystem {i}" for i in range(18)]
+        + [f"FACT: deletable topic {w} note updated today" for w in ("alpha", "beta")]
+        + ["DELETE: deletable topic gamma note", "DELETE: deletable topic delta note"]
+        + ["FACT: corpus filler fact number 3 entry"]  # NOOP (dup of pinned row)
+        + ["CONFLICT: deletable topic alpha note is wrong"]
+    )
+
+    calls = {"add": 0, "set_flags": 0, "delete": 0, "add_links": 0}
+    collected: list[int] = []
+    orig = {k: getattr(MemoriesEngine, k) for k in calls}
+    orig_collect = DataFrame.collect
+
+    def counting(name):
+        def wrap(self, *a, **kw):
+            calls[name] += 1
+            return orig[name](self, *a, **kw)
+        return wrap
+
+    def measured_collect(self):
+        out = orig_collect(self)
+        collected.append(len(out))
+        return out
+
+    for k in calls:
+        monkeypatch.setattr(MemoriesEngine, k, counting(k))
+    monkeypatch.setattr(DataFrame, "collect", measured_collect)
+    s = run_extraction(eng, transcript, MockProvider(), "live/x", LATER)
+    monkeypatch.undo()
+
+    assert s["added"] == 18 and s["updated"] == 2
+    assert s["deleted"] == 2 and s["noop"] == 1 and s["conflict"] == 1
+    # O(1) write jobs regardless of fact count
+    assert calls == {"add": 1, "set_flags": 1, "delete": 1, "add_links": 1}
+    # every driver collect is O(facts), never O(corpus): the largest
+    # legitimate set is the 24-fact top-5 similarity hit list (~120);
+    # the old protected-set collect would be 396+ rows here
+    assert max(collected) <= 150, collected
+    # actions really landed
+    assert eng.get([396]).collect()[0].archived is True  # updated row
+    assert eng.get([398]).count() == 0  # deleted
