@@ -1343,39 +1343,104 @@ class MemoriesEngine:
 
     # -- serving-side vector index (IVF) --------------------------------
 
+    def _folder_signatures(self) -> dict[str, str]:
+        """Per-folder file-identity signatures of the memories table —
+        pure directory stats (names, sizes, mtimes), no Spark job.
+        The vector index pins these at build time; a refresh diffs
+        them to find the folders that actually changed."""
+        root = self._dir("memories")
+        sigs: dict[str, str] = {}
+        if not os.path.isdir(root):
+            return sigs
+        import hashlib as _hashlib
+
+        for e in os.listdir(root):
+            if not e.startswith(f"{FOLDER_COL}="):
+                continue
+            d = os.path.join(root, e)
+            items = sorted(
+                (f, os.path.getsize(os.path.join(d, f)),
+                 int(os.path.getmtime(os.path.join(d, f)) * 1000))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            )
+            sigs[unquote(e[len(FOLDER_COL) + 1:])] = _hashlib.md5(
+                repr(items).encode()
+            ).hexdigest()[:16]
+        return sigs
+
+    def _live_vectors(self, folders: list[str] | None = None) -> DataFrame:
+        """(id, embedding, part) of live vectors — physically
+        partition-pruned to ``folders`` when given (the incremental
+        refresh reads ONLY the changed folders' files)."""
+        d = self._dir("memories")
+        cols = [F.col("id"), F.col("embedding"), F.col(FOLDER_COL).alias("part")]
+        if not os.path.isdir(d):
+            empty = T.StructType(
+                list(MEMORY_SCHEMA.fields) + [T.StructField(FOLDER_COL, T.StringType())]
+            )
+            return self.spark.createDataFrame([], empty).select(*cols)
+        stored = T.StructType(
+            list(MEMORY_SCHEMA.fields) + [T.StructField(FOLDER_COL, T.StringType())]
+        )
+        df = self.spark.read.schema(stored).parquet(d)
+        if folders is not None:
+            df = df.filter(F.col(FOLDER_COL).isin(folders))
+        return df.filter(F.col("embedding").isNotNull()).select(*cols)
+
     def build_vector_index(self, cells: int = 16, nprobe: int = 3) -> dict:
         """One-off IVF index build over the store's embeddings (the
         engine-level analogue of the reference's Qdrant collection —
         an APPROXIMATE index serving the vector branch;
         qdrant_store.py builds HNSW where we build IVF because probes
         map onto partition pruning). The index pins the current
-        :meth:`table_version`; any later mutation makes consumers
-        fall back to the exact scan until the next build."""
+        :meth:`table_version` and the per-folder file signatures; any
+        later mutation makes consumers fall back to the exact scan
+        until the next build/refresh."""
         from memories_spark.operators import ann_index
 
-        emb = self.table("memories").filter(F.col("embedding").isNotNull())
+        sigs = self._folder_signatures()
         return ann_index.build_ivf(
             self.spark,
-            emb,
+            self._live_vectors(),
             "id",
             self._dir("_ann_index"),
             cells=cells,
             nprobe=nprobe,
             version=self.table_version(),
+            folder_sigs=sigs,
         )
 
     def refresh_vector_index(self) -> dict:
-        """Incremental index maintenance: re-assign the current live
-        vector set to the EXISTING trained centroids (one assignment
-        pass, no retraining) and pin the new table version — the
-        cheap catch-up after mutations; run :meth:`build_vector_index`
-        periodically to refresh centroid quality."""
+        """INCREMENTAL index maintenance: diff the per-folder file
+        signatures against the ones pinned in the index meta,
+        re-assign ONLY the changed folders' vectors to the EXISTING
+        trained centroids (a partition-pruned scan of those folders —
+        no retraining, no O(live set) re-assignment), drop removed
+        folders, and pin the new table version. Run
+        :meth:`build_vector_index` periodically to refresh centroid
+        quality."""
         from memories_spark.operators import ann_index
 
-        emb = self.table("memories").filter(F.col("embedding").isNotNull())
+        meta = ann_index.read_meta(self._dir("_ann_index"))
+        if meta is None:
+            raise ValueError("no vector index to refresh")
+        old_sigs: dict[str, str] = meta.get("folder_sigs") or {}
+        cur_sigs = self._folder_signatures()
+        changed = sorted(
+            f for f, s in cur_sigs.items() if old_sigs.get(f) != s
+        )
+        removed = sorted(set(old_sigs) - set(cur_sigs))
+        emb_changed = self._live_vectors(changed) if changed else None
         return ann_index.refresh_ivf(
-            self.spark, emb, "id", self._dir("_ann_index"),
+            self.spark,
+            emb_changed,
+            "id",
+            self._dir("_ann_index"),
             version=self.table_version(),
+            changed=changed,
+            removed=removed,
+            folder_sigs=cur_sigs,
         )
 
     def vector_index_meta(self) -> dict | None:

@@ -8,18 +8,31 @@ Build (``build_ivf``): seed centroids from a deterministic md5-spread
 of row ids, one Lloyd refinement (per-cell fixed-point means — the
 same integer-exact k-means step as ``plans/queries_ann.py``), then
 every vector is assigned to its nearest trained cell and the
-assignment is persisted PARTITIONED BY cell. At 100 TB this is the
-one-off FAISS train+add job; the centroid table is k x dim rows.
+assignment is persisted PARTITIONED BY (part, cell) — ``part`` is the
+store's folder partition value, ``cell`` the IVF cell. At 100 TB this
+is the one-off FAISS train+add job; the centroid table is k x dim
+rows.
 
 Probe: the query vector's nearest cells are computed DRIVER-SIDE
-against the collected k x dim centroid table (a few KB — zero extra
-Spark jobs per search), and the candidate scan reads only those
+against the centroid table — collected ONCE per index build and
+memoized on the centroid files' identity (a few KB; zero Spark jobs
+per search after warm-up) — and the candidate scan reads only those
 cells' partition directories.
+
+Maintenance (``refresh_ivf``): INCREMENTAL — the engine diffs its
+per-folder file signatures against the ones pinned in the index meta
+and re-assigns ONLY the folders that changed since the pinned
+version; unchanged folders' assignment files are untouched bytes,
+and deleted folders' partitions are dropped. That is the FAISS
+``add``/``remove_ids`` catch-up: O(changed data), not O(live set).
+Centroid QUALITY still drifts until the next full ``build_ivf``.
 
 Staleness: the index records the store's table version at build time;
 consumers compare versions and fall back to the exact scan after any
-mutation (an incremental index update is the production path; exact
-fallback keeps results correct meanwhile).
+mutation until the next build/refresh, so results are never silently
+stale. A refresh that leaves the live vector set EMPTY removes the
+meta (not a part-less directory a reader would choke on), which IS
+the exact-scan fallback signal.
 """
 
 from __future__ import annotations
@@ -29,11 +42,17 @@ import json
 import os
 import shutil
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from memories_spark.functions.hashing import fixed_point
+
+#: Partition value used when the caller supplies no part column.
+DEFAULT_PART = "(all)"
+
+_ASSIGN_SCHEMA = "id long, part string, cell long"
 
 
 def pts(emb: DataFrame, id_col: str, dim: int) -> DataFrame:
@@ -92,6 +111,24 @@ def train_centroids(
     )
 
 
+def _assign(emb: DataFrame, id_col: str, dim: int, cents: DataFrame) -> DataFrame:
+    """(id, part, cell): nearest trained cell per vector, carrying the
+    caller's ``part`` column (folder) for incremental maintenance."""
+    aw = Window.partitionBy("id").orderBy(F.asc("dist_fp"), F.asc("cid"))
+    parts = (
+        emb.select(F.col(id_col).alias("id"), F.col("part"))
+        if "part" in emb.columns
+        else emb.select(F.col(id_col).alias("id"), F.lit(DEFAULT_PART).alias("part"))
+    )
+    nearest = (
+        dists_to(pts(emb, id_col, dim), cents)
+        .withColumn("rk", F.row_number().over(aw))
+        .filter(F.col("rk") == 1)
+        .select("id", F.col("cid").alias("cell"))
+    )
+    return nearest.join(parts, "id").select("id", "part", "cell")
+
+
 def build_ivf(
     spark: SparkSession,
     emb: DataFrame,
@@ -100,11 +137,15 @@ def build_ivf(
     cells: int = 16,
     nprobe: int = 3,
     version: int = 0,
+    folder_sigs: dict[str, str] | None = None,
 ) -> dict:
     """Train + assign + persist. Returns the meta dict written to
     ``index_dir/meta.json``. Seed ids are the ``cells`` rows with the
     smallest md5(id) — a deterministic pseudo-random spread valid for
-    any id distribution (collecting ``cells`` scalars)."""
+    any id distribution (collecting ``cells`` scalars). ``emb`` may
+    carry a ``part`` column (the store folder); ``folder_sigs`` pins
+    the per-folder file signatures the incremental refresh diffs
+    against."""
     first = emb.select(F.size("embedding").alias("n")).first()
     if first is None:
         raise ValueError("cannot index an empty vector set")
@@ -122,20 +163,16 @@ def build_ivf(
     cent = train_centroids(emb, id_col, dim, seed_ids)
     cent.coalesce(1).write.parquet(os.path.join(tmp, "centroids"))
     read_cent = spark.read.parquet(os.path.join(tmp, "centroids"))
-    aw = Window.partitionBy("id").orderBy(F.asc("dist_fp"), F.asc("cid"))
-    assign = (
-        dists_to(pts(emb, id_col, dim), read_cent)
-        .withColumn("rk", F.row_number().over(aw))
-        .filter(F.col("rk") == 1)
-        .select("id", F.col("cid").alias("cell"))
+    _assign(emb, id_col, dim, read_cent).write.partitionBy("part", "cell").parquet(
+        os.path.join(tmp, "assign")
     )
-    assign.write.partitionBy("cell").parquet(os.path.join(tmp, "assign"))
     meta = {
         "version": int(version),
         "cells": int(cells),
         "nprobe": int(nprobe),
         "dim": dim,
         "seed_ids": seed_ids,
+        "folder_sigs": folder_sigs or {},
     }
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         f.write(json.dumps(meta))
@@ -147,38 +184,61 @@ def build_ivf(
 
 def refresh_ivf(
     spark: SparkSession,
-    emb: DataFrame,
+    emb_changed: DataFrame | None,
     id_col: str,
     index_dir: str,
     version: int,
+    changed: list[str],
+    removed: list[str],
+    folder_sigs: dict[str, str],
 ) -> dict:
-    """Re-assign the CURRENT vector set to the existing trained
-    centroids and swap the assignment in — the incremental
-    index-maintenance path (FAISS ``add`` without ``train``): one
-    broadcast-join assignment pass instead of seed selection + Lloyd.
-    Correct for any mutation mix (the whole live set is re-assigned);
-    only centroid QUALITY drifts until the next full build."""
+    """Incremental catch-up against the EXISTING trained centroids:
+    re-assign only ``changed`` folders' vectors (``emb_changed`` is
+    the partition-pruned scan of exactly those folders), drop
+    ``removed`` folders' partitions, leave every other folder's
+    assignment files as untouched bytes — then pin the new table
+    version + signatures. FAISS ``add``/``remove_ids`` without
+    ``train``; only centroid QUALITY drifts until the next full
+    build.
+
+    If the refresh leaves no live vectors at all, the meta is removed
+    so consumers take the exact-scan fallback (an assignment
+    directory with zero part files would fail schema inference in
+    naive readers and serve nothing correct in careful ones)."""
     meta = read_meta(index_dir)
     if meta is None:
         raise ValueError(f"no index at {index_dir} to refresh")
-    dim = int(meta["dim"])
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    aw = Window.partitionBy("id").orderBy(F.asc("dist_fp"), F.asc("cid"))
-    assign = (
-        dists_to(pts(emb.select(F.col(id_col).alias(id_col), "embedding"), id_col, dim), cent)
-        .withColumn("rk", F.row_number().over(aw))
-        .filter(F.col("rk") == 1)
-        .select("id", F.col("cid").alias("cell"))
-    )
-    tmp = os.path.join(index_dir, f"assign.tmp-{uuid.uuid4().hex[:8]}")
-    assign.write.partitionBy("cell").parquet(tmp)
+    if not folder_sigs:
+        # live set is empty: no index can serve it — signal fallback
+        os.remove(os.path.join(index_dir, "meta.json"))
+        return {"empty": True, "version": int(version)}
+
     final = os.path.join(index_dir, "assign")
-    old = os.path.join(index_dir, f"assign.old-{uuid.uuid4().hex[:8]}")
-    os.rename(final, old)
-    os.rename(tmp, final)
-    shutil.rmtree(old)
-    spark.catalog.refreshByPath(final)
+    touched = sorted(set(changed) | set(removed))
+    if touched:
+        tmp = os.path.join(index_dir, f"assign.tmp-{uuid.uuid4().hex[:8]}")
+        written: set[str] = set()
+        if changed and emb_changed is not None:
+            dim = int(meta["dim"])
+            cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+            _assign(emb_changed, id_col, dim, cent).write.partitionBy(
+                "part", "cell"
+            ).parquet(tmp)
+            written = {
+                e for e in os.listdir(tmp) if e.startswith("part=")
+            }
+        # per-folder swap: drop stale partitions, move fresh ones in —
+        # every untouched folder's files are untouched bytes
+        for e in list(os.listdir(final)):
+            if e.startswith("part=") and unquote(e[len("part="):]) in touched:
+                shutil.rmtree(os.path.join(final, e))
+        for e in written:
+            os.rename(os.path.join(tmp, e), os.path.join(final, e))
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        spark.catalog.refreshByPath(final)
     meta["version"] = int(version)
+    meta["folder_sigs"] = dict(folder_sigs)
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         f.write(json.dumps(meta))
     return meta
@@ -195,13 +255,45 @@ def read_meta(index_dir: str) -> dict | None:
         return None
 
 
-def probe_cells(spark: SparkSession, index_dir: str, qvec: list[float], nprobe: int) -> list[int]:
-    """The query's ``nprobe`` nearest cells, computed DRIVER-SIDE over
-    the collected k x dim centroid table (a few KB) with the same
-    fixed-point arithmetic as the build — no Spark job."""
+#: probe-time centroid memo: index_dir -> (centroid-files identity,
+#: {cid: {d: c}}). The identity is the centroid part-files' (name,
+#: size, mtime) listing — pure os.stat, no Spark job — so a rebuild
+#: (which rewrites the files) invalidates the memo and a refresh
+#: (which never touches centroids) keeps it warm.
+_CENTROID_MEMO: dict[str, tuple[tuple, dict[int, dict[int, float]]]] = {}
+
+
+def _centroid_identity(index_dir: str) -> tuple:
+    d = os.path.join(index_dir, "centroids")
+    return tuple(
+        sorted(
+            (f, os.path.getsize(os.path.join(d, f)),
+             int(os.path.getmtime(os.path.join(d, f)) * 1000))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+    )
+
+
+def _centroids(spark: SparkSession, index_dir: str) -> dict[int, dict[int, float]]:
+    ident = _centroid_identity(index_dir)
+    memo = _CENTROID_MEMO.get(index_dir)
+    if memo is not None and memo[0] == ident:
+        return memo[1]
     cents: dict[int, dict[int, float]] = {}
     for r in spark.read.parquet(os.path.join(index_dir, "centroids")).collect():
         cents.setdefault(int(r.cid), {})[int(r.sd)] = float(r.c)
+    _CENTROID_MEMO[index_dir] = (ident, cents)
+    return cents
+
+
+def probe_cells(spark: SparkSession, index_dir: str, qvec: list[float], nprobe: int) -> list[int]:
+    """The query's ``nprobe`` nearest cells, computed DRIVER-SIDE over
+    the memoized k x dim centroid table (a few KB) with the same
+    fixed-point arithmetic as the build — zero Spark jobs after the
+    first probe of an index build (the memo key is the centroid
+    files' identity, so rebuilds invalidate it for free)."""
+    cents = _centroids(spark, index_dir)
     dists = []
     for cid, dims in cents.items():
         acc = 0
@@ -215,9 +307,11 @@ def probe_cells(spark: SparkSession, index_dir: str, qvec: list[float], nprobe: 
 
 def candidate_ids(spark: SparkSession, index_dir: str, cells: list[int]) -> DataFrame:
     """The probed cells' id set — a partition-pruned scan of the
-    persisted assignment."""
+    persisted assignment (explicit schema: an assignment that went
+    empty must read as zero rows, not a schema-inference failure)."""
     return (
-        spark.read.parquet(os.path.join(index_dir, "assign"))
+        spark.read.schema(_ASSIGN_SCHEMA)
+        .parquet(os.path.join(index_dir, "assign"))
         .filter(F.col("cell").isin(cells))
         .select("id")
     )

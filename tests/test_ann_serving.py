@@ -51,10 +51,18 @@ def test_index_layout_and_meta(store):
     assert meta is not None
     assert meta["cells"] == 16 and meta["nprobe"] == 3
     assert meta["version"] == store.table_version()
-    parts = [e for e in os.listdir(os.path.join(idx, "assign")) if e.startswith("cell=")]
-    assert 2 <= len(parts) <= 16  # cell-partitioned layout
+    assert meta["folder_sigs"]  # per-folder identity pinned for refresh
+    # (part=folder, cell=cid) layout: folder swap for refresh,
+    # cell pruning for probes
+    assign = os.path.join(idx, "assign")
+    parts = [e for e in os.listdir(assign) if e.startswith("part=")]
+    assert parts == ["part=corp"]
+    cells = [
+        e for e in os.listdir(os.path.join(assign, parts[0])) if e.startswith("cell=")
+    ]
+    assert 2 <= len(cells) <= 16
     # every indexed row is assigned to exactly one cell
-    n_assigned = store.spark.read.parquet(os.path.join(idx, "assign")).count()
+    n_assigned = store.spark.read.parquet(assign).count()
     assert n_assigned == store.count()
 
 
@@ -174,3 +182,131 @@ def test_refresh_reassigns_without_retraining(spark, tmp_path):
         eng, "fresh cache fact about item 3", k=5, auto_intent=False,
         now=LATER, ann=True).collect()]
     assert new_id in hits
+
+
+def test_probe_runs_zero_spark_jobs_after_warmup(store):
+    """probe_cells memoizes the collected centroid table on the
+    centroid files' identity: after the first probe of an index
+    build, a probe is pure driver math — zero Spark jobs."""
+    idx = store._dir("_ann_index")
+    sc = store.spark.sparkContext
+    qvec = mock_embed("cache subsystem policy")
+    ann_index.probe_cells(store.spark, idx, qvec, 3)  # warm-up
+    sc.setJobGroup("probe-gate", "probe must not submit jobs")
+    try:
+        cells = ann_index.probe_cells(store.spark, idx, qvec, 3)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(cells) == 3
+    assert list(sc.statusTracker().getJobIdsForGroup("probe-gate")) == []
+
+
+def _assign_snapshot(idx: str) -> dict[str, tuple]:
+    """part dir -> sorted (file, size, mtime) — byte-identity per folder."""
+    assign = os.path.join(idx, "assign")
+    snap = {}
+    for part in os.listdir(assign):
+        if not part.startswith("part="):
+            continue
+        files = []
+        for root, _, names in os.walk(os.path.join(assign, part)):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    files.append((os.path.relpath(p, assign), os.path.getsize(p),
+                                  os.path.getmtime(p)))
+        snap[part] = tuple(sorted(files))
+    return snap
+
+
+def test_refresh_is_incremental_per_folder(spark, tmp_path):
+    """The round-3 verdict gate: a refresh after a single-folder
+    mutation (a) scans ONLY that folder's memories partitions
+    (PartitionFilters, physical pruning), (b) rewrites ONLY that
+    folder's assignment partition — every other folder's assignment
+    files are untouched bytes — and (c) serves the new row."""
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    recs = []
+    for i in range(120):
+        t = _TOPICS[i % 6]
+        text = f"{t} subsystem note {i} handles item {i % 7}"
+        recs.append({"text": text, "source": f"{t}/x", "embedding": mock_embed(text)})
+    eng.add(recs, NOW)
+    eng.build_vector_index(cells=8, nprobe=3)
+    idx = eng._dir("_ann_index")
+
+    before = _assign_snapshot(idx)
+    assert len(before) == 6  # one assignment partition per folder
+
+    [new_id] = eng.add(
+        [{"text": "fresh cache subsystem note about item 3", "source": "cache/x",
+          "embedding": mock_embed("fresh cache subsystem note about item 3")}],
+        LATER,
+    )
+    assert eng.vector_index_meta() is None  # stale
+
+    # (a) the changed-folder scan physically prunes to that folder
+    plan = eng._live_vectors(["cache"])._jdf.queryExecution().explainString(
+        eng._live_vectors(["cache"])._sc._jvm.org.apache.spark.sql.execution
+        .ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "cache" in plan, plan
+
+    meta = eng.refresh_vector_index()
+    assert meta["version"] == eng.table_version()
+    assert eng.vector_index_meta() is not None
+
+    after = _assign_snapshot(idx)
+    # (b) only the mutated folder's assignment partition changed
+    assert after["part=cache"] != before["part=cache"]
+    for part in before:
+        if part != "part=cache":
+            assert after[part] == before[part], part
+    # (c) the new row is assigned and ANN-servable
+    assigned = {
+        int(r.id) for r in spark.read.parquet(os.path.join(idx, "assign")).collect()
+    }
+    assert new_id in assigned
+    hits = [r.id for r in hybrid_search(
+        eng, "fresh cache subsystem note about item 3", k=5, auto_intent=False,
+        now=LATER, ann=True).collect()]
+    assert new_id in hits
+
+
+def test_refresh_drops_removed_folder_partitions(spark, tmp_path):
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    recs = []
+    for i in range(60):
+        t = _TOPICS[i % 3]
+        text = f"{t} subsystem note {i}"
+        recs.append({"text": text, "source": f"{t}/x", "embedding": mock_embed(text)})
+    eng.add(recs, NOW)
+    eng.build_vector_index(cells=4, nprobe=2)
+    idx = eng._dir("_ann_index")
+
+    eng.delete_by_prefix("cache/")
+    eng.refresh_vector_index()
+    parts = {e for e in os.listdir(os.path.join(idx, "assign")) if e.startswith("part=")}
+    assert parts == {"part=database", "part=queue"}
+    assert eng.vector_index_meta() is not None
+
+
+def test_refresh_to_empty_store_falls_back_to_exact(spark, tmp_path):
+    """Deleting everything then refreshing must NOT leave a part-less
+    assignment a reader would choke on: the meta is removed, the
+    serving path takes the exact-scan fallback, and searches still
+    run (advice r3: empty-refresh AnalysisException)."""
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(
+        [{"text": f"cache note {i}", "source": "cache/x",
+          "embedding": mock_embed(f"cache note {i}")} for i in range(20)],
+        NOW,
+    )
+    eng.build_vector_index(cells=4, nprobe=2)
+    assert eng.delete_by_prefix("cache/") == 20
+    out = eng.refresh_vector_index()
+    assert out.get("empty") is True
+    assert eng.vector_index_meta() is None
+    rows = hybrid_search(eng, "cache note", k=5, auto_intent=False,
+                         now=LATER, ann=True).collect()
+    assert rows == []
