@@ -45,6 +45,7 @@ def personalized_pagerank(
     seeds: DataFrame,
     alpha: float = ALPHA,
     iterations: int = ITERATIONS,
+    s_total: int | None = None,
 ) -> DataFrame:
     """Fixed-point PPR. ``seeds`` is (id, sw_fp: BIGINT seed weight).
 
@@ -52,11 +53,20 @@ def personalized_pagerank(
     The personalization p(v) = sw_fp(v) / sum(sw_fp) as a double;
     each iteration term is rounded back to fixed-point before the
     exact integer sum, so engines/partitionings agree bit-for-bit.
-    """
+
+    ``s_total`` (the seed-mass sum) may be passed in when the caller
+    already computed it — the serving path folds it into its single
+    sizing job — otherwise ONE aggregate job fetches it here. Empty
+    or all-zero seeds return an empty rank vector without running a
+    single iteration (no mass to spread — and no driver crash on a
+    NULL sum)."""
+    spark = seeds.sparkSession
+    if s_total is None:
+        s_total = seeds.agg(F.sum("sw_fp")).first()[0]
+    if not s_total:
+        return spark.createDataFrame([], "id long, r_fp long")
     adj = bidirectional(edges).cache()
     deg = adj.groupBy("from_id").agg(F.count("*").alias("deg")).cache()
-
-    s_total = seeds.agg(F.sum("sw_fp")).first()[0]
     # localCheckpoint (not cache): the seed plan may itself be a deep
     # retrieval pipeline, and the loop below re-embeds `p` in every
     # iteration's union — without truncating lineage the logical plan

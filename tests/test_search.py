@@ -144,3 +144,33 @@ def test_auto_intent_temporal_window(engine, spark, tmp_path):
 def test_empty_corpus(engine, spark, tmp_path):
     eng = MemoriesEngine(spark, str(tmp_path / "empty"))
     assert hybrid_search(eng, "anything", k=5, now=NOW).count() == 0
+
+
+def test_graph_search_driver_actions_bounded(engine, monkeypatch):
+    """Round-3 verdict item 6: the graph stage sizes itself with ONE
+    eager driver action (seed mass + edge existence fused into one
+    first()), and the reserved-slot count is a broadcast scalar
+    inside the final plan — the pre-fix path ran three separate
+    count() actions (edges, seeds, gonly) per graph-enabled search."""
+    DF = type(engine.table("memories"))
+    calls = {"count": 0, "first": 0, "collect": 0}
+    orig = {k: getattr(DF, k) for k in calls}
+
+    def tracked(name):
+        def wrap(self, *a, **kw):
+            calls[name] += 1
+            return orig[name](self, *a, **kw)
+        return wrap
+
+    for k in calls:
+        monkeypatch.setattr(DF, k, tracked(k))
+    # plan construction only — the result stays lazy
+    out = hybrid_search(engine, "postgres settings", k=3, graph_weight=0.1,
+                        auto_intent=False, now=NOW)
+    monkeypatch.undo()
+    assert calls["count"] == 0, calls
+    assert calls["first"] == 1, calls    # the fused sizing probe
+    assert calls["collect"] <= 1, calls  # first() delegates to collect
+    # and the plan still answers correctly
+    rows = out.collect()
+    assert len(rows) == 3
