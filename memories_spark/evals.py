@@ -1,0 +1,212 @@
+"""Efficacy-eval harness: scenario YAML + weighted rubric scorer +
+with/without-memory delta.
+
+Twin of the reference's efficacy eval (reference eval/scorer.py —
+deterministic rubric types ``contains`` / ``not_contains`` /
+``no_retry`` scored as a weighted average, LLM-judge types excluded
+via a -1 sentinel; eval/runner.py — each scenario runs the assistant
+WITHOUT memories, then seeds the scenario's memories and runs WITH,
+and the report aggregates the per-category and overall score delta;
+scenario shape eval/scenarios/*/*.yaml). The reference's published
+headline is the with-memory minus without-memory delta over its 11
+Voltis scenarios (docs/architecture.md:299-331).
+
+The assistant here is MOCKED deterministically, exactly as the
+round-3 review prescribed: the with-memory "answer" is the
+concatenation of the top-k texts retrieved by the real
+``hybrid_search`` stack over a store seeded with the scenario's
+memories, plus a declarative closing; the without-memory answer is a
+fixed clarifying reply (which contains a question mark, so the
+reference's ``no_retry`` rubric behaves exactly as designed). That
+makes the delta a pure function of retrieval quality — the thing this
+engine owns — with zero network or model variance.
+
+Scenarios are ORIGINAL content in the reference's YAML shape
+(id / category / name / memories / prompt / expected), shipped under
+``memories_spark/eval_scenarios/``. The rubric-scoring algebra is
+additionally registered as an oracle-checked query
+(``efficacy_rubric_scores`` in plans/queries_eval.py) so DuckDB
+replays the weighted-average math over the same scenario literals.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+#: Rubric types resolved by an LLM judge in the reference
+#: (eval/scorer.py LLM_JUDGE_TYPES): scored with a -1 sentinel and
+#: EXCLUDED from the deterministic weighted average.
+LLM_JUDGE_TYPES = {"correct_fix", "recall_accuracy", "match_convention"}
+
+SCENARIO_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "eval_scenarios")
+
+#: The deterministic stand-ins for the reference's CC executor runs.
+WITHOUT_MEMORY_REPLY = (
+    "I don't have enough project-specific context to answer this "
+    "definitively. Could you share the relevant conventions, ports, "
+    "owners, or prior decisions?"
+)
+WITH_MEMORY_SUFFIX = (
+    " Based on the retrieved project memory above, that is the "
+    "established convention to follow."
+)
+
+
+@dataclass
+class Rubric:
+    type: str
+    value: str
+    weight: float = 1.0
+
+
+@dataclass
+class Scenario:
+    id: str
+    category: str
+    name: str
+    prompt: str
+    memories: list[dict] = field(default_factory=list)
+    expected: list[Rubric] = field(default_factory=list)
+
+
+def load_scenarios(root: str = SCENARIO_DIR) -> list[Scenario]:
+    """All scenario YAMLs under ``root``, id-ordered (reference
+    eval/loader.py reads eval/scenarios/<category>/*.yaml)."""
+    import yaml
+
+    out: list[Scenario] = []
+    for dirpath, _, names in os.walk(root):
+        for n in sorted(names):
+            if not n.endswith((".yaml", ".yml")):
+                continue
+            with open(os.path.join(dirpath, n)) as f:
+                raw = yaml.safe_load(f)
+            out.append(
+                Scenario(
+                    id=raw["id"],
+                    category=raw["category"],
+                    name=raw.get("name", raw["id"]),
+                    prompt=raw["prompt"],
+                    memories=list(raw.get("memories") or []),
+                    expected=[
+                        Rubric(
+                            type=e["type"],
+                            value=str(e.get("value") or ""),
+                            weight=float(e.get("weight", 1.0)),
+                        )
+                        for e in (raw.get("expected") or [])
+                    ],
+                )
+            )
+    return sorted(out, key=lambda s: s.id)
+
+
+# -- scorer (reference eval/scorer.py, deterministic subset) -----------
+
+
+def score_rubric(rubric: Rubric, output: str) -> float:
+    """One rubric against one output. LLM-judge types return the -1.0
+    sentinel (excluded from the average), mirroring the reference's
+    pending_llm_judge behavior with no judge attached."""
+    if rubric.type in LLM_JUDGE_TYPES:
+        return -1.0
+    if rubric.type == "contains":
+        return 1.0 if rubric.value and rubric.value.lower() in output.lower() else 0.0
+    if rubric.type == "not_contains":
+        return 0.0 if rubric.value and rubric.value.lower() in output.lower() else 1.0
+    if rubric.type == "no_retry":
+        return 0.0 if "?" in output else 1.0
+    raise ValueError(f"Unknown rubric type: {rubric.type}")
+
+
+def score_all(rubrics: list[Rubric], output: str) -> float:
+    """Weighted average over deterministic rubrics only (score >= 0),
+    0.0 when nothing deterministic scored — reference
+    score_all_rubrics exactly."""
+    scored = [
+        (score_rubric(r, output), r.weight)
+        for r in rubrics
+    ]
+    det = [(s, w) for s, w in scored if s >= 0]
+    total_w = sum(w for _, w in det)
+    if not det or total_w == 0:
+        return 0.0
+    return sum(s * w for s, w in det) / total_w
+
+
+# -- mocked assistant + runner (reference eval/runner.py) ---------------
+
+
+def mock_assistant(prompt: str, retrieved_texts: list[str]) -> str:
+    """answers = concatenated top-k texts (+ a declarative closing);
+    with no memories, a fixed clarifying reply."""
+    if not retrieved_texts:
+        return WITHOUT_MEMORY_REPLY
+    return " ".join(retrieved_texts) + WITH_MEMORY_SUFFIX
+
+
+def run_scenario(
+    spark: SparkSession, scenario: Scenario, store_path: str, k: int = 5,
+    now: str = "2026-04-01 12:00:00",
+) -> dict:
+    """One scenario, both phases (reference EvalRunner.run_scenario):
+    score the mocked assistant without memories, then seed the
+    scenario's memories into a FRESH store and score the answer built
+    from the real hybrid_search top-k."""
+    from memories_spark.engine import MemoriesEngine
+    from memories_spark.extraction import mock_embed
+    from memories_spark.search import hybrid_search
+
+    score_without = score_all(scenario.expected, mock_assistant(scenario.prompt, []))
+
+    eng = MemoriesEngine(spark, os.path.join(store_path, scenario.id))
+    eng.add(
+        [
+            {"text": m["text"], "source": m.get("source", f"eval/{scenario.id}"),
+             "embedding": mock_embed(m["text"])}
+            for m in scenario.memories
+        ],
+        now,
+    )
+    hits = hybrid_search(
+        eng, scenario.prompt, k=k, auto_intent=False, now=now
+    ).collect()
+    output_with = mock_assistant(scenario.prompt, [r.text for r in hits])
+    score_with = score_all(scenario.expected, output_with)
+    return {
+        "scenario_id": scenario.id,
+        "category": scenario.category,
+        "score_without": score_without,
+        "score_with": score_with,
+        "delta": score_with - score_without,
+        "output_with": output_with,
+    }
+
+
+def aggregate(results: list[dict]) -> dict:
+    """Per-category averages + overall delta (reference
+    EvalRunner._aggregate → EvalReport)."""
+    by_cat: dict[str, list[dict]] = {}
+    for r in results:
+        by_cat.setdefault(r["category"], []).append(r)
+    categories = {
+        cat: {
+            "n": len(rs),
+            "avg_with": sum(r["score_with"] for r in rs) / len(rs),
+            "avg_without": sum(r["score_without"] for r in rs) / len(rs),
+        }
+        for cat, rs in sorted(by_cat.items())
+    }
+    n = len(results)
+    avg_with = sum(r["score_with"] for r in results) / n if n else 0.0
+    avg_without = sum(r["score_without"] for r in results) / n if n else 0.0
+    return {
+        "scenarios": n,
+        "categories": categories,
+        "avg_with": avg_with,
+        "avg_without": avg_without,
+        "delta": avg_with - avg_without,
+    }

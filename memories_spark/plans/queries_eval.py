@@ -340,3 +340,135 @@ def musique_multihop_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------
+# Efficacy-eval rubric scoring (reference eval/scorer.py + runner.py)
+# ---------------------------------------------------------------------
+
+def _efficacy_rows() -> list[tuple]:
+    """(scenario_id, category, rubric_idx, rtype, value, weight,
+    out_with, out_without) — one row per deterministic-or-judge
+    rubric, outputs built exactly like the mocked assistant: the
+    with-memory answer concatenates the scenario's memory texts (the
+    perfect-retrieval twin; the REAL hybrid_search-backed delta is
+    pinned in tests/test_efficacy_eval.py), the without-memory answer
+    is the fixed clarifying reply."""
+    from memories_spark.evals import (
+        WITHOUT_MEMORY_REPLY,
+        WITH_MEMORY_SUFFIX,
+        load_scenarios,
+    )
+
+    rows = []
+    for s in load_scenarios():
+        out_with = " ".join(m["text"] for m in s.memories) + WITH_MEMORY_SUFFIX
+        for i, r in enumerate(s.expected):
+            rows.append(
+                (s.id, s.category, i, r.type, r.value, float(r.weight),
+                 out_with, WITHOUT_MEMORY_REPLY)
+            )
+    return rows
+
+
+def _efficacy_oracle() -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ",\n    ".join(
+        f"({q(sid)}, {q(cat)}, {i}, {q(rt)}, {q(val)}, {w!r}, {q(ow)}, {q(on)})"
+        for sid, cat, i, rt, val, w, ow, on in _efficacy_rows()
+    )
+    return f"""
+WITH rubrics(scenario_id, category, rubric_idx, rtype, value, weight, out_with, out_without) AS (
+  VALUES
+    {values}
+),
+scored AS (
+  SELECT scenario_id, category, weight,
+         CASE rtype
+           WHEN 'contains' THEN CASE WHEN strpos(lower(out_with), lower(value)) > 0 THEN 1.0 ELSE 0.0 END
+           WHEN 'not_contains' THEN CASE WHEN strpos(lower(out_with), lower(value)) > 0 THEN 0.0 ELSE 1.0 END
+           WHEN 'no_retry' THEN CASE WHEN strpos(out_with, '?') > 0 THEN 0.0 ELSE 1.0 END
+           ELSE -1.0
+         END AS s_with,
+         CASE rtype
+           WHEN 'contains' THEN CASE WHEN strpos(lower(out_without), lower(value)) > 0 THEN 1.0 ELSE 0.0 END
+           WHEN 'not_contains' THEN CASE WHEN strpos(lower(out_without), lower(value)) > 0 THEN 0.0 ELSE 1.0 END
+           WHEN 'no_retry' THEN CASE WHEN strpos(out_without, '?') > 0 THEN 0.0 ELSE 1.0 END
+           ELSE -1.0
+         END AS s_without
+  FROM rubrics
+)
+SELECT scenario_id, category,
+       round(sum(CASE WHEN s_with >= 0 THEN s_with * weight END)
+             / sum(CASE WHEN s_with >= 0 THEN weight END), 6) AS score_with,
+       round(sum(CASE WHEN s_without >= 0 THEN s_without * weight END)
+             / sum(CASE WHEN s_without >= 0 THEN weight END), 6) AS score_without,
+       round(sum(CASE WHEN s_with >= 0 THEN s_with * weight END)
+             / sum(CASE WHEN s_with >= 0 THEN weight END)
+             - sum(CASE WHEN s_without >= 0 THEN s_without * weight END)
+             / sum(CASE WHEN s_without >= 0 THEN weight END), 6) AS delta
+FROM scored
+GROUP BY scenario_id, category
+ORDER BY scenario_id
+"""
+
+
+@register(
+    "efficacy_rubric_scores",
+    oracle=_efficacy_oracle(),
+    doc="Efficacy-eval rubric scoring (reference eval/scorer.py "
+    "score_all_rubrics + eval/runner.py with/without-memory phases, "
+    "published as the 11-scenario Voltis delta in "
+    "docs/architecture.md:299-331): per scenario, the weighted "
+    "average of deterministic rubrics (contains / not_contains / "
+    "no_retry; LLM-judge types excluded via the -1 sentinel) over "
+    "the mocked assistant's with-memory answer (concatenated memory "
+    "texts + declarative closing) and without-memory answer (fixed "
+    "clarifying reply), plus the per-scenario delta. Scenario "
+    "literals come from the original YAMLs under "
+    "memories_spark/eval_scenarios/; the retrieval-backed delta over "
+    "the REAL hybrid_search stack is pinned in "
+    "tests/test_efficacy_eval.py.",
+    tags=("eval",),
+)
+def efficacy_rubric_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rub = spark.createDataFrame(
+        _efficacy_rows(),
+        "scenario_id string, category string, rubric_idx int, rtype string, "
+        "value string, weight double, out_with string, out_without string",
+    )
+
+    def scored(out_col: str) -> F.Column:
+        hit = F.instr(F.lower(F.col(out_col)), F.lower(F.col("value"))) > 0
+        return (
+            F.when(F.col("rtype") == "contains", F.when(hit, 1.0).otherwise(0.0))
+            .when(F.col("rtype") == "not_contains", F.when(hit, 0.0).otherwise(1.0))
+            .when(
+                F.col("rtype") == "no_retry",
+                F.when(F.instr(F.col(out_col), "?") > 0, 0.0).otherwise(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+        )
+
+    s = rub.select(
+        "scenario_id", "category", "weight",
+        scored("out_with").alias("s_with"),
+        scored("out_without").alias("s_without"),
+    )
+
+    def wavg(col: str) -> F.Column:
+        num = F.sum(F.when(F.col(col) >= 0, F.col(col) * F.col("weight")))
+        den = F.sum(F.when(F.col(col) >= 0, F.col("weight")))
+        return num / den
+
+    return (
+        s.groupBy("scenario_id", "category")
+        .agg(
+            F.round(wavg("s_with"), 6).alias("score_with"),
+            F.round(wavg("s_without"), 6).alias("score_without"),
+            F.round(wavg("s_with") - wavg("s_without"), 6).alias("delta"),
+        )
+        .orderBy("scenario_id")
+    )
