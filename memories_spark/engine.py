@@ -621,10 +621,38 @@ class MemoriesEngine:
 
     # -- M7: links (append-only log + tombstones) -----------------------
 
+    def _migrate_legacy_links(self) -> None:
+        """Fold a pre-log-format ``links/`` table (round-2 layout:
+        resolved edges, no seq/tombstones) into ``links_log`` as
+        seq=0 live rows, then retire the legacy directory. Without
+        this, a store written by the older code silently loses every
+        edge on upgrade (and restoring an old-format snapshot
+        restores none). Runs at most once per store; a no-op when no
+        legacy directory exists."""
+        legacy = self._dir("links")
+        if not os.path.isdir(legacy):
+            return
+        old = self.spark.read.schema(LINK_SCHEMA).parquet(legacy)
+        self._append_link_rows(
+            old.select(
+                "from_id", "to_id", "type", "created_at",
+                F.lit(False).alias("deleted"), F.lit(0).cast("long").alias("seq"),
+            )
+        )
+        retired = f"{legacy}.migrated-{uuid.uuid4().hex[:8]}"
+        os.rename(legacy, retired)
+        shutil.rmtree(retired)
+        # seq counter must clear the migrated rows' seq=0
+        seq_file = os.path.join(self.path, "links_seq")
+        if not os.path.exists(seq_file):
+            with open(seq_file, "w") as f:
+                f.write("1")
+
     def _links_latest(self) -> DataFrame:
         """Per-key log resolution: the highest-seq row wins. Pure
         partial-aggregable groupBy on the edge key — no window, no
         driver state."""
+        self._migrate_legacy_links()
         log_dir = self._dir("links_log")
         if not os.path.isdir(log_dir):
             return self.spark.createDataFrame([], LINK_LOG_SCHEMA)
@@ -1114,6 +1142,14 @@ class MemoriesEngine:
             snap_table = os.path.join(src, name)
             if os.path.isdir(snap_table):
                 shutil.copytree(snap_table, cur)
+        # pre-log-format snapshot: restore its legacy links table and
+        # let the on-access migration fold it into links_log
+        legacy_snap = os.path.join(src, "links")
+        if os.path.isdir(legacy_snap):
+            legacy_cur = self._dir("links")
+            if os.path.isdir(legacy_cur):
+                shutil.rmtree(legacy_cur)
+            shutil.copytree(legacy_snap, legacy_cur)
         for name in (n for n in _SCHEMAS if n != "audit_log"):
             self.spark.catalog.refreshByPath(self._dir(name))
         self._bump_table_version()  # derived indexes must go stale
@@ -1490,12 +1526,21 @@ class MemoriesEngine:
     def import_smart(
         self, records: list[dict], now: str, embed_fn=None,
         dup_threshold: float = 0.95, novel_threshold: float = 0.80,
+        provider=None,
     ) -> dict:
         """S5 smart import (reference _import_smart,
         memory_engine.py:2564-2637): per record, top-1 similarity vs
         the corpus decides — >=0.95 skip as duplicate, <0.80 add as
         novel, in between the newer ``created_at`` wins (replace the
         old row). One batched top-k join for the whole import set.
+
+        ``provider`` (the extraction LLM boundary) upgrades this to
+        the ``smart+extract`` strategy (reference CHANGELOG.md:365:
+        'smart+extract — LLM for borderline conflicts'): BORDERLINE
+        records are resolved by the provider's AUDN decision instead
+        of the timestamp — UPDATE replaces the old row, NOOP skips,
+        ADD keeps both — and every record's outcome is recorded in
+        the summary's ``outcomes`` list.
         """
         from memories_spark.operators.similarity import topk_cosine
 
@@ -1534,6 +1579,7 @@ class MemoriesEngine:
             }
 
         to_add, to_delete = [], []
+        outcomes: list[dict] = []
         for i, rec in enumerate(records):
             rec = dict(rec)
             rec.setdefault("embedding", embeds[i])
@@ -1541,8 +1587,34 @@ class MemoriesEngine:
             if match is None or match[1] < novel_threshold:
                 to_add.append(rec)
                 summary["added"] += 1
+                outcomes.append({"record": i, "outcome": "added"})
             elif match[1] >= dup_threshold:
                 summary["skipped"] += 1
+                outcomes.append(
+                    {"record": i, "outcome": "skipped_duplicate", "match_id": match[0]}
+                )
+            elif provider is not None:
+                # smart+extract: the provider's AUDN call resolves the
+                # borderline conflict (reference CHANGELOG.md:365)
+                dec = provider.decide(
+                    {"text": rec["text"], "category": rec.get("category") or "detail",
+                     "directive": "FACT"},
+                    [{"id": match[0], "sim": match[1]}],
+                )
+                action = dec.get("action", "NOOP")
+                if action in ("UPDATE", "DELETE"):
+                    to_delete.append(match[0])
+                    to_add.append(rec)
+                    summary["replaced"] += 1
+                elif action == "ADD" or action == "CONFLICT":
+                    to_add.append(rec)
+                    summary["added"] += 1
+                else:  # NOOP
+                    summary["skipped"] += 1
+                outcomes.append(
+                    {"record": i, "outcome": f"llm_{action.lower()}",
+                     "match_id": match[0], "sim": match[1]}
+                )
             else:
                 # borderline: newer created_at wins
                 incoming_at = rec.get("created_at", now)
@@ -1550,12 +1622,19 @@ class MemoriesEngine:
                     to_delete.append(match[0])
                     to_add.append(rec)
                     summary["replaced"] += 1
+                    outcomes.append(
+                        {"record": i, "outcome": "replaced_newer", "match_id": match[0]}
+                    )
                 else:
                     summary["skipped"] += 1
+                    outcomes.append(
+                        {"record": i, "outcome": "skipped_older", "match_id": match[0]}
+                    )
         if to_delete:
             self.delete(to_delete)
         if to_add:
             self.add(to_add, now)
+        summary["outcomes"] = outcomes
         return summary
 
     #: Import reads every exported field back (MEMORY_SCHEMA minus the
@@ -1571,6 +1650,7 @@ class MemoriesEngine:
         source_remap: dict | None = None,
         strategy: str = "add",
         create_backup: bool = True,
+        provider=None,
     ) -> dict:
         """NDJSON import (reference import_memories,
         memory_engine.py:2447-2543): header-validated, source-prefix
@@ -1583,7 +1663,11 @@ class MemoriesEngine:
         from the reserved counter range + ``zipWithIndex``, and rows
         append straight into their partitions. ``smart`` delegates to
         :meth:`import_smart` (per-record novelty decisions; the
-        decision list is import-sized, never corpus-sized).
+        decision list is import-sized, never corpus-sized);
+        ``smart+extract`` additionally routes BORDERLINE records
+        through ``provider``'s AUDN decision (reference
+        CHANGELOG.md:365) and returns per-record ``extraction``
+        outcomes.
 
         Returns the reference's summary dict: ``imported``,
         ``skipped``, ``updated``, ``errors``, ``backup``.
@@ -1644,10 +1728,15 @@ class MemoriesEngine:
                 for k in ("created_at", "updated_at", "document_at"):
                     if r.get(k) is not None:
                         r[k] = str(r[k])
-            s = self.import_smart(records, now)
+            s = self.import_smart(
+                records, now,
+                provider=provider if strategy == "smart+extract" else None,
+            )
             result["imported"] = s["added"]
             result["skipped"] = s["skipped"]
             result["updated"] = s["replaced"]
+            if strategy == "smart+extract":
+                result["extraction"] = s["outcomes"]
             return result
         if strategy != "add":
             result["errors"].append({"line": 0, "error": f"Unknown strategy: {strategy}"})

@@ -46,6 +46,13 @@ _INDEX_CACHE = os.path.join(
 )
 
 
+#: Bump on ANY change to the index build logic/layout: the cache key
+#: folds it in, so stale on-disk indexes from older code re-build
+#: instead of silently serving (r3 advice: a constants change would
+#: otherwise surface as baffling oracle-parity failures).
+INDEX_FORMAT_VERSION = 1
+
+
 def _corpus_key(sf_dir: str) -> str:
     p = os.path.join(sf_dir, "embeddings.parquet")
     try:
@@ -53,6 +60,9 @@ def _corpus_key(sf_dir: str) -> str:
         raw = f"{os.path.abspath(p)}:{st.st_size}:{int(st.st_mtime)}"
     except OSError:
         raw = os.path.abspath(p)
+    # algorithm/params identity: same corpus + different build
+    # constants must MISS the cache
+    raw += f"|v{INDEX_FORMAT_VERSION}|dim{_DIM}|np{_NPROBE}|c{_CENT_LIST}"
     return hashlib.md5(raw.encode()).hexdigest()[:16]
 
 

@@ -114,7 +114,10 @@ def test_import_smart_bands(engine):
          "embedding": mock_embed("completely unrelated zebra fact")},
     ]
     s = engine.import_smart(recs, LATER)
-    assert s == {"added": 1, "skipped": 1, "replaced": 0}
+    assert {k: s[k] for k in ("added", "skipped", "replaced")} == {
+        "added": 1, "skipped": 1, "replaced": 0
+    }
+    assert [o["outcome"] for o in s["outcomes"]] == ["skipped_duplicate", "added"]
     assert engine.count() == 3
 
 
@@ -135,7 +138,10 @@ def test_import_smart_borderline_older_skipped(engine):
            "embedding": mock_embed("the api uses port 7443 now"),
            "created_at": "2020-01-01 00:00:00"}
     s = engine.import_smart([rec], LATER)
-    assert s == {"added": 0, "skipped": 1, "replaced": 0}
+    assert {k: s[k] for k in ("added", "skipped", "replaced")} == {
+        "added": 0, "skipped": 1, "replaced": 0
+    }
+    assert s["outcomes"][0]["outcome"] == "skipped_older"
     texts = {r.text for r in engine.table("memories").collect()}
     assert "the api uses port 7443" in texts
 

@@ -501,3 +501,51 @@ def test_policy_rearchive_overlays_evidence(spark, tmp_path, strict_map_policy):
     row = eng.get([0]).collect()[0]
     assert row.metadata["policy_archived_at"] == LATER
     assert row.metadata["policy_archived_reason"] == "ttl_expired"
+
+
+def test_import_smart_extract_llm_resolves_borderline(spark, tmp_path):
+    """strategy='smart+extract' (reference CHANGELOG.md:365: 'LLM for
+    borderline conflicts'): borderline records go through the
+    provider's AUDN decision instead of timestamp resolution, and
+    per-record extraction outcomes land in the result."""
+    from memories_spark.extraction import MockProvider, mock_embed
+
+    src = MemoriesEngine(spark, str(tmp_path / "imp_src"))
+    src.add(
+        [
+            # borderline vs dst row 0 (same bag +1 token: sim in [0.8, 0.95))
+            {"text": "the api uses port 7443 now", "source": "team/net",
+             # OLDER than the dst row: plain smart would SKIP it
+             "created_at": "2024-01-01 00:00:00"},
+            {"text": "completely novel deployment cadence fact", "source": "team/ops"},
+        ],
+        NOW,
+    )
+    out = str(tmp_path / "imp_exp")
+    src.export_ndjson(out)
+
+    def seeded_dst(name):
+        dst = MemoriesEngine(spark, str(tmp_path / name))
+        dst.add([{"text": "the api uses port 7443", "source": "team/net",
+                  "embedding": mock_embed("the api uses port 7443")}], LATER)
+        return dst
+
+    # plain smart: borderline + older timestamp -> skipped
+    smart = seeded_dst("dst_smart").import_ndjson(
+        out, LATER, strategy="smart", create_backup=False
+    )
+    assert smart["updated"] == 0 and smart["imported"] == 1
+
+    # smart+extract: the provider's UPDATE band decision wins over the
+    # timestamp — the old row is replaced
+    dst = seeded_dst("dst_llm")
+    result = dst.import_ndjson(
+        out, LATER, strategy="smart+extract", create_backup=False,
+        provider=MockProvider(),
+    )
+    assert result["updated"] == 1 and result["imported"] == 1
+    outcomes = {o["record"]: o["outcome"] for o in result["extraction"]}
+    assert sorted(outcomes.values()) == ["added", "llm_update"]
+    texts = {r.text for r in dst.table("memories").collect()}
+    assert "the api uses port 7443 now" in texts
+    assert "the api uses port 7443" not in texts  # replaced

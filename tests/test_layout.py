@@ -211,3 +211,65 @@ def test_links_are_append_only(spark, tmp_path):
     assert sum(1 for f in os.listdir(log_dir) if f.endswith(".parquet")) == 1
     live = {(r.from_id, r.to_id) for r in eng.table("links").collect()}
     assert live == {(0, 1), (1, 2)}
+
+
+def test_legacy_links_dir_migrates_into_log(spark, tmp_path):
+    """A store written by the pre-log links layout (a resolved
+    ``links/`` table, no seq/tombstones) must keep its edges on
+    upgrade: first access folds the legacy table into links_log as
+    seq=0 live rows and retires the old directory (r3 advice: the
+    rename silently dropped all existing edges)."""
+    from datetime import datetime
+
+    from memories_spark.engine import LINK_SCHEMA, MemoriesEngine
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(
+        [{"text": f"t{i}", "source": "a/x"} for i in range(3)],
+        "2024-06-01 12:00:00",
+    )
+    # hand-write the legacy-format links table
+    ts = datetime.fromisoformat("2024-06-01 12:00:00")
+    legacy = spark.createDataFrame(
+        [(0, 1, "related_to", ts), (1, 2, "supersedes", ts)], LINK_SCHEMA
+    )
+    legacy.coalesce(1).write.parquet(str(tmp_path / "store" / "links"))
+
+    edges = {(r.from_id, r.to_id, r.type) for r in eng.table("links").collect()}
+    assert edges == {(0, 1, "related_to"), (1, 2, "supersedes")}
+    import os
+
+    entries = os.listdir(str(tmp_path / "store"))
+    assert "links" not in entries and "links_log" in entries
+    # mutations keep working on the migrated log
+    assert eng.remove_link(0, 1, "related_to") is True
+    assert eng.add_link(2, 0, "caused_by", "2024-06-02 12:00:00") is True
+    after = {(r.from_id, r.to_id, r.type) for r in eng.table("links").collect()}
+    assert after == {(1, 2, "supersedes"), (2, 0, "caused_by")}
+
+
+def test_restore_of_legacy_snapshot_restores_links(spark, tmp_path):
+    """Restoring a snapshot taken by the pre-log layout must restore
+    its edges (the snapshot carries ``links/``, not ``links_log/``)."""
+    import os
+    import shutil
+    from datetime import datetime
+
+    from memories_spark.engine import LINK_SCHEMA, MemoriesEngine
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add([{"text": "t", "source": "a/x"}, {"text": "u", "source": "a/y"}],
+            "2024-06-01 12:00:00")
+    tag = eng.snapshot("2024-06-01 13:00:00")
+    # retrofit the snapshot into legacy shape: links/ instead of links_log/
+    snap = os.path.join(str(tmp_path / "store"), "_snapshots", tag)
+    ts = datetime.fromisoformat("2024-06-01 12:00:00")
+    spark.createDataFrame([(0, 1, "related_to", ts)], LINK_SCHEMA).coalesce(
+        1
+    ).write.parquet(os.path.join(snap, "links"))
+    shutil.rmtree(os.path.join(snap, "links_log"), ignore_errors=True)
+
+    eng.add_link(1, 0, "blocked_by", "2024-06-02 12:00:00")  # post-snapshot edge
+    eng.restore_snapshot(tag)
+    edges = {(r.from_id, r.to_id, r.type) for r in eng.table("links").collect()}
+    assert edges == {(0, 1, "related_to")}  # snapshot edge only
