@@ -30,6 +30,36 @@ from memories_spark.session import get_spark
 _CANARY_QUERY = "q1_pricing_summary"
 _CANARY_ANCHOR_SEC = {0.1: 2.22}
 
+# Per-query idle anchors (round-3 verdict item 9): multi-job plans
+# (the hybrid stack especially) fluctuate +/-40% run to run, which
+# can hide a real regression as noise or report noise as regression.
+# bench_anchors.json records each query's idle-machine time per sf;
+# every run emits its per-query ratio vs the anchor and flags >1.5x
+# drift in the JSON, so the drift signal is per query, not global.
+# Regenerate on an idle machine with: python bench.py --record-anchors
+_ANCHORS_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_anchors.json")
+_DRIFT_WARN = 1.5
+
+
+def _load_anchors(sf: float) -> dict[str, float]:
+    try:
+        with open(_ANCHORS_FILE) as f:
+            return {k: float(v) for k, v in json.load(f).get(str(sf), {}).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def _record_anchors(sf: float, timings: dict[str, float]) -> None:
+    try:
+        with open(_ANCHORS_FILE) as f:
+            all_anchors = json.load(f)
+    except (OSError, ValueError):
+        all_anchors = {}
+    all_anchors[str(sf)] = {k: v for k, v in timings.items() if v >= 0}
+    with open(_ANCHORS_FILE, "w") as f:
+        json.dump(all_anchors, f, indent=1, sort_keys=True)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,6 +111,22 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    anchors = _load_anchors(sf)
+    ratios = {
+        n: round(t / anchors[n], 3)
+        for n, t in timings.items()
+        if t >= 0 and anchors.get(n)
+    }
+    drifted = sorted(n for n, r in ratios.items() if r > _DRIFT_WARN)
+    if drifted:
+        print(
+            f"bench drift: {len(drifted)} queries above {_DRIFT_WARN}x their "
+            f"idle anchor: {', '.join(drifted)}",
+            file=sys.stderr,
+        )
+    if "--record-anchors" in sys.argv:
+        _record_anchors(sf, timings)
+        print(f"anchors recorded to {_ANCHORS_FILE}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -90,6 +136,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "canary_ratio": canary_ratio,
+                "anchor_ratios": ratios,
+                "drift_warnings": drifted,
             }
         )
     )
