@@ -125,8 +125,15 @@ def main() -> None:
             file=sys.stderr,
         )
     if "--record-anchors" in sys.argv:
-        _record_anchors(sf, timings)
-        print(f"anchors recorded to {_ANCHORS_FILE}", file=sys.stderr)
+        if canary_ratio is not None and canary_ratio > 1.2:
+            print(
+                f"anchors NOT recorded: machine loaded (canary {canary_ratio}x) — "
+                "anchors must come from an idle run",
+                file=sys.stderr,
+            )
+        else:
+            _record_anchors(sf, timings)
+            print(f"anchors recorded to {_ANCHORS_FILE}", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -1547,11 +1547,11 @@ class MemoriesEngine:
         embed_fn = embed_fn or (lambda t: None)
         summary = {"added": 0, "skipped": 0, "replaced": 0}
         mem = self.table("memories").filter(F.col("embedding").isNotNull())
-        corpus_n = mem.count()
         embeds = [r.get("embedding") or embed_fn(r["text"]) for r in records]
 
         best: dict[int, tuple[int, float, str]] = {}
-        if corpus_n and any(e is not None for e in embeds):
+        # emptiness probe via first(), not a full corpus count
+        if any(e is not None for e in embeds) and mem.select("id").first() is not None:
             queries = self.spark.createDataFrame(
                 [
                     (i, [float(x) for x in e])
@@ -1651,6 +1651,7 @@ class MemoriesEngine:
         strategy: str = "add",
         create_backup: bool = True,
         provider=None,
+        embed_fn=None,
     ) -> dict:
         """NDJSON import (reference import_memories,
         memory_engine.py:2447-2543): header-validated, source-prefix
@@ -1728,8 +1729,11 @@ class MemoriesEngine:
                 for k in ("created_at", "updated_at", "document_at"):
                     if r.get(k) is not None:
                         r[k] = str(r[k])
+            # exports strip embeddings, so smart-import novelty needs
+            # the caller's embedder to score incoming texts against
+            # the corpus (the reference re-embeds on every add)
             s = self.import_smart(
-                records, now,
+                records, now, embed_fn=embed_fn,
                 provider=provider if strategy == "smart+extract" else None,
             )
             result["imported"] = s["added"]

@@ -72,10 +72,56 @@ class Scenario:
     expected: list[Rubric] = field(default_factory=list)
 
 
+def _parse_scenario_yaml(text: str) -> dict:
+    """Minimal parser for the restricted YAML subset the scenario
+    files use (scalar keys, one level of list-of-dicts, double-quoted
+    or plain scalars, full-line comments) — the fallback when PyYAML
+    isn't importable, so a missing optional dep can never take the
+    query registry down with it."""
+    def scalar(v: str):
+        v = v.strip()
+        if v.startswith('"') and v.endswith('"') and len(v) >= 2:
+            return v[1:-1]
+        try:
+            return float(v) if "." in v else int(v)
+        except ValueError:
+            return v
+
+    raw: dict = {}
+    cur_list = None       # the list under the open block key
+    cur_item = None       # the dict item being filled
+    for line in text.splitlines():
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        indent = len(line) - len(line.lstrip())
+        stripped = line.strip()
+        if indent == 0:
+            cur_list = cur_item = None
+            key, _, val = stripped.partition(":")
+            if val.strip():
+                raw[key.strip()] = scalar(val)
+            else:
+                cur_list = raw.setdefault(key.strip(), [])
+        elif stripped.startswith("- ") and cur_list is not None:
+            key, _, val = stripped[2:].partition(":")
+            cur_item = {key.strip(): scalar(val)}
+            cur_list.append(cur_item)
+        elif cur_item is not None:
+            key, _, val = stripped.partition(":")
+            cur_item[key.strip()] = scalar(val)
+    return raw
+
+
 def load_scenarios(root: str = SCENARIO_DIR) -> list[Scenario]:
     """All scenario YAMLs under ``root``, id-ordered (reference
     eval/loader.py reads eval/scenarios/<category>/*.yaml)."""
-    import yaml
+    try:
+        import yaml
+
+        def _load(text: str) -> dict:
+            return yaml.safe_load(text)
+    except ImportError:  # optional dep: fall back to the subset parser
+        _load = _parse_scenario_yaml
 
     out: list[Scenario] = []
     for dirpath, _, names in os.walk(root):
@@ -83,7 +129,7 @@ def load_scenarios(root: str = SCENARIO_DIR) -> list[Scenario]:
             if not n.endswith((".yaml", ".yml")):
                 continue
             with open(os.path.join(dirpath, n)) as f:
-                raw = yaml.safe_load(f)
+                raw = _load(f.read())
             out.append(
                 Scenario(
                     id=raw["id"],

@@ -156,7 +156,9 @@ def _similar_topk(engine: MemoriesEngine, facts: list[dict], k: int = 5) -> dict
     mem = engine.table("memories").filter(
         ~F.coalesce(F.col("archived"), F.lit(False)) & F.col("embedding").isNotNull()
     )
-    if mem.count() == 0 or not facts:
+    # emptiness probe via first() (stops at the first row), not a full
+    # count — this runs on every extraction call
+    if not facts or mem.select("id").first() is None:
         return {i: [] for i in range(len(facts))}
     queries = engine.spark.createDataFrame(
         [(i, mock_embed(f["text"])) for i, f in enumerate(facts)],

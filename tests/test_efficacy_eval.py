@@ -109,3 +109,23 @@ def test_with_memory_beats_without_per_scenario(spark, tmp_path):
     # per-category deltas all positive
     for cat, agg in report["categories"].items():
         assert agg["avg_with"] > agg["avg_without"], cat
+
+
+def test_fallback_parser_matches_pyyaml():
+    """The subset parser (used when PyYAML is absent) must agree with
+    PyYAML on every shipped scenario file — a divergence would change
+    the registered oracle literals."""
+    import os
+
+    yaml = pytest.importorskip("yaml")
+    from memories_spark.evals import SCENARIO_DIR, _parse_scenario_yaml
+
+    n = 0
+    for dirpath, _, names in os.walk(SCENARIO_DIR):
+        for name in sorted(names):
+            if not name.endswith(".yaml"):
+                continue
+            text = open(os.path.join(dirpath, name)).read()
+            assert yaml.safe_load(text) == _parse_scenario_yaml(text), name
+            n += 1
+    assert n == 11

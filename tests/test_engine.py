@@ -530,9 +530,10 @@ def test_import_smart_extract_llm_resolves_borderline(spark, tmp_path):
                   "embedding": mock_embed("the api uses port 7443")}], LATER)
         return dst
 
-    # plain smart: borderline + older timestamp -> skipped
+    # plain smart: borderline + older timestamp -> skipped (exports
+    # strip embeddings, so the embedder must score incoming texts)
     smart = seeded_dst("dst_smart").import_ndjson(
-        out, LATER, strategy="smart", create_backup=False
+        out, LATER, strategy="smart", create_backup=False, embed_fn=mock_embed
     )
     assert smart["updated"] == 0 and smart["imported"] == 1
 
@@ -541,7 +542,7 @@ def test_import_smart_extract_llm_resolves_borderline(spark, tmp_path):
     dst = seeded_dst("dst_llm")
     result = dst.import_ndjson(
         out, LATER, strategy="smart+extract", create_backup=False,
-        provider=MockProvider(),
+        provider=MockProvider(), embed_fn=mock_embed,
     )
     assert result["updated"] == 1 and result["imported"] == 1
     outcomes = {o["record"]: o["outcome"] for o in result["extraction"]}
