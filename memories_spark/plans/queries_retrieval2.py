@@ -65,20 +65,23 @@ def _bm_ranked(docs: DataFrame, limit: int = 30) -> DataFrame:
     return rrf_op.rank_signal(bm, "id", "score", limit=limit)
 
 
-def _anchors(events: DataFrame) -> DataFrame:
-    """Per-entity activity anchors: last/first event ts (user_id=doc_id)."""
-    return events.groupBy(F.col("user_id").alias("id")).agg(
-        F.max("ts").alias("last_ts"), F.min("ts").alias("first_ts")
-    )
-
-
-def _feedback_net(events: DataFrame) -> DataFrame:
+def _entity_stats(events: DataFrame) -> DataFrame:
+    """Per-entity activity anchors AND feedback net in ONE events
+    scan + ONE shuffle (user_id=doc_id): last/first ts feed the two
+    time-decay signals, net feeds feedback. Previously two separate
+    full-table groupBys — at 100 TB the events table is the big one
+    in this query, so halving its scans halves the query's dominant
+    cost."""
     net = F.sum(
         F.when(F.col("event_type") == "click", 1)
         .when(F.col("event_type") == "error", -1)
         .otherwise(0)
     )
-    return events.groupBy(F.col("user_id").alias("id")).agg(net.cast("long").alias("net"))
+    return events.groupBy(F.col("user_id").alias("id")).agg(
+        F.max("ts").alias("last_ts"),
+        F.min("ts").alias("first_ts"),
+        net.cast("long").alias("net"),
+    )
 
 
 def _five_signals(spark: SparkSession, sf_dir: str) -> dict[str, tuple[DataFrame, float]]:
@@ -92,14 +95,12 @@ def _five_signals(spark: SparkSession, sf_dir: str) -> dict[str, tuple[DataFrame
     cand = vec.select("id").union(bm.select("id")).distinct().cache()
     now = F.lit(_NOW).cast("timestamp")
 
-    # anchors = a full events scan + groupBy; ca feeds BOTH time
-    # signals, so cache it alongside the ranked lists
-    ca = cand.join(_anchors(t["events"]), "id", "left").cache()
+    # ONE events scan + groupBy serves all three aux signals
+    # (anchors + feedback net fused); ca is reused, so cache it
+    ca = cand.join(_entity_stats(t["events"]), "id", "left").cache()
     rec_scored = ca.select("id", half_life_decay(F.col("last_ts"), now, _RECENCY_HL).alias("s"))
     conf_scored = ca.select("id", half_life_decay(F.col("first_ts"), now, _CONFIDENCE_HL).alias("s"))
-    fb_scored = (
-        cand.join(_feedback_net(t["events"]), "id").filter(F.col("net") > 0).select("id", "net")
-    )
+    fb_scored = ca.filter(F.col("net") > 0).select("id", "net")
     return {
         "vector": (vec, V_EFF),
         "bm25": (bm, B_EFF),
@@ -941,7 +942,17 @@ LIMIT 50
 )
 def feedback_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    fb = _feedback_net(t["events"]).filter(F.col("net") > 0)
+    net = F.sum(
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", -1)
+        .otherwise(0)
+    )
+    fb = (
+        t["events"]
+        .groupBy(F.col("user_id").alias("id"))
+        .agg(net.cast("long").alias("net"))
+        .filter(F.col("net") > 0)
+    )
     return (
         t["documents"]
         .join(fb, F.col("doc_id") == F.col("id"))
