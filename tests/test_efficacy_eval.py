@@ -71,9 +71,12 @@ def test_unknown_rubric_type_raises():
 
 def test_scenarios_load_with_reference_shape():
     scenarios = load_scenarios()
-    assert len(scenarios) == 11  # the reference's 11-scenario core set
+    # the reference's 11-scenario Voltis core + its 6 benchmark
+    # scenarios (arch decision, debug pattern, preference,
+    # contradiction, noisy extraction, growing store)
+    assert len(scenarios) == 17
     cats = {s.category for s in scenarios}
-    assert cats == {"recall", "coding", "compounding"}
+    assert cats == {"recall", "coding", "compounding", "benchmark"}
     for s in scenarios:
         assert s.memories and s.expected and s.prompt
         # every scenario carries at least one deterministic rubric
@@ -101,8 +104,8 @@ def test_with_memory_beats_without_per_scenario(spark, tmp_path):
     for r in results:
         assert r["score_with"] > r["score_without"], r
     report = aggregate(results)
-    assert report["scenarios"] == 11
-    assert set(report["categories"]) == {"recall", "coding", "compounding"}
+    assert report["scenarios"] == 17
+    assert set(report["categories"]) == {"recall", "coding", "compounding", "benchmark"}
     assert report["avg_without"] <= 0.2
     assert report["avg_with"] >= 0.8
     assert report["delta"] >= 0.7
@@ -128,4 +131,4 @@ def test_fallback_parser_matches_pyyaml():
             text = open(os.path.join(dirpath, name)).read()
             assert yaml.safe_load(text) == _parse_scenario_yaml(text), name
             n += 1
-    assert n == 11
+    assert n == 17
