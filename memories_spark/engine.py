@@ -1098,6 +1098,10 @@ class MemoriesEngine:
         memory_engine.py:427-523). On Delta this is table versioning
         for free; over plain parquet it is a directory copy — a pure
         metadata/IO operation, no Spark job."""
+        # fold any pre-log-format links/ table into links_log FIRST:
+        # _SCHEMAS-driven copying below would otherwise skip it and a
+        # later restore of this snapshot would lose every edge
+        self._migrate_legacy_links()
         tag = "".join(c for c in now if c.isdigit())
         snap_root = os.path.join(self.path, "_snapshots")
         dest = os.path.join(snap_root, tag)
@@ -1384,22 +1388,18 @@ class MemoriesEngine:
         pure directory stats (names, sizes, mtimes), no Spark job.
         The vector index pins these at build time; a refresh diffs
         them to find the folders that actually changed."""
+        import hashlib as _hashlib
+
+        from memories_spark.operators.ann_index import file_identity
+
         root = self._dir("memories")
         sigs: dict[str, str] = {}
         if not os.path.isdir(root):
             return sigs
-        import hashlib as _hashlib
-
         for e in os.listdir(root):
             if not e.startswith(f"{FOLDER_COL}="):
                 continue
-            d = os.path.join(root, e)
-            items = sorted(
-                (f, os.path.getsize(os.path.join(d, f)),
-                 int(os.path.getmtime(os.path.join(d, f)) * 1000))
-                for f in os.listdir(d)
-                if f.endswith(".parquet")
-            )
+            items = file_identity(os.path.join(root, e))
             sigs[unquote(e[len(FOLDER_COL) + 1:])] = _hashlib.md5(
                 repr(items).encode()
             ).hexdigest()[:16]
@@ -1595,18 +1595,25 @@ class MemoriesEngine:
                 )
             elif provider is not None:
                 # smart+extract: the provider's AUDN call resolves the
-                # borderline conflict (reference CHANGELOG.md:365)
+                # borderline conflict (reference CHANGELOG.md:365);
+                # the import's own thresholds ARE the AUDN bands
                 dec = provider.decide(
                     {"text": rec["text"], "category": rec.get("category") or "detail",
                      "directive": "FACT"},
                     [{"id": match[0], "sim": match[1]}],
+                    bands=(dup_threshold, novel_threshold),
                 )
                 action = dec.get("action", "NOOP")
-                if action in ("UPDATE", "DELETE"):
+                if action == "UPDATE":
                     to_delete.append(match[0])
                     to_add.append(rec)
                     summary["replaced"] += 1
-                elif action == "ADD" or action == "CONFLICT":
+                elif action == "DELETE":
+                    # AUDN DELETE: remove the target, store NOTHING —
+                    # the incoming record is a retraction, not a fact
+                    to_delete.append(match[0])
+                    summary["deleted"] = summary.get("deleted", 0) + 1
+                elif action in ("ADD", "CONFLICT"):
                     to_add.append(rec)
                     summary["added"] += 1
                 else:  # NOOP

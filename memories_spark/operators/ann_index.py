@@ -214,8 +214,18 @@ def refresh_ivf(
         return {"empty": True, "version": int(version)}
 
     final = os.path.join(index_dir, "assign")
+    # pre-(part,cell) layout (assignment partitioned by cell only,
+    # meta without folder signatures): the per-folder swap below would
+    # mix cell= and part= dirs into one directory, which Spark's
+    # partition discovery rejects ('Conflicting directory structures').
+    # An old meta pins no sigs, so the engine marks EVERY folder
+    # changed — emb_changed already covers the full live set — and the
+    # upgrade is a wholesale swap of the assignment.
+    legacy_layout = any(
+        e.startswith("cell=") for e in os.listdir(final)
+    ) if os.path.isdir(final) else False
     touched = sorted(set(changed) | set(removed))
-    if touched:
+    if touched or legacy_layout:
         tmp = os.path.join(index_dir, f"assign.tmp-{uuid.uuid4().hex[:8]}")
         written: set[str] = set()
         if changed and emb_changed is not None:
@@ -227,6 +237,9 @@ def refresh_ivf(
             written = {
                 e for e in os.listdir(tmp) if e.startswith("part=")
             }
+        if legacy_layout:
+            shutil.rmtree(final)
+            os.makedirs(final, exist_ok=True)
         # per-folder swap: drop stale partitions, move fresh ones in —
         # every untouched folder's files are untouched bytes
         for e in list(os.listdir(final)):
@@ -255,16 +268,13 @@ def read_meta(index_dir: str) -> dict | None:
         return None
 
 
-#: probe-time centroid memo: index_dir -> (centroid-files identity,
-#: {cid: {d: c}}). The identity is the centroid part-files' (name,
-#: size, mtime) listing — pure os.stat, no Spark job — so a rebuild
-#: (which rewrites the files) invalidates the memo and a refresh
-#: (which never touches centroids) keeps it warm.
-_CENTROID_MEMO: dict[str, tuple[tuple, dict[int, dict[int, float]]]] = {}
-
-
-def _centroid_identity(index_dir: str) -> tuple:
-    d = os.path.join(index_dir, "centroids")
+def file_identity(d: str) -> tuple:
+    """The directory's parquet-file identity: sorted (name, size,
+    mtime-ms) — pure os.stat, no Spark job. Part-file names carry
+    write UUIDs, so ANY rewrite changes the identity. This is the ONE
+    staleness primitive shared by the probe memo here and the
+    engine's per-folder signatures (engine._folder_signatures) — keep
+    them on the same definition or invalidation silently weakens."""
     return tuple(
         sorted(
             (f, os.path.getsize(os.path.join(d, f)),
@@ -275,14 +285,30 @@ def _centroid_identity(index_dir: str) -> tuple:
     )
 
 
+#: probe-time centroid memo: index_dir -> (centroid-files identity,
+#: {cid: {d: c}}): a rebuild (which rewrites the files) invalidates
+#: the memo and a refresh (which never touches centroids) keeps it
+#: warm. Bounded: dead stores' entries are pruned on insert, and the
+#: memo hard-resets past _MEMO_CAP live stores (each entry is a few
+#: KB; a long-lived driver serving many stores must not grow it
+#: forever).
+_CENTROID_MEMO: dict[str, tuple[tuple, dict[int, dict[int, float]]]] = {}
+_MEMO_CAP = 64
+
+
 def _centroids(spark: SparkSession, index_dir: str) -> dict[int, dict[int, float]]:
-    ident = _centroid_identity(index_dir)
+    ident = file_identity(os.path.join(index_dir, "centroids"))
     memo = _CENTROID_MEMO.get(index_dir)
     if memo is not None and memo[0] == ident:
         return memo[1]
     cents: dict[int, dict[int, float]] = {}
     for r in spark.read.parquet(os.path.join(index_dir, "centroids")).collect():
         cents.setdefault(int(r.cid), {})[int(r.sd)] = float(r.c)
+    if index_dir not in _CENTROID_MEMO:
+        for stale in [k for k in _CENTROID_MEMO if not os.path.isdir(k)]:
+            del _CENTROID_MEMO[stale]
+        if len(_CENTROID_MEMO) >= _MEMO_CAP:
+            _CENTROID_MEMO.clear()
     _CENTROID_MEMO[index_dir] = (ident, cents)
     return cents
 

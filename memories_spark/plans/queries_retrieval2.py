@@ -65,6 +65,17 @@ def _bm_ranked(docs: DataFrame, limit: int = 30) -> DataFrame:
     return rrf_op.rank_signal(bm, "id", "score", limit=limit)
 
 
+def _net_expr() -> F.Column:
+    """Feedback net: click +1, error −1 (reference R6 semantics over
+    the events twin). ONE definition — _entity_stats and the
+    standalone feedback_score_join must never drift apart."""
+    return F.sum(
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", -1)
+        .otherwise(0)
+    ).cast("long")
+
+
 def _entity_stats(events: DataFrame) -> DataFrame:
     """Per-entity activity anchors AND feedback net in ONE events
     scan + ONE shuffle (user_id=doc_id): last/first ts feed the two
@@ -72,15 +83,10 @@ def _entity_stats(events: DataFrame) -> DataFrame:
     full-table groupBys — at 100 TB the events table is the big one
     in this query, so halving its scans halves the query's dominant
     cost."""
-    net = F.sum(
-        F.when(F.col("event_type") == "click", 1)
-        .when(F.col("event_type") == "error", -1)
-        .otherwise(0)
-    )
     return events.groupBy(F.col("user_id").alias("id")).agg(
         F.max("ts").alias("last_ts"),
         F.min("ts").alias("first_ts"),
-        net.cast("long").alias("net"),
+        _net_expr().alias("net"),
     )
 
 
@@ -942,15 +948,10 @@ LIMIT 50
 )
 def feedback_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    net = F.sum(
-        F.when(F.col("event_type") == "click", 1)
-        .when(F.col("event_type") == "error", -1)
-        .otherwise(0)
-    )
     fb = (
         t["events"]
         .groupBy(F.col("user_id").alias("id"))
-        .agg(net.cast("long").alias("net"))
+        .agg(_net_expr().alias("net"))
         .filter(F.col("net") > 0)
     )
     return (

@@ -310,3 +310,46 @@ def test_refresh_to_empty_store_falls_back_to_exact(spark, tmp_path):
     rows = hybrid_search(eng, "cache note", k=5, auto_intent=False,
                          now=LATER, ann=True).collect()
     assert rows == []
+
+
+def test_refresh_upgrades_legacy_cell_only_layout(spark, tmp_path):
+    """An index written by the pre-(part,cell) layout (assignment
+    partitioned by cell only, meta without folder signatures) must
+    upgrade cleanly on refresh: the per-folder swap would otherwise
+    mix cell= and part= dirs and Spark's partition discovery rejects
+    the directory outright."""
+    import json
+    import shutil
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(_corpus(60), NOW)
+    eng.build_vector_index(cells=4, nprobe=2)
+    idx = eng._dir("_ann_index")
+
+    # retrofit the OLD layout: flatten part=corp/cell=N -> cell=N and
+    # strip folder_sigs from the meta
+    assign = os.path.join(idx, "assign")
+    old = os.path.join(idx, "assign.legacyfix")
+    os.rename(assign, old)
+    os.makedirs(assign)
+    for e in os.listdir(os.path.join(old, "part=corp")):
+        if e.startswith("cell="):
+            os.rename(os.path.join(old, "part=corp", e), os.path.join(assign, e))
+    shutil.rmtree(old)
+    meta_path = os.path.join(idx, "meta.json")
+    meta = json.loads(open(meta_path).read())
+    meta.pop("folder_sigs", None)
+    open(meta_path, "w").write(json.dumps(meta))
+
+    eng.add([{"text": "fresh cache fact", "source": "corp/cache",
+              "embedding": mock_embed("fresh cache fact")}], LATER)
+    out = eng.refresh_vector_index()
+    assert out["version"] == eng.table_version()
+    entries = {e for e in os.listdir(assign) if "=" in e}
+    assert entries == {"part=corp"}  # clean new layout, no stragglers
+    n = spark.read.parquet(assign).count()
+    assert n == 61
+    hits = [r.id for r in hybrid_search(eng, "fresh cache fact", k=5,
+                                        auto_intent=False, now=LATER,
+                                        ann=True).collect()]
+    assert len(hits) == 5

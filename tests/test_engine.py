@@ -550,3 +550,78 @@ def test_import_smart_extract_llm_resolves_borderline(spark, tmp_path):
     texts = {r.text for r in dst.table("memories").collect()}
     assert "the api uses port 7443 now" in texts
     assert "the api uses port 7443" not in texts  # replaced
+
+
+def test_snapshot_premigrates_legacy_links(spark, tmp_path):
+    """A snapshot taken on an UNMIGRATED legacy store (links/ table,
+    no link access yet) must still capture the edges — snapshot
+    iterates _SCHEMAS, so it folds the legacy table into links_log
+    first; otherwise a later restore would silently lose every edge."""
+    import os
+    from datetime import datetime
+
+    from memories_spark.engine import LINK_SCHEMA
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add([{"text": "t", "source": "a/x"}, {"text": "u", "source": "a/y"}], NOW)
+    ts = datetime.fromisoformat(NOW)
+    spark.createDataFrame([(0, 1, "related_to", ts)], LINK_SCHEMA).coalesce(
+        1
+    ).write.parquet(os.path.join(str(tmp_path / "store"), "links"))
+
+    tag = eng.snapshot(LATER)  # first store access of any kind
+    assert os.path.isdir(
+        os.path.join(str(tmp_path / "store"), "_snapshots", tag, "links_log")
+    )
+    eng.remove_link(0, 1, "related_to")
+    assert eng.table("links").count() == 0
+    eng.restore_snapshot(tag)
+    edges = {(r.from_id, r.to_id) for r in eng.table("links").collect()}
+    assert edges == {(0, 1)}
+
+
+def test_import_smart_extract_delete_stores_nothing(spark, tmp_path):
+    """AUDN DELETE on a borderline import record is a retraction:
+    the matched row is removed and the incoming text is NOT stored."""
+    from memories_spark.extraction import mock_embed
+
+    class DeleteProvider:
+        def decide(self, fact, similar, bands=None):
+            return {"action": "DELETE", "target_id": similar[0]["id"]}
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add([{"text": "the api uses port 7443", "source": "net",
+              "embedding": mock_embed("the api uses port 7443")}], NOW)
+    s = eng.import_smart(
+        [{"text": "the api uses port 7443 now", "source": "net",
+          "embedding": mock_embed("the api uses port 7443 now")}],
+        LATER, provider=DeleteProvider(),
+    )
+    assert s["deleted"] == 1 and s["added"] == 0 and s["replaced"] == 0
+    assert s["outcomes"][0]["outcome"] == "llm_delete"
+    assert eng.count() == 0  # target gone, retraction not stored
+
+
+def test_import_smart_passes_thresholds_as_bands(spark, tmp_path):
+    """The import's own dup/novel thresholds must reach the provider
+    as the AUDN bands — a provider falling back to its defaults would
+    contradict the caller's explicit thresholds."""
+    from memories_spark.extraction import mock_embed
+
+    seen = []
+
+    class RecordingProvider:
+        def decide(self, fact, similar, bands=None):
+            seen.append(bands)
+            return {"action": "NOOP", "target_id": similar[0]["id"]}
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add([{"text": "the api uses port 7443", "source": "net",
+              "embedding": mock_embed("the api uses port 7443")}], NOW)
+    eng.import_smart(
+        [{"text": "the api uses port 7443 now", "source": "net",
+          "embedding": mock_embed("the api uses port 7443 now")}],
+        LATER, dup_threshold=0.99, novel_threshold=0.5,
+        provider=RecordingProvider(),
+    )
+    assert seen == [(0.99, 0.5)]
