@@ -353,3 +353,41 @@ def test_refresh_upgrades_legacy_cell_only_layout(spark, tmp_path):
                                         auto_intent=False, now=LATER,
                                         ann=True).collect()]
     assert len(hits) == 5
+
+
+def test_refresh_handles_hive_escaped_folder_names(spark, tmp_path):
+    """Folder values that Hive-escape in partition dir names (spaces,
+    %, #) must round-trip through signature diffing and the
+    per-folder assignment swap — a raw/escaped mismatch would either
+    re-assign everything or drop the wrong partition."""
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    weird = ["my docs", "a%b", "c#d", "plain"]
+    recs = []
+    for i in range(80):
+        f = weird[i % len(weird)]
+        text = f"{f} note {i} about subsystem {i % 5}"
+        recs.append({"text": text, "source": f"{f}/x", "embedding": mock_embed(text)})
+    eng.add(recs, NOW)
+    eng.build_vector_index(cells=4, nprobe=2)
+    idx = eng._dir("_ann_index")
+    meta = eng.vector_index_meta()
+    assert set(meta["folder_sigs"]) == set(weird)
+
+    before = _assign_snapshot(idx)
+    [new_id] = eng.add(
+        [{"text": "my docs fresh note about subsystem 1", "source": "my docs/x",
+          "embedding": mock_embed("my docs fresh note about subsystem 1")}],
+        LATER,
+    )
+    eng.refresh_vector_index()
+    after = _assign_snapshot(idx)
+    from urllib.parse import unquote
+
+    changed = {p for p in before if after.get(p) != before[p]}
+    # exactly the mutated folder's partition changed (dir names may or
+    # may not be %-escaped depending on the char; unquote normalizes)
+    assert {unquote(p[len("part="):]) for p in changed} == {"my docs"}
+    assigned = {
+        int(r.id) for r in spark.read.parquet(os.path.join(idx, "assign")).collect()
+    }
+    assert new_id in assigned and len(assigned) == 81
