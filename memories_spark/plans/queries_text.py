@@ -296,3 +296,85 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m") * sxyd - sxd * syd) / (F.col("m") * sxxd - sxd * sxd), 4
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------
+# Dictionary taxonomy tagging (domain labeling for training data)
+# ---------------------------------------------------------------------
+
+#: (term, category, weight) — the tagging dictionary. Weights are
+#: INTEGERS so per-doc scores are exact BIGINT sums. Multi-word terms
+#: would match over word_shingles_expr the same way; the synthetic
+#: corpus vocabulary is unigram, so the dictionary is too.
+_TAXONOMY = [
+    ("join", "joins", 3), ("merge", "joins", 2), ("hash", "joins", 2),
+    ("scan", "scans", 3), ("filter", "scans", 2), ("table", "scans", 1),
+    ("stream", "streaming", 3), ("window", "streaming", 2), ("batch", "streaming", 2),
+    ("agg", "aggregation", 3), ("group", "aggregation", 2), ("sort", "aggregation", 1),
+    ("vector", "vectors", 3), ("dup", "vectors", 2),
+]
+
+_TAXONOMY_VALUES = ", ".join(f"('{t}', '{c}', {w})" for t, c, w in _TAXONOMY)
+
+_TAXONOMY_ORACLE = f"""
+WITH dict(term, category, w) AS (VALUES {_TAXONOMY_VALUES}),
+toks AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+),
+scores AS (
+  SELECT t.doc_id, d.category,
+         CAST(sum(d.w) AS BIGINT) AS score_w,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM toks t JOIN dict d ON t.term = d.term
+  GROUP BY t.doc_id, d.category
+)
+SELECT doc_id, category, score_w, n_hits
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_w DESC, category ASC
+  ) AS rn
+  FROM scores
+) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register(
+    "taxonomy_tag_documents",
+    oracle=_TAXONOMY_ORACLE,
+    doc="Dictionary taxonomy tagging — the domain-labeling step of a "
+    "training-data pipeline (CCNet/Dolma-style: label every document "
+    "with its dominant domain from a curated keyword dictionary, "
+    "then mixtures/filters key on the label). The dictionary is a "
+    "broadcast (term, category, integer-weight) table; tokens join "
+    "it (the flattened unigram form of multi-pattern matching — "
+    "multi-word terms would join word shingles identically), scores "
+    "are exact BIGINT tf-weighted sums partial-aggregated on "
+    "(doc, category), and the per-doc argmax breaks ties by category "
+    "name. One corpus scan, one partial-agg shuffle, dictionary "
+    "never leaves the broadcast — the shape holds at 100 TB for any "
+    "dictionary that fits an executor (real taxonomies are 10^3-10^5 "
+    "terms).",
+    tags=("text", "training"),
+)
+def taxonomy_tag_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from memories_spark.functions.texttools import tokens_expr
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    dict_df = spark.createDataFrame(_TAXONOMY, "term string, category string, w int")
+    toks = docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
+    scores = (
+        toks.join(F.broadcast(dict_df), "term")
+        .groupBy("doc_id", "category")
+        .agg(
+            F.sum("w").cast("long").alias("score_w"),
+            F.count("*").cast("long").alias("n_hits"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_w"), F.asc("category"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "category", "score_w", "n_hits")
+        .orderBy("doc_id")
+    )

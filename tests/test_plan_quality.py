@@ -872,3 +872,14 @@ def test_longmemeval_broadcasts_query_bigrams(spark, sf_dir):
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_taxonomy_tagging_broadcasts_dictionary(spark, sf_dir):
+    """The tagging dictionary must broadcast (never shuffle the token
+    stream onto dictionary keys), the per-(doc,category) sum must
+    partial-aggregate map-side, and the per-doc argmax must compile
+    to a group-limited window, not a full sort."""
+    p = plan(QUERIES["taxonomy_tag_documents"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_sum" in p or "partial" in p.lower(), p
+    assert "WindowGroupLimit" in p, p
