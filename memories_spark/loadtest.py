@@ -1,0 +1,171 @@
+"""Load-test harness: concurrent serving workloads over a
+MemoriesEngine store with latency percentiles.
+
+Twin of the reference's load harness (reference
+benchmarks/load_test.py:1-21 — scenarios ``search`` / ``add`` /
+``mixed`` (70% search, 20% add, 10% delete) / ``burst`` /
+``extract``, reported as per-operation latency percentiles; the
+reference publishes the harness, not numbers). The HTTP layer is
+replaced by direct engine calls: searches execute the full
+hybrid_search plan per request, mutations go through the engine's
+partition-pruned write path, extraction runs the AUDN pipeline on
+the deterministic MockProvider.
+
+Concurrency model: searches run genuinely concurrently (Spark
+schedules jobs from many threads across its executor pool — the FAIR
+pools in fairscheduler.xml exist for exactly this mix); mutations
+serialize on a writer lock, mirroring the reference's single-writer
+global lock (reference memory_engine.py:155-156) — the engine's
+directory-swap writes assume one writer, like the production Delta
+mapping assumes one optimistic-concurrency committer per table.
+
+Determinism: operation order and query choice come from a seeded
+RNG; latencies are machine-dependent (that is the point of a load
+test), so tests gate structure/throughput sanity, not timings.
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+SAMPLE_QUERIES = [
+    "authentication architecture decisions",
+    "database migration strategy notes",
+    "cache invalidation design",
+    "deployment pipeline configuration",
+    "error handling and retry patterns",
+    "observability and logging setup",
+    "schema design for the orders table",
+    "rate limiting approach",
+]
+
+SAMPLE_TEXTS = [
+    "access tokens are short lived with refresh rotation",
+    "reads go to replicas for search heavy workloads",
+    "rate limits are enforced per key at the gateway",
+    "cache entries expire by ttl with event driven invalidation",
+    "deploys are blue green with automatic rollback",
+    "errors are logged as structured json with correlation ids",
+]
+
+_EXTRACT_TRANSCRIPT = "FACT: deploys are canary first at seven percent\nFACT: rollbacks are one command"
+
+MIXED_WEIGHTS = (("search", 70), ("add", 20), ("delete", 10))
+
+
+@dataclass
+class OpResult:
+    op: str
+    latency_ms: float
+    ok: bool
+    error: str = ""
+
+
+def _percentile(sorted_vals: list[float], q: float) -> float:
+    """Nearest-rank percentile (the reference uses the same simple
+    definition for its report)."""
+    if not sorted_vals:
+        return 0.0
+    idx = min(len(sorted_vals) - 1, max(0, int(round(q * (len(sorted_vals) - 1)))))
+    return sorted_vals[idx]
+
+
+def run_load(
+    engine,
+    scenario: str = "mixed",
+    concurrency: int = 4,
+    ops: int = 40,
+    k: int = 5,
+    now: str = "2026-04-01 12:00:00",
+    seed: int = 0,
+) -> dict:
+    """Run ``ops`` operations of ``scenario`` at ``concurrency`` and
+    report per-operation latency percentiles + throughput."""
+    from memories_spark.extraction import MockProvider, mock_embed, run_extraction
+    from memories_spark.search import hybrid_search
+
+    rng = random.Random(seed)
+    write_lock = threading.Lock()
+    added_ids: list[int] = []
+
+    def op_search(i: int) -> None:
+        q = SAMPLE_QUERIES[rng.randrange(len(SAMPLE_QUERIES))]
+        hybrid_search(engine, q, k=k, auto_intent=False, now=now).collect()
+
+    def op_add(i: int) -> None:
+        text = f"{SAMPLE_TEXTS[i % len(SAMPLE_TEXTS)]} load {i}"
+        with write_lock:
+            ids = engine.add(
+                [{"text": text, "source": f"load/{i % 4}",
+                  "embedding": mock_embed(text)}],
+                now,
+            )
+            added_ids.extend(ids)
+
+    def op_delete(i: int) -> None:
+        with write_lock:
+            victim = added_ids.pop() if added_ids else 1_000_000_000 + i
+            engine.delete([victim])
+
+    def op_extract(i: int) -> None:
+        with write_lock:
+            run_extraction(engine, _EXTRACT_TRANSCRIPT, MockProvider(),
+                           f"load/extract{i % 4}", now)
+
+    kinds = {"search": op_search, "add": op_add, "delete": op_delete,
+             "extract": op_extract}
+
+    if scenario in ("search", "burst"):
+        plan = ["search"] * ops
+    elif scenario in ("add", "extract"):
+        plan = [scenario] * ops
+    elif scenario == "mixed":
+        bag = [name for name, w in MIXED_WEIGHTS for _ in range(w)]
+        plan = [bag[rng.randrange(len(bag))] for _ in range(ops)]
+    else:
+        raise ValueError(f"unknown scenario: {scenario}")
+
+    results: list[OpResult] = []
+    res_lock = threading.Lock()
+
+    def run_one(idx_op):
+        idx, op = idx_op
+        t0 = time.perf_counter()
+        try:
+            kinds[op](idx)
+            r = OpResult(op, (time.perf_counter() - t0) * 1000.0, True)
+        except Exception as e:  # keep the run going; errors land in the report
+            r = OpResult(op, (time.perf_counter() - t0) * 1000.0, False,
+                         f"{type(e).__name__}: {e}")
+        with res_lock:
+            results.append(r)
+
+    t_start = time.perf_counter()
+    with ThreadPoolExecutor(concurrency) as ex:
+        list(ex.map(run_one, enumerate(plan)))
+    total_sec = time.perf_counter() - t_start
+
+    per_op: dict[str, dict] = {}
+    for op in sorted({r.op for r in results}):
+        lats = sorted(r.latency_ms for r in results if r.op == op and r.ok)
+        per_op[op] = {
+            "count": sum(1 for r in results if r.op == op),
+            "errors": sum(1 for r in results if r.op == op and not r.ok),
+            "p50_ms": round(_percentile(lats, 0.50), 1),
+            "p95_ms": round(_percentile(lats, 0.95), 1),
+            "p99_ms": round(_percentile(lats, 0.99), 1),
+            "max_ms": round(max(lats), 1) if lats else 0.0,
+        }
+    return {
+        "scenario": scenario,
+        "concurrency": concurrency,
+        "ops": len(results),
+        "total_sec": round(total_sec, 2),
+        "ops_per_sec": round(len(results) / total_sec, 2) if total_sec else 0.0,
+        "operations": per_op,
+        "errors": [r.error for r in results if not r.ok],
+    }
