@@ -53,8 +53,8 @@ _INDEX_CACHE = os.path.join(
 INDEX_FORMAT_VERSION = 1
 
 
-def _corpus_key(sf_dir: str) -> str:
-    p = os.path.join(sf_dir, "embeddings.parquet")
+def _corpus_key(sf_dir: str, table: str = "embeddings.parquet") -> str:
+    p = os.path.join(sf_dir, table)
     try:
         st = os.stat(p)
         raw = f"{os.path.abspath(p)}:{st.st_size}:{int(st.st_mtime)}"
@@ -66,12 +66,16 @@ def _corpus_key(sf_dir: str) -> str:
     return hashlib.md5(raw.encode()).hexdigest()[:16]
 
 
-def _ensure_index(name: str, sf_dir: str, build) -> str:
+def _ensure_index(
+    name: str, sf_dir: str, build, table: str = "embeddings.parquet"
+) -> str:
     """Build-once/read-many: ``build(tmp_dir)`` writes the index under
     a tmp path which is atomically renamed into the cache (safe under
     the threaded test harness — a concurrent loser just removes its
-    tmp)."""
-    dest = os.path.join(_INDEX_CACHE, f"{name}-{_corpus_key(sf_dir)}")
+    tmp). ``table`` is the source file the corpus fingerprint stats
+    (the BM25 index keys on documents, the vector indexes on
+    embeddings)."""
+    dest = os.path.join(_INDEX_CACHE, f"{name}-{_corpus_key(sf_dir, table)}")
     if os.path.isdir(dest):
         return dest
     os.makedirs(_INDEX_CACHE, exist_ok=True)

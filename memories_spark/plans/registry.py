@@ -623,3 +623,61 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vector_rank").cast("long").alias("vector_rank"),
         F.col("bm25_rank").cast("long").alias("bm25_rank"),
     ).orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+
+
+@register(
+    "bm25_topk_indexed",
+    oracle=bm25_op.bm25_sql("documents", "doc_id", "text", _BM25_QUERY, k=20),
+    bench=True,
+    doc="BM25 top-k served from a PERSISTED term-statistics index — "
+    "the same hoist the ANN family got (queries_ann 'Persisted ANN "
+    "index builds'): tokenize/DF/IDF are query-independent, so they "
+    "build once per corpus fingerprint and queries read back only "
+    "the query terms' postings (the terms table is written "
+    "range-partitioned and sorted by term, so an In(term) predicate "
+    "prunes files and row groups via parquet min/max stats — at "
+    "100 TB a 5-term query touches a handful of row groups, not the "
+    "corpus). The reference instead rebuilds BM25 on every write "
+    "(memory_engine.py:224-232, the SURVEY §4 'incremental vs full "
+    "rebuild' gap); the incremental maintenance path for this index "
+    "is streaming/events.py incremental_term_stats_sink + "
+    "compact_term_stats. Results are identical to bm25_topk by "
+    "construction (same exact fixed-point math, same oracle).",
+    tags=("retrieval", "bm25", "index"),
+)
+def bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from memories_spark.plans.queries_ann import _ensure_index
+
+    def _build(tmp: str) -> None:
+        docs = load_tables(spark, sf_dir)["documents"]
+        stats = bm25_op.build_term_stats(docs, "doc_id", "text")
+        # postings range-partitioned + sorted by term: file- and
+        # row-group-level pruning for term-predicate reads
+        stats["terms"].repartitionByRange(8, "term").sortWithinPartitions(
+            "term"
+        ).write.parquet(_os.path.join(tmp, "terms"))
+        stats["doc_stats"].coalesce(1).write.parquet(_os.path.join(tmp, "doc_stats"))
+        stats["corpus"].coalesce(1).write.parquet(_os.path.join(tmp, "corpus"))
+        stats["term_idf"].repartitionByRange(4, "term").sortWithinPartitions(
+            "term"
+        ).write.parquet(_os.path.join(tmp, "term_idf"))
+
+    idx = _ensure_index("bm25", sf_dir, _build, table="documents.parquet")
+    stats = {
+        "terms": spark.read.parquet(_os.path.join(idx, "terms")).filter(
+            F.col("term").isin(_BM25_QUERY)
+        ),
+        "doc_stats": spark.read.parquet(_os.path.join(idx, "doc_stats")),
+        "corpus": spark.read.parquet(_os.path.join(idx, "corpus")),
+        "term_idf": spark.read.parquet(_os.path.join(idx, "term_idf")),
+    }
+    scored = bm25_op.bm25_scores(
+        stats["doc_stats"], "doc_id", "text", _BM25_QUERY, stats=stats
+    )
+    return (
+        scored.select(F.col("id").alias("doc_id"), F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -883,3 +883,12 @@ def test_taxonomy_tagging_broadcasts_dictionary(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
     assert "partial_sum" in p or "partial" in p.lower(), p
     assert "WindowGroupLimit" in p, p
+
+
+def test_bm25_indexed_pushes_term_filter(spark, sf_dir):
+    """The indexed BM25 serving path must push the query-term
+    predicate into the persisted postings scan (file/row-group
+    pruning via the term-sorted layout) — a scan without PushedFilters
+    is reading the whole postings table per query."""
+    p = plan(QUERIES["bm25_topk_indexed"].fn(spark, sf_dir))
+    assert "PushedFilters" in p and "In(term" in p, p
