@@ -33,23 +33,23 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 SAMPLE_QUERIES = [
-    "authentication architecture decisions",
-    "database migration strategy notes",
-    "cache invalidation design",
-    "deployment pipeline configuration",
-    "error handling and retry patterns",
-    "observability and logging setup",
-    "schema design for the orders table",
-    "rate limiting approach",
+    "how do we rotate session credentials",
+    "which table holds invoice line items",
+    "when does the nightly rollup job run",
+    "who owns the ingest worker pool",
+    "what backoff does the webhook sender use",
+    "where are feature flags evaluated",
+    "how are stale cache entries evicted",
+    "what regions serve tenant traffic",
 ]
 
 SAMPLE_TEXTS = [
-    "access tokens are short lived with refresh rotation",
-    "reads go to replicas for search heavy workloads",
-    "rate limits are enforced per key at the gateway",
-    "cache entries expire by ttl with event driven invalidation",
-    "deploys are blue green with automatic rollback",
-    "errors are logged as structured json with correlation ids",
+    "session credentials rotate every ninety minutes via the token service",
+    "invoice line items live in the qrbl_invoice_lines table",
+    "the nightly rollup job runs at half past two utc",
+    "the ingest worker pool is owned by the pipelines squad",
+    "webhook sends back off with jitter up to five retries",
+    "feature flags evaluate in the gateway with tenant context",
 ]
 
 _EXTRACT_TRANSCRIPT = "FACT: deploys are canary first at seven percent\nFACT: rollbacks are one command"
