@@ -314,19 +314,47 @@ _TAXONOMY = [
     ("vector", "vectors", 3), ("dup", "vectors", 2),
 ]
 
+#: Multi-word dictionary terms: matched over the 2-word shingle
+#: stream exactly like unigrams over tokens — this is what makes the
+#: operator true multi-pattern matching, not a per-token lookup. A
+#: phrase hit outscores its constituent words (e.g. "hash join" is a
+#: stronger joins signal than "hash" + "join" separately).
+_TAXONOMY_BIGRAMS = [
+    ("hash join", "joins", 5),
+    ("table scan", "scans", 5),
+    ("window agg", "aggregation", 5),
+]
+
 _TAXONOMY_VALUES = ", ".join(f"('{t}', '{c}', {w})" for t, c, w in _TAXONOMY)
+_TAXONOMY_BG_VALUES = ", ".join(
+    f"('{t}', '{c}', {w})" for t, c, w in _TAXONOMY_BIGRAMS
+)
 
 _TAXONOMY_ORACLE = f"""
 WITH dict(term, category, w) AS (VALUES {_TAXONOMY_VALUES}),
+bdict(term, category, w) AS (VALUES {_TAXONOMY_BG_VALUES}),
+toked AS (SELECT doc_id, {tokens_sql('text')} AS tk FROM documents),
 toks AS (
-  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+  SELECT doc_id, unnest(tk) AS term FROM toked
+),
+bigrams AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS term
+  FROM toked, (SELECT unnest(generate_series(1, 400)) AS i)
+  WHERE i + 1 <= len(tk)
+),
+hits AS (
+  SELECT t.doc_id, d.category, d.w
+  FROM toks t JOIN dict d ON t.term = d.term
+  UNION ALL
+  SELECT b.doc_id, d.category, d.w
+  FROM bigrams b JOIN bdict d ON b.term = d.term
 ),
 scores AS (
-  SELECT t.doc_id, d.category,
-         CAST(sum(d.w) AS BIGINT) AS score_w,
+  SELECT doc_id, category,
+         CAST(sum(w) AS BIGINT) AS score_w,
          CAST(count(*) AS BIGINT) AS n_hits
-  FROM toks t JOIN dict d ON t.term = d.term
-  GROUP BY t.doc_id, d.category
+  FROM hits
+  GROUP BY doc_id, category
 )
 SELECT doc_id, category, score_w, n_hits
 FROM (
@@ -362,14 +390,26 @@ def taxonomy_tag_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     dict_df = spark.createDataFrame(_TAXONOMY, "term string, category string, w int")
-    toks = docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
-    scores = (
-        toks.join(F.broadcast(dict_df), "term")
-        .groupBy("doc_id", "category")
-        .agg(
-            F.sum("w").cast("long").alias("score_w"),
-            F.count("*").cast("long").alias("n_hits"),
-        )
+    bdict_df = spark.createDataFrame(
+        _TAXONOMY_BIGRAMS, "term string, category string, w int"
+    )
+    toked = docs.select("doc_id", tokens_expr("text").alias("tk"))
+    toks = toked.select("doc_id", F.explode("tk").alias("term"))
+    # occurrence-counted 2-word shingles (NOT distinct — tf weighting
+    # must count repeats, same as the unigram side)
+    bg_idx = F.sequence(F.lit(1), F.greatest(F.size("tk") - 1, F.lit(0)))
+    bigrams = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(bg_idx, lambda i: F.concat_ws(" ", F.slice("tk", i, 2)))
+        ).alias("term"),
+    )
+    hits = toks.join(F.broadcast(dict_df), "term").unionByName(
+        bigrams.join(F.broadcast(bdict_df), "term")
+    )
+    scores = hits.groupBy("doc_id", "category").agg(
+        F.sum("w").cast("long").alias("score_w"),
+        F.count("*").cast("long").alias("n_hits"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score_w"), F.asc("category"))
     return (
