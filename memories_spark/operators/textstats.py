@@ -185,9 +185,14 @@ def fingerprint_exprs(text_col: str) -> dict[str, Column]:
     """Winnowing-lite document fingerprint: min/max md5 over the
     8-char shingle set + distinct-shingle count. Two docs sharing the
     min-hash fingerprint are near-dup candidates (MOSS-style)."""
+    from memories_spark.functions.texttools import bounded_seq
+
     low = F.lower(F.col(text_col))
-    count = F.greatest(F.length(low) - F.lit(FINGERPRINT_NGRAM - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)
+    # bounded_seq: text shorter than the shingle width yields the EMPTY
+    # hash set (null fp, 0 shingles) exactly like the DuckDB twin's
+    # range(1, count + 1); sequence(1, 0) fabricated a duplicate hash
+    # of the truncated text via the [1, 0] descending array
+    idx = bounded_seq(F.length(low) - F.lit(FINGERPRINT_NGRAM - 1))
     hashes = F.transform(idx, lambda i: F.md5(F.substring(low, i, FINGERPRINT_NGRAM)))
     return {
         "fp_min": F.array_min(hashes),

@@ -32,16 +32,16 @@ typos AS (
 corpus_vars AS (
   SELECT term, term AS variant FROM vocab
   UNION
-  SELECT term, substr(term, 1, i - 1) || substr(term, i + 1) AS variant
-  FROM vocab, (SELECT unnest(generate_series(1, 30)) AS i)
-  WHERE i <= length(term)
+  SELECT term, substr(term, 1, CAST(i AS INT) - 1) || substr(term, CAST(i AS INT) + 1)
+           AS variant
+  FROM vocab, LATERAL (SELECT unnest(range(1, length(term) + 1)) AS i)
 ),
 typo_vars AS (
   SELECT typo, truth, typo AS variant FROM typos
   UNION
-  SELECT typo, truth, substr(typo, 1, i - 1) || substr(typo, i + 1) AS variant
-  FROM typos, (SELECT unnest(generate_series(1, 30)) AS i)
-  WHERE i <= length(typo)
+  SELECT typo, truth, substr(typo, 1, CAST(i AS INT) - 1) || substr(typo, CAST(i AS INT) + 1)
+           AS variant
+  FROM typos, LATERAL (SELECT unnest(range(1, length(typo) + 1)) AS i)
 ),
 matched AS (
   SELECT DISTINCT t.typo, t.truth, c.term AS matched_term

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from memories_spark.functions.texttools import tokens_sql, tokens_expr
+from memories_spark.functions.texttools import bounded_seq, tokens_sql, tokens_expr
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
@@ -223,9 +223,10 @@ WITH assigned AS (
   FROM documents
 ),
 grams AS (
-  SELECT DISTINCT split, array_to_string(toks[i:i+2], ' ') AS g
-  FROM assigned, (SELECT unnest(generate_series(1, 200)) AS i)
-  WHERE i + 2 <= len(toks)
+  SELECT DISTINCT split,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS g
+  FROM assigned
 ),
 train_g AS (SELECT g FROM grams WHERE split = 'train'),
 held_g AS (SELECT g FROM grams WHERE split = 'heldout')
@@ -268,7 +269,7 @@ def split_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 204, "train").otherwise("heldout").alias("split"),
         tokens_expr("text").alias("toks"),
     )
-    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0)))
+    idx = bounded_seq(F.size("toks") - 2)
     grams = toked.select(
         "split",
         F.explode(

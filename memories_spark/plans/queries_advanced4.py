@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from memories_spark.functions.texttools import tokens_expr, tokens_sql
+from memories_spark.functions.texttools import bounded_seq, tokens_expr, tokens_sql
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
@@ -420,9 +420,10 @@ def hourly_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SETSIM_ORACLE = f"""
 WITH toked AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
-  FROM toked, (SELECT unnest(generate_series(1, 200)) AS i)
-  WHERE i + 2 <= len(toks)
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS s
+  FROM toked
 ),
 f AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
 rare AS (
@@ -473,7 +474,7 @@ ORDER BY jaccard DESC, doc_a, doc_b
 def rareterm_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     toked = docs.select("doc_id", tokens_expr("text").alias("toks"))
-    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0)))
+    idx = bounded_seq(F.size("toks") - 2)
     sh = (
         toked.select(
             "doc_id",
@@ -550,8 +551,7 @@ uni AS (
 v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni),
 bg AS (
   SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS b
-  FROM toked, (SELECT unnest(generate_series(1, 200)) AS i)
-  WHERE i + 1 <= len(toks)
+  FROM toked, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i)
 ),
 c2 AS (SELECT b, CAST(count(*) AS BIGINT) AS n2 FROM bg GROUP BY b),
 scored AS (
@@ -596,7 +596,7 @@ def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c1"))
     )
     vocab = uni.agg(F.count("*").alias("vocab"))
-    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0)))
+    idx = bounded_seq(F.size("toks") - 1)
     bg = toked.select(
         "doc_id",
         F.explode(
@@ -651,9 +651,10 @@ def bigram_surprisal_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POSTINGS_ORACLE = f"""
 WITH toked AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS s
-  FROM toked, (SELECT unnest(generate_series(1, 200)) AS i)
-  WHERE i + 2 <= len(toks)
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS s
+  FROM toked
 ),
 f AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s)
 SELECT f.s AS shingle, f.df,
@@ -685,7 +686,7 @@ ORDER BY f.s
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     toked = docs.select("doc_id", tokens_expr("text").alias("toks"))
-    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0)))
+    idx = bounded_seq(F.size("toks") - 2)
     sh = toked.select(
         "doc_id",
         F.explode(

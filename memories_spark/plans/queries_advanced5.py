@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from memories_spark.functions.texttools import tokens_expr, tokens_sql
+from memories_spark.functions.texttools import bounded_seq, tokens_expr, tokens_sql
 from memories_spark.plans.queries_graph import _TRI_EDGES_CTE, _shifted_edges
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
@@ -185,9 +185,9 @@ WITH seqs AS (
   FROM events GROUP BY user_id
 ),
 grams AS (
-  SELECT substr(seq, i, 3) AS trigram
-  FROM seqs, (SELECT unnest(generate_series(1, 400)) AS i)
-  WHERE i + 2 <= length(seq)
+  SELECT unnest(list_transform(range(1, greatest(length(seq) - 2, 0) + 1),
+                               i -> substr(seq, CAST(i AS INT), 3))) AS trigram
+  FROM seqs
 )
 SELECT trigram, CAST(count(*) AS BIGINT) AS n
 FROM grams
@@ -227,7 +227,7 @@ def event_trigram_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "",
         ).alias("seq")
     )
-    idx = F.sequence(F.lit(1), F.greatest(F.length("seq") - 2, F.lit(0)))
+    idx = bounded_seq(F.length("seq") - 2)
     grams = seqs.select(
         F.explode(
             F.transform(idx, lambda i: F.col("seq").substr(i, F.lit(3)))

@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from memories_spark.functions.texttools import tokens_sql, tokens_expr
+from memories_spark.functions.texttools import bounded_seq, tokens_sql, tokens_expr
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
@@ -124,9 +124,10 @@ WITH words AS (
   GROUP BY t
 ),
 pairs AS (
-  SELECT substr(w, i, 2) AS pair, wc
-  FROM words, (SELECT unnest(generate_series(1, 60)) AS i)
-  WHERE i + 1 <= length(w)
+  SELECT unnest(list_transform(range(1, greatest(length(w) - 1, 0) + 1),
+                               i -> substr(w, CAST(i AS INT), 2))) AS pair,
+         wc
+  FROM words
 ),
 agg AS (
   SELECT pair, CAST(sum(wc) AS BIGINT) AS n
@@ -160,7 +161,10 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
     )
-    idx = F.sequence(F.lit(1), F.greatest(F.length("w") - 1, F.lit(0)))
+    # bounded_seq: 1-char words emit ZERO pairs (the raw sequence(1,0)
+    # idiom emitted [1,0] -> two copies of the word itself, silently
+    # double-weighting single-letter "pairs" in the merge table)
+    idx = bounded_seq(F.length("w") - 1)
     pairs = words.select(
         F.explode(
             F.transform(idx, lambda i: F.col("w").substr(i, F.lit(2)))

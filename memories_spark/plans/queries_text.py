@@ -338,9 +338,10 @@ toks AS (
   SELECT doc_id, unnest(tk) AS term FROM toked
 ),
 bigrams AS (
-  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS term
-  FROM toked, (SELECT unnest(generate_series(1, 400)) AS i)
-  WHERE i + 1 <= len(tk)
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                               i -> tk[i] || ' ' || tk[i+1])) AS term
+  FROM toked
 ),
 hits AS (
   SELECT t.doc_id, d.category, d.w
@@ -386,7 +387,7 @@ ORDER BY doc_id
     tags=("text", "training"),
 )
 def taxonomy_tag_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from memories_spark.functions.texttools import tokens_expr
+    from memories_spark.functions.texttools import bounded_seq, tokens_expr
 
     docs = load_tables(spark, sf_dir)["documents"]
     dict_df = spark.createDataFrame(_TAXONOMY, "term string, category string, w int")
@@ -396,8 +397,9 @@ def taxonomy_tag_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select("doc_id", tokens_expr("text").alias("tk"))
     toks = toked.select("doc_id", F.explode("tk").alias("term"))
     # occurrence-counted 2-word shingles (NOT distinct — tf weighting
-    # must count repeats, same as the unigram side)
-    bg_idx = F.sequence(F.lit(1), F.greatest(F.size("tk") - 1, F.lit(0)))
+    # must count repeats, same as the unigram side); bounded_seq keeps
+    # <=1-token docs at zero bigrams instead of a slice(0) crash
+    bg_idx = bounded_seq(F.size("tk") - 1)
     bigrams = toked.select(
         "doc_id",
         F.explode(

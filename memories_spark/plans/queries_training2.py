@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from memories_spark.functions.texttools import tokens_sql, tokens_expr, word_shingles_expr
+from memories_spark.functions.texttools import (
+    bounded_seq,
+    tokens_sql,
+    tokens_expr,
+    word_shingles_expr,
+)
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
@@ -231,7 +236,7 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n_tokens, 6
         ).alias("dup_token_frac"),
     )
-    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0)))
+    idx = bounded_seq(F.size("toks") - 1)
     bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("toks", i, 2)))
     bg_counts = (
         toked.select("doc_id", F.explode(bigrams).alias("gram"))

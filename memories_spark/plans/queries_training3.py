@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from memories_spark.functions.hashing import hex_frac_sql
-from memories_spark.functions.texttools import tokens_sql, tokens_expr
+from memories_spark.functions.texttools import bounded_seq, tokens_sql, tokens_expr
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
@@ -133,10 +133,11 @@ _XDOC_ORACLE = f"""
 WITH toked AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
 wins AS (
   SELECT doc_id,
-         md5(array_to_string(toks[(w - 1) * {_WIN} + 1 : w * {_WIN}], ' ')) AS wh
-  FROM toked,
-       (SELECT unnest(generate_series(1, 200)) AS w)
-  WHERE len(toks) >= w * {_WIN}
+         unnest(list_transform(
+           range(1, greatest(len(toks) // {_WIN}, 0) + 1),
+           w -> md5(array_to_string(toks[(w - 1) * {_WIN} + 1 : w * {_WIN}], ' '))
+         )) AS wh
+  FROM toked
 ),
 freq AS (
   SELECT wh, CAST(count(*) AS BIGINT) AS n FROM wins GROUP BY wh
@@ -183,7 +184,10 @@ def crossdoc_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(n_wins, F.lit(0))),
+                # bounded_seq: docs with < _WIN tokens yield ZERO windows
+                # (sequence(1,0) fabricated a w=1 partial window + a
+                # negative-start w=0 slice)
+                bounded_seq(n_wins),
                 lambda w: F.md5(
                     F.concat_ws(" ", F.slice(toks, (w - 1) * _WIN + 1, _WIN))
                 ),
