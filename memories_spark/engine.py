@@ -1499,6 +1499,102 @@ class MemoriesEngine:
         cells = ann_index.probe_cells(self.spark, idx, qvec, int(meta["nprobe"]))
         return ann_index.candidate_ids(self.spark, idx, cells)
 
+    # -- serving-side lexical (BM25) index -------------------------------
+
+    def _live_texts(self, folders: list[str] | None = None) -> DataFrame:
+        """(id, text, part) of live NON-archived memories — physically
+        partition-pruned to ``folders`` when given. The lexical index
+        corpus excludes archived rows because the serving path scores
+        against the non-archived set: BM25's global statistics (df, N,
+        avgdl) must be computed over exactly the corpus being served
+        or scores silently diverge from the inline build."""
+        d = self._dir("memories")
+        cols = [F.col("id"), F.col("text"), F.col(FOLDER_COL).alias("part")]
+        live = ~F.coalesce(F.col("archived"), F.lit(False))
+        if not os.path.isdir(d):
+            empty = T.StructType(
+                list(MEMORY_SCHEMA.fields) + [T.StructField(FOLDER_COL, T.StringType())]
+            )
+            return self.spark.createDataFrame([], empty).select(*cols)
+        stored = T.StructType(
+            list(MEMORY_SCHEMA.fields) + [T.StructField(FOLDER_COL, T.StringType())]
+        )
+        df = self.spark.read.schema(stored).parquet(d)
+        if folders is not None:
+            df = df.filter(F.col(FOLDER_COL).isin(folders))
+        return df.filter(live).select(*cols)
+
+    def build_lexical_index(self) -> dict:
+        """One-off BM25 index build: persist term-sorted postings,
+        doc lengths, and the global IDF/corpus tables (the reference
+        keeps its BM25 index persistent between queries,
+        memory_engine.py:224-232; ours previously re-derived term
+        stats from the full corpus on every search). Pins the current
+        :meth:`table_version`; any later mutation makes
+        :func:`memories_spark.search.hybrid_search` fall back to the
+        inline build until the next build/refresh."""
+        from memories_spark.operators import lexical_index
+
+        return lexical_index.build_lexical(
+            self.spark,
+            self._live_texts(),
+            "id",
+            "text",
+            self._dir("_lexical_index"),
+            version=self.table_version(),
+            folder_sigs=self._folder_signatures(),
+        )
+
+    def refresh_lexical_index(self) -> dict:
+        """INCREMENTAL lexical maintenance: re-tokenize ONLY the
+        folders whose file signatures changed since the pinned
+        version (partition-pruned scan), swap their postings/doc_stats
+        partitions, drop removed folders, then re-derive the global
+        IDF/corpus tables in one pass over the merged postings (never
+        over raw text) and pin the new table version."""
+        from memories_spark.operators import lexical_index
+
+        meta = lexical_index.read_meta(self._dir("_lexical_index"))
+        if meta is None:
+            raise ValueError("no lexical index to refresh")
+        old_sigs: dict[str, str] = meta.get("folder_sigs") or {}
+        cur_sigs = self._folder_signatures()
+        changed = sorted(f for f, s in cur_sigs.items() if old_sigs.get(f) != s)
+        removed = sorted(set(old_sigs) - set(cur_sigs))
+        docs_changed = self._live_texts(changed) if changed else None
+        return lexical_index.refresh_lexical(
+            self.spark,
+            docs_changed,
+            "id",
+            "text",
+            self._dir("_lexical_index"),
+            version=self.table_version(),
+            changed=changed,
+            removed=removed,
+            folder_sigs=cur_sigs,
+        )
+
+    def lexical_index_meta(self) -> dict | None:
+        """The lexical index meta iff it exists AND is fresh (built at
+        the current table version); None means inline-build fallback."""
+        from memories_spark.operators import lexical_index
+
+        meta = lexical_index.read_meta(self._dir("_lexical_index"))
+        if meta is None or meta.get("version") != self.table_version():
+            return None
+        return meta
+
+    def lexical_stats(self, query_terms: list[str]) -> dict:
+        """BM25 stats served from the persisted index: postings + IDF
+        reads carry an In(term) predicate over the term-sorted layout
+        (row-group pruning), so a search reads the query terms'
+        postings — not the corpus."""
+        from memories_spark.operators import lexical_index
+
+        return lexical_index.query_stats(
+            self.spark, self._dir("_lexical_index"), query_terms
+        )
+
     def rebuild_from_files(self, file_paths: list[str], now: str, embed_fn=None) -> int:
         """S2 file rebuild scan (reference rebuild_from_files,
         memory_engine.py:2699-2764): read N markdown files, chunk them

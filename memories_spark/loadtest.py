@@ -86,17 +86,24 @@ def run_load(
     """Run ``ops`` operations of ``scenario`` at ``concurrency`` and
     report per-operation latency percentiles + throughput."""
     from memories_spark.extraction import MockProvider, mock_embed, run_extraction
-    from memories_spark.search import hybrid_search
+    from memories_spark.search import hybrid_search, release_caches
 
     rng = random.Random(seed)
     write_lock = threading.Lock()
     added_ids: list[int] = []
 
-    def op_search(i: int) -> None:
-        q = SAMPLE_QUERIES[rng.randrange(len(SAMPLE_QUERIES))]
-        hybrid_search(engine, q, k=k, auto_intent=False, now=now).collect()
+    def op_search(i: int, qidx: int = 0) -> None:
+        # qidx was pre-drawn in the single-threaded plan loop below —
+        # worker threads never touch the RNG, so query choice is
+        # deterministic regardless of thread interleaving
+        q = SAMPLE_QUERIES[qidx]
+        df = hybrid_search(engine, q, k=k, auto_intent=False, now=now)
+        df.collect()
+        # serving discipline: free this call's cached blocks so a
+        # long run's executor storage stays FLAT (gated in tests)
+        release_caches(df)
 
-    def op_add(i: int) -> None:
+    def op_add(i: int, qidx: int = 0) -> None:
         text = f"{SAMPLE_TEXTS[i % len(SAMPLE_TEXTS)]} load {i}"
         with write_lock:
             ids = engine.add(
@@ -106,12 +113,12 @@ def run_load(
             )
             added_ids.extend(ids)
 
-    def op_delete(i: int) -> None:
+    def op_delete(i: int, qidx: int = 0) -> None:
         with write_lock:
             victim = added_ids.pop() if added_ids else 1_000_000_000 + i
             engine.delete([victim])
 
-    def op_extract(i: int) -> None:
+    def op_extract(i: int, qidx: int = 0) -> None:
         with write_lock:
             run_extraction(engine, _EXTRACT_TRANSCRIPT, MockProvider(),
                            f"load/extract{i % 4}", now)
@@ -119,13 +126,17 @@ def run_load(
     kinds = {"search": op_search, "add": op_add, "delete": op_delete,
              "extract": op_extract}
 
+    def _draw(name: str) -> tuple[str, int]:
+        # ALL RNG draws happen here, in this single-threaded loop
+        return (name, rng.randrange(len(SAMPLE_QUERIES)) if name == "search" else 0)
+
     if scenario in ("search", "burst"):
-        plan = ["search"] * ops
+        plan = [_draw("search") for _ in range(ops)]
     elif scenario in ("add", "extract"):
-        plan = [scenario] * ops
+        plan = [_draw(scenario) for _ in range(ops)]
     elif scenario == "mixed":
         bag = [name for name, w in MIXED_WEIGHTS for _ in range(w)]
-        plan = [bag[rng.randrange(len(bag))] for _ in range(ops)]
+        plan = [_draw(bag[rng.randrange(len(bag))]) for _ in range(ops)]
     else:
         raise ValueError(f"unknown scenario: {scenario}")
 
@@ -133,10 +144,10 @@ def run_load(
     res_lock = threading.Lock()
 
     def run_one(idx_op):
-        idx, op = idx_op
+        idx, (op, qidx) = idx_op
         t0 = time.perf_counter()
         try:
-            kinds[op](idx)
+            kinds[op](idx, qidx)
             r = OpResult(op, (time.perf_counter() - t0) * 1000.0, True)
         except Exception as e:  # keep the run going; errors land in the report
             r = OpResult(op, (time.perf_counter() - t0) * 1000.0, False,

@@ -34,8 +34,23 @@ SCORE_SCALE = 9  # fixed-point digits for order-independent score sums
 IDF_SCALE = 12  # fixed-point digits for the vocabulary-average IDF
 
 
-def build_term_stats(docs: DataFrame, id_col: str, text_col: str) -> dict[str, DataFrame]:
-    """Derive the BM25 statistics tables from a document corpus.
+def tokenize_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, term, tf)`` postings from a document corpus — the only
+    stage that touches raw text. Everything else in BM25 derives from
+    this table, which is what the persisted lexical index stores."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    return toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+
+
+def stats_from_terms(terms: DataFrame) -> dict[str, DataFrame]:
+    """Derive the global BM25 statistics from a ``(id, term, tf)``
+    postings table (extra columns are ignored). Split out from
+    :func:`build_term_stats` so the persisted lexical index can
+    re-derive IDF/corpus scalars after an incremental postings merge
+    WITHOUT re-tokenizing any document — the global stats are a
+    single pass over the (already tokenized) postings.
 
     Fully lazy — no driver actions. Scalar corpus statistics
     (N, avgdl, avg raw IDF) are 1-row DataFrames that downstream
@@ -48,10 +63,7 @@ def build_term_stats(docs: DataFrame, id_col: str, text_col: str) -> dict[str, D
     ``corpus(n, avgdl)`` and ``term_idf(term, idf)``
     (epsilon-floored, vocabulary-wide).
     """
-    toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("term")
-    )
-    terms = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    terms = terms.select("id", "term", "tf")
     doc_stats = terms.groupBy("id").agg(F.sum("tf").alias("dl"))
     # dl are BIGINTs: the sum is exact, so avg is engine-identical.
     corpus = doc_stats.agg(
@@ -82,6 +94,11 @@ def build_term_stats(docs: DataFrame, id_col: str, text_col: str) -> dict[str, D
         .alias("idf"),
     )
     return {"terms": terms, "doc_stats": doc_stats, "term_idf": term_idf, "corpus": corpus}
+
+
+def build_term_stats(docs: DataFrame, id_col: str, text_col: str) -> dict[str, DataFrame]:
+    """Tokenize + derive in one lazy plan (see :func:`stats_from_terms`)."""
+    return stats_from_terms(tokenize_terms(docs, id_col, text_col))
 
 
 def bm25_scores(

@@ -1,0 +1,235 @@
+"""Engine-level persisted BM25 (lexical) index: build once, serve
+query terms from pruned postings reads — the lexical twin of the IVF
+vector index (``operators/ann_index.py``).
+
+The reference keeps its BM25 index persistent between queries and
+rebuilds it on writes (reference memory_engine.py:224-232, 619); the
+inline serving path here instead re-derived term statistics from the
+FULL corpus on every search — tokenize + explode + three shuffles per
+query, the last full-corpus-per-query cost in the hot path. This
+module hoists that work into a persisted index:
+
+Layout (``<store>/_lexical_index/``):
+
+- ``postings/part=<folder>/`` — ``(id, term, tf)`` partitioned by the
+  store's folder and sorted by ``term`` within each file, so a query's
+  ``In(term)`` predicate prunes row groups via parquet min/max stats.
+  At 100 TB a 5-term query touches a handful of row groups per
+  folder, not the corpus.
+- ``doc_stats/part=<folder>/`` — ``(id, dl)`` per-document lengths.
+- ``term_idf/`` — ``(term, idf)`` epsilon-floored vocabulary IDFs,
+  range-partitioned + sorted by term (same pruning).
+- ``corpus/`` — the 1-row ``(n, avgdl)`` scalars.
+- ``meta.json`` — pinned table version + per-folder file signatures.
+
+Maintenance (``refresh_lexical``): the per-document tables are
+maintained INCREMENTALLY — the engine diffs its per-folder file
+signatures and re-tokenizes ONLY the changed folders (a
+partition-pruned scan); unchanged folders' postings files are
+untouched bytes and removed folders' partitions are dropped — the
+same O(changed data) catch-up as ``refresh_ivf``. The GLOBAL tables
+(df → idf, N, avgdl) are then re-derived in one pass over the merged
+postings index — never over raw text: every document mutation
+perturbs every term's IDF, so a global pass is irreducible, but it
+reads the (already tokenized, much smaller) postings, not the corpus.
+
+Staleness: the meta pins the store's table version; consumers compare
+and fall back to the inline full-corpus build after any mutation, so
+results are never silently stale. A refresh that leaves the store
+empty removes the meta — which IS the fallback signal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from memories_spark.operators import bm25 as bm25_op
+
+#: Partition value used when the caller supplies no part column.
+DEFAULT_PART = "(all)"
+
+_POSTINGS_SCHEMA = "id long, term string, tf long, part string"
+_DOC_STATS_SCHEMA = "id long, dl long, part string"
+
+FORMAT_VERSION = 1
+
+
+def _with_part(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    cols = [F.col(id_col).alias("id"), F.col(text_col).alias("text")]
+    part = (
+        F.col("part") if "part" in docs.columns else F.lit(DEFAULT_PART)
+    ).alias("part")
+    return docs.select(*cols, part)
+
+
+def _write_per_doc(docs: DataFrame, id_col: str, text_col: str, dest: str) -> None:
+    """Write postings + doc_stats partitioned by folder, term-sorted
+    within each postings file (row-group pruning for In(term))."""
+    d = _with_part(docs, id_col, text_col)
+    terms = (
+        bm25_op.tokenize_terms(d, "id", "text")
+        .join(d.select("id", "part"), "id")
+        .repartition(F.col("part"))
+        .sortWithinPartitions("part", "term")
+    )
+    terms.write.partitionBy("part").parquet(os.path.join(dest, "postings"))
+    # doc lengths derive from the postings just written (read-back
+    # beats re-tokenizing: the lazy terms plan would run twice)
+    written = d.sparkSession.read.schema(_POSTINGS_SCHEMA).parquet(
+        os.path.join(dest, "postings")
+    )
+    written.groupBy("id", "part").agg(F.sum("tf").alias("dl")).select(
+        "id", "dl", "part"
+    ).write.partitionBy("part").parquet(os.path.join(dest, "doc_stats"))
+
+
+def _write_globals(spark: SparkSession, index_dir: str, tmp_suffix: str) -> None:
+    """Re-derive idf/corpus from the CURRENT postings dir and swap the
+    global tables in atomically (one pass over postings, no text)."""
+    postings = spark.read.schema(_POSTINGS_SCHEMA).parquet(
+        os.path.join(index_dir, "postings")
+    )
+    stats = bm25_op.stats_from_terms(postings)
+    tmp_idf = os.path.join(index_dir, f"term_idf.tmp-{tmp_suffix}")
+    tmp_corpus = os.path.join(index_dir, f"corpus.tmp-{tmp_suffix}")
+    stats["term_idf"].repartitionByRange(4, "term").sortWithinPartitions(
+        "term"
+    ).write.parquet(tmp_idf)
+    stats["corpus"].coalesce(1).write.parquet(tmp_corpus)
+    for name, tmp in (("term_idf", tmp_idf), ("corpus", tmp_corpus)):
+        final = os.path.join(index_dir, name)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+
+def build_lexical(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    version: int = 0,
+    folder_sigs: dict[str, str] | None = None,
+) -> dict:
+    """Full build: tokenize the whole corpus once, persist all four
+    tables, pin version + folder signatures. ``docs`` may carry a
+    ``part`` column (the store folder) for incremental maintenance."""
+    tmp = f"{index_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    _write_per_doc(docs, id_col, text_col, tmp)
+    meta = {
+        "version": int(version),
+        "format_version": FORMAT_VERSION,
+        "folder_sigs": folder_sigs or {},
+    }
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        f.write(json.dumps(meta))
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    os.rename(tmp, index_dir)
+    _write_globals(spark, index_dir, uuid.uuid4().hex[:8])
+    return meta
+
+
+def refresh_lexical(
+    spark: SparkSession,
+    docs_changed: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    index_dir: str,
+    version: int,
+    changed: list[str],
+    removed: list[str],
+    folder_sigs: dict[str, str],
+) -> dict:
+    """Incremental catch-up: re-tokenize only ``changed`` folders
+    (``docs_changed`` is the partition-pruned scan of exactly those),
+    swap their postings/doc_stats partitions, drop ``removed``
+    folders' partitions, leave every other folder's files untouched —
+    then re-derive the global idf/corpus tables from the merged
+    postings and pin the new version + signatures.
+
+    If the refresh leaves no live documents, the meta is removed so
+    consumers take the inline-build fallback."""
+    meta = read_meta(index_dir)
+    if meta is None:
+        raise ValueError(f"no lexical index at {index_dir} to refresh")
+    if not folder_sigs:
+        os.remove(os.path.join(index_dir, "meta.json"))
+        return {"empty": True, "version": int(version)}
+
+    touched = sorted(set(changed) | set(removed))
+    if touched:
+        tmp = os.path.join(index_dir, f"refresh.tmp-{uuid.uuid4().hex[:8]}")
+        written: dict[str, set[str]] = {"postings": set(), "doc_stats": set()}
+        if changed and docs_changed is not None:
+            _write_per_doc(docs_changed, id_col, text_col, tmp)
+            for sub in written:
+                written[sub] = {
+                    e
+                    for e in os.listdir(os.path.join(tmp, sub))
+                    if e.startswith("part=")
+                }
+        # per-folder swap: drop stale partitions, move fresh ones in
+        for sub in ("postings", "doc_stats"):
+            final = os.path.join(index_dir, sub)
+            for e in list(os.listdir(final)):
+                if e.startswith("part=") and unquote(e[len("part="):]) in touched:
+                    shutil.rmtree(os.path.join(final, e))
+            for e in written[sub]:
+                os.rename(os.path.join(tmp, sub, e), os.path.join(final, e))
+            spark.catalog.refreshByPath(final)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        _write_globals(spark, index_dir, uuid.uuid4().hex[:8])
+    meta["version"] = int(version)
+    meta["folder_sigs"] = dict(folder_sigs)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        f.write(json.dumps(meta))
+    return meta
+
+
+def read_meta(index_dir: str) -> dict | None:
+    path = os.path.join(index_dir, "meta.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return json.loads(f.read())
+    except (ValueError, OSError):
+        return None
+
+
+def query_stats(
+    spark: SparkSession, index_dir: str, query_terms: list[str]
+) -> dict[str, DataFrame]:
+    """The stats dict :func:`bm25_op.bm25_scores` consumes, served
+    from the persisted index: postings + IDF reads carry an
+    ``In(term)`` predicate (row-group pruned via the term-sorted
+    layout), the corpus scalars are one row. Explicit schemas so an
+    index that went empty reads as zero rows, not a schema-inference
+    failure."""
+    qset = sorted(set(query_terms))
+    return {
+        "terms": spark.read.schema(_POSTINGS_SCHEMA)
+        .parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("term").isin(qset))
+        .select("id", "term", "tf"),
+        "doc_stats": spark.read.schema(_DOC_STATS_SCHEMA)
+        .parquet(os.path.join(index_dir, "doc_stats"))
+        .select("id", "dl"),
+        "term_idf": spark.read.schema("term string, idf double")
+        .parquet(os.path.join(index_dir, "term_idf"))
+        .filter(F.col("term").isin(qset)),
+        "corpus": spark.read.schema("n double, avgdl double").parquet(
+            os.path.join(index_dir, "corpus")
+        ),
+    }

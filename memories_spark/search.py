@@ -44,6 +44,28 @@ GRAPH_CAP = 0.33
 RESERVED_SLOTS = 2
 
 
+def release_caches(df: DataFrame, blocking: bool = True) -> None:
+    """Release the per-call cached/checkpointed storage blocks
+    :func:`hybrid_search` attached to its result.
+
+    Every search call caches four intermediate DataFrames (plus an
+    eager localCheckpoint on the graph path); without release, a
+    long-lived serving session accumulates storage blocks per query —
+    LRU eviction keeps results correct but evicts genuinely hot data
+    under pressure. Call this once the result is materialized
+    (``collect``/``toPandas``); a released plan stays CORRECT if
+    re-executed (Spark recomputes evicted blocks), just uncached.
+    No-op on DataFrames that did not come from ``hybrid_search``.
+    """
+    for cached in getattr(df, "_ms_caches", ()):
+        cached.unpersist(blocking)
+    for jrdd in getattr(df, "_ms_ckpt_rdds", ()):
+        try:
+            jrdd.unpersist(blocking)
+        except Exception:
+            pass  # JVM handle gone (session stopped) — nothing to free
+
+
 def _effective_weights(
     vector_weight: float, recency_weight: float,
     feedback_weight: float, confidence_weight: float,
@@ -79,6 +101,7 @@ def hybrid_search(
     now: str | None = None,
     embed_fn=mock_embed,
     ann: bool = False,
+    lexical: bool = False,
 ) -> DataFrame:
     """Full hybrid retrieval; returns a top-k DataFrame of
     (id, text, source, rrf_score, similarity, match_type, ranks...).
@@ -90,6 +113,18 @@ def hybrid_search(
     path (the reference's Qdrant HNSW is likewise approximate,
     qdrant_store.py). Stale or missing index falls back to the exact
     scan, so results are never silently wrong after a mutation.
+
+    ``lexical=True`` serves the BM25 branch from the engine's
+    persisted lexical index when one is FRESH: postings/IDF reads are
+    pruned to the query's terms, so the search never tokenizes the
+    corpus (the reference's BM25 index is likewise persistent between
+    queries, memory_engine.py:224-232). The index corpus is the
+    non-archived unprefixed store, so ``include_archived=True`` or a
+    ``source_prefix`` (a DIFFERENT corpus whose global BM25 stats the
+    index does not represent) falls back to the inline build — as
+    does a stale or missing index. Results are identical to the
+    inline build by construction (same postings, same fixed-point
+    math).
     """
     now_dt = datetime.fromisoformat(now) if now else datetime(2024, 1, 1)
 
@@ -105,12 +140,27 @@ def hybrid_search(
         if merged.get("graph_weight") is not None and graph_weight == 0.0:
             graph_weight = 0.0  # intent only ever suppresses graph
 
+    # per-call cache scope: every cache/checkpoint lands in these
+    # lists, attached to the returned DataFrame for release_caches()
+    _caches: list[DataFrame] = []
+    _ckpt_rdds: list = []
+
+    def _cache(df: DataFrame) -> DataFrame:
+        df = df.cache()
+        _caches.append(df)
+        return df
+
+    def _finish(df: DataFrame) -> DataFrame:
+        df._ms_caches = tuple(_caches)
+        df._ms_ckpt_rdds = tuple(_ckpt_rdds)
+        return df
+
     # partition-pruned scan: a source_prefix reads only its folder's
     # partition directory (engine.memories, F1 at the layout level)
     mem = engine.memories(source_prefix)
     if not include_archived:
         mem = mem.filter(~F.coalesce(F.col("archived"), F.lit(False)))
-    mem = mem.cache()
+    mem = _cache(mem)
 
     # Lazy k clamp: the reference clamps k <= min(N, 100) with an eager
     # count (memory_engine.py:1397); a LIMIT k over fewer than k rows
@@ -130,19 +180,24 @@ def hybrid_search(
             with_emb = with_emb.join(
                 engine.vector_candidates(qvec, meta), "id", "left_semi"
             )
-    vec_scored = with_emb.select(
+    vec_scored = _cache(with_emb.select(
         "id",
         F.round(
             cosine_expr(F.col("embedding"), F.array(*[F.lit(x) for x in qvec])), 6
         ).alias("sim"),
-    ).cache()
+    ))
     vec_ranked = rrf_op.rank_signal(vec_scored, "id", "sim", limit=oversample)
 
     # --- bm25 branch ---------------------------------------------------
-    bm = bm25_op.bm25_scores(mem, "id", "text", query_text.lower().split())
+    qterms = query_text.lower().split()
+    bm_stats = None
+    if lexical and source_prefix is None and not include_archived:
+        if engine.lexical_index_meta() is not None:
+            bm_stats = engine.lexical_stats(qterms)
+    bm = bm25_op.bm25_scores(mem, "id", "text", qterms, stats=bm_stats)
     bm_ranked = rrf_op.rank_signal(bm, "id", "score", limit=oversample)
 
-    cand = vec_ranked.select("id").union(bm_ranked.select("id")).distinct().cache()
+    cand = _cache(vec_ranked.select("id").union(bm_ranked.select("id")).distinct())
     now_col = F.lit(str(now_dt)).cast("timestamp")
 
     # --- aux signals over the candidate set ----------------------------
@@ -189,16 +244,16 @@ def hybrid_search(
             F.coalesce(F.col("similarity"), F.lit(-1.0)) >= threshold
         )
 
-    direct = enriched.select(
+    direct = _cache(enriched.select(
         "id", "text", "source", "rrf_score", "similarity",
         F.col("vector_rank").cast("long").alias("vector_rank"),
         F.col("bm25_rank").cast("long").alias("bm25_rank"),
-    ).cache()
+    ))
 
     wtop = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
 
     if graph_weight <= 0:
-        return (
+        return _finish(
             direct.withColumn("rn", F.row_number().over(wtop))
             .filter(F.col("rn") <= k)
             .drop("rn")
@@ -211,6 +266,12 @@ def hybrid_search(
     # graph-only branch, scalars); truncate lineage so the final plan
     # stays driver-printable (a cache alone keeps the logical tree).
     direct = direct.localCheckpoint(eager=True)
+    try:
+        # the checkpoint's storage blocks hang off the LogicalRDD —
+        # capture the JVM handle so release_caches() can free them
+        _ckpt_rdds.append(direct._jdf.queryExecution().analyzed().rdd())
+    except Exception:
+        pass  # plan-shape drift: blocks stay until session end
     edges = engine.table("links").filter(F.col("type") == "related_to")
     live = mem.select(F.col("id").alias("node_id"))
     edges = (
@@ -233,7 +294,7 @@ def hybrid_search(
         .first()
     )
     if not probe.has_edges or not probe.s_total:
-        return (
+        return _finish(
             direct.withColumn("rn", F.row_number().over(wtop))
             .filter(F.col("rn") <= k)
             .drop("rn")
@@ -313,7 +374,7 @@ def hybrid_search(
 
     cols = ["id", "text", "source", "rrf_score", "similarity",
             "vector_rank", "bm25_rank", "match_type"]
-    return (
+    return _finish(
         dtop.select(*cols)
         .unionByName(gtop.select(*cols))
         .orderBy(F.desc("rrf_score"), F.asc("id"))

@@ -1,0 +1,219 @@
+"""Serving-side persisted BM25 (lexical) index: build / pruned reads /
+staleness fallback / incremental refresh.
+
+The lexical twin of test_ann_serving.py: the reference keeps its BM25
+index persistent between queries (reference memory_engine.py:224-232);
+hybrid_search(lexical=True) serves term statistics from the persisted
+index when fresh and falls back to the inline full-corpus build
+whenever the store mutated — results must be IDENTICAL either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from memories_spark.engine import MemoriesEngine
+from memories_spark.extraction import mock_embed
+from memories_spark.search import hybrid_search
+
+NOW = "2024-06-01 12:00:00"
+LATER = "2024-06-02 12:00:00"
+
+_TOPICS = [
+    "database", "cache", "queue", "metrics", "billing", "auth",
+    "search", "deploy", "storage", "network", "email", "backup",
+]
+
+
+def _corpus(n=240):
+    recs = []
+    for i in range(n):
+        t = _TOPICS[i % len(_TOPICS)]
+        text = f"{t} note {i}: the {t} subsystem handles item {i % 7} with policy {i % 5}"
+        recs.append(
+            {"text": text, "source": f"corp/{t}", "embedding": mock_embed(text)}
+        )
+    return recs
+
+
+def _rows(df):
+    return [
+        (r.id, round(r.rrf_score, 9), r.similarity)
+        for r in df.orderBy(F.desc("rrf_score"), F.asc("id")).collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    eng = MemoriesEngine(spark, str(tmp_path_factory.mktemp("lexserve") / "store"))
+    eng.add(_corpus(), NOW)
+    eng.build_lexical_index()
+    return eng
+
+
+def test_index_layout_and_meta(store):
+    idx = store._dir("_lexical_index")
+    meta = store.lexical_index_meta()
+    assert meta is not None
+    assert meta["version"] == store.table_version()
+    assert meta["folder_sigs"]  # per-folder identity pinned for refresh
+    for sub in ("postings", "doc_stats"):
+        parts = [e for e in os.listdir(os.path.join(idx, sub)) if e.startswith("part=")]
+        assert parts == ["part=corp"], (sub, parts)
+    assert os.path.isdir(os.path.join(idx, "term_idf"))
+    assert os.path.isdir(os.path.join(idx, "corpus"))
+    # every live doc has a length row; postings cover the vocabulary
+    n_docs = store.spark.read.parquet(os.path.join(idx, "doc_stats")).count()
+    assert n_docs == store.count()
+
+
+def test_indexed_results_identical_to_inline(store):
+    queries = [
+        "cache subsystem policy",
+        "the billing subsystem handles item 3",
+        "backup note storage",
+    ]
+    for q in queries:
+        inline = _rows(hybrid_search(store, q, k=10, auto_intent=False, now=NOW))
+        indexed = _rows(
+            hybrid_search(store, q, k=10, auto_intent=False, now=NOW, lexical=True)
+        )
+        assert indexed == inline, q
+
+
+def test_fresh_index_plan_never_tokenizes_corpus(store):
+    """Plan gate: with a fresh index the search plan reads the
+    persisted postings (In(term)-pruned) and contains NO corpus
+    tokenization — the inline plan's split(lower(trim(text)))
+    must be absent."""
+    df = hybrid_search(
+        store, "cache subsystem policy", k=5, auto_intent=False, now=NOW,
+        lexical=True,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_lexical_index" in plan
+    assert "split(lower(trim(text" not in plan
+    # the inline plan DOES tokenize — the gate actually discriminates
+    inline = hybrid_search(
+        store, "cache subsystem policy", k=5, auto_intent=False, now=NOW
+    )
+    inline_plan = inline._jdf.queryExecution().executedPlan().toString()
+    assert "split(lower(trim(text" in inline_plan
+
+
+def test_postings_read_is_term_pruned(store):
+    """The stats read carries the In(term) predicate down to the
+    parquet scan (row-group pruning via the term-sorted layout)."""
+    stats = store.lexical_stats(["cache", "policy"])
+    plan = stats["terms"]._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan, plan
+
+
+def test_prefix_or_archived_searches_fall_back(store):
+    """A source_prefix or include_archived search scores a DIFFERENT
+    corpus than the index represents — must take the inline path (and
+    therefore still be correct)."""
+    pref = hybrid_search(
+        store, "cache subsystem policy", k=5, auto_intent=False, now=NOW,
+        lexical=True, source_prefix="corp/cache",
+    )
+    plan = pref._jdf.queryExecution().executedPlan().toString()
+    assert "_lexical_index" not in plan
+    assert "split(lower(trim(text" in plan
+    inline = _rows(hybrid_search(
+        store, "cache subsystem policy", k=5, auto_intent=False, now=NOW,
+        source_prefix="corp/cache",
+    ))
+    assert _rows(pref) == inline
+
+
+def test_stale_index_falls_back_then_refresh_restores(spark, tmp_path):
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(_corpus(60), NOW)
+    eng.build_lexical_index()
+    assert eng.lexical_index_meta() is not None
+
+    [new_id] = eng.add(
+        [{"text": "fresh cache fact about item 3", "source": "corp/cache",
+          "embedding": mock_embed("fresh cache fact about item 3")}],
+        LATER,
+    )
+    eng.delete([0])
+    assert eng.lexical_index_meta() is None  # stale
+
+    q = "fresh cache fact about item 3"
+    stale = _rows(hybrid_search(eng, q, k=5, auto_intent=False, now=LATER,
+                                lexical=True))
+    inline = _rows(hybrid_search(eng, q, k=5, auto_intent=False, now=LATER))
+    assert stale == inline
+    assert new_id in [r[0] for r in stale]
+
+    meta = eng.refresh_lexical_index()
+    assert meta["version"] == eng.table_version()
+    assert eng.lexical_index_meta() is not None
+    refreshed = _rows(hybrid_search(eng, q, k=5, auto_intent=False, now=LATER,
+                                    lexical=True))
+    inline2 = _rows(hybrid_search(eng, q, k=5, auto_intent=False, now=LATER))
+    assert refreshed == inline2
+    assert new_id in [r[0] for r in refreshed]
+    # the deleted doc is gone from the index's doc_stats
+    ids = {
+        int(r.id)
+        for r in spark.read.parquet(
+            os.path.join(eng._dir("_lexical_index"), "doc_stats")
+        ).collect()
+    }
+    assert 0 not in ids and new_id in ids
+
+
+def test_refresh_touches_only_changed_folders(spark, tmp_path):
+    """Incremental contract: a mutation in folder A must leave folder
+    B's postings files untouched BYTES after refresh."""
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    recs = _corpus(40)
+    for r in recs[:20]:
+        r["source"] = "stable/" + r["source"].split("/")[1]
+    eng.add(recs, NOW)
+    eng.build_lexical_index()
+
+    idx = eng._dir("_lexical_index")
+
+    def snap(sub, part):
+        d = os.path.join(idx, sub, f"part={part}")
+        out = []
+        for root, _, names in os.walk(d):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(root, n)
+                    out.append((os.path.relpath(p, d), os.path.getsize(p),
+                                os.path.getmtime(p)))
+        return tuple(sorted(out))
+
+    stable_before = (snap("postings", "stable"), snap("doc_stats", "stable"))
+    corp_before = snap("postings", "corp")
+
+    eng.add([{"text": "brand new corp doc about cache policy",
+              "source": "corp/cache", "embedding": mock_embed("x")}], LATER)
+    eng.refresh_lexical_index()
+
+    assert (snap("postings", "stable"), snap("doc_stats", "stable")) == stable_before
+    assert snap("postings", "corp") != corp_before
+    # and the refreshed index serves the new doc identically to inline
+    q = "brand new corp doc about cache policy"
+    assert _rows(hybrid_search(eng, q, k=5, auto_intent=False, now=LATER,
+                               lexical=True)) == _rows(
+        hybrid_search(eng, q, k=5, auto_intent=False, now=LATER))
+
+
+def test_empty_refresh_removes_meta(spark, tmp_path):
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(_corpus(12), NOW)
+    eng.build_lexical_index()
+    eng.delete_by_prefix("corp")
+    assert eng.lexical_index_meta() is None
+    out = eng.refresh_lexical_index()
+    assert out.get("empty") is True
+    assert eng.lexical_index_meta() is None  # fallback signal persists

@@ -75,3 +75,63 @@ def test_extract_scenario_runs_pipeline(spark, tmp_path):
 def test_unknown_scenario_rejected(store):
     with pytest.raises(ValueError):
         run_load(store, scenario="bogus")
+
+
+def test_query_choice_deterministic_across_concurrency(store, monkeypatch):
+    """The plan (op kind AND query index) is drawn single-threaded
+    before any worker starts, so the same seed yields the same query
+    sequence at ANY concurrency — worker threads never touch the RNG."""
+    seen: dict[int, list[int]] = {1: [], 4: []}
+    import memories_spark.loadtest as lt
+
+    for conc in (1, 4):
+        calls: list[int] = []
+        import memories_spark.search as search_mod
+
+        orig = search_mod.hybrid_search
+
+        def spy(engine, q, **kw):
+            calls.append(lt.SAMPLE_QUERIES.index(q))
+            return orig(engine, q, **kw)
+
+        monkeypatch.setattr(search_mod, "hybrid_search", spy)
+        run_load(store, scenario="search", concurrency=conc, ops=6, now=NOW, seed=3)
+        monkeypatch.setattr(search_mod, "hybrid_search", orig)
+        seen[conc] = sorted(calls)
+    assert seen[1] == seen[4] and len(seen[1]) == 6
+
+
+def test_storage_stays_flat_across_sequential_searches(store):
+    """Serving gate: >=50 sequential searches must leave executor
+    storage exactly as they found it — every per-call cache is
+    released after materialization (search.release_caches)."""
+    sc = store.spark.sparkContext
+
+    def cached_ids():
+        return {int(i.id()) for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_ids()
+    rep = run_load(store, scenario="search", concurrency=2, ops=50, now=NOW)
+    assert rep["errors"] == []
+    leaked = cached_ids() - before
+    assert not leaked, f"{len(leaked)} storage blocks leaked: {sorted(leaked)}"
+
+
+def test_release_frees_graph_path_checkpoint(store):
+    """The graph path adds an eager localCheckpoint whose blocks live
+    OUTSIDE the cache manager; release_caches must free those too."""
+    from memories_spark.search import hybrid_search, release_caches
+
+    sc = store.spark.sparkContext
+
+    def cached_ids():
+        return {int(i.id()) for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_ids()
+    df = hybrid_search(store, "service pattern requests", k=5,
+                       auto_intent=False, now=NOW, graph_weight=0.2)
+    df.collect()
+    assert cached_ids() - before  # the call did create storage blocks
+    release_caches(df)
+    leaked = cached_ids() - before
+    assert not leaked, f"graph-path blocks leaked: {sorted(leaked)}"
