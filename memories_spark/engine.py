@@ -1740,6 +1740,244 @@ class MemoriesEngine:
         summary["outcomes"] = outcomes
         return summary
 
+    def _import_smart_distributed(
+        self, valid: DataFrame, now: str, embed_fn=None,
+        dup_threshold: float = 0.95, novel_threshold: float = 0.80,
+        provider=None,
+    ) -> dict:
+        """:meth:`import_smart` semantics with record payloads kept
+        EXECUTOR-side end to end: embedding runs as an Arrow-batched
+        pandas_udf over the import DataFrame, the novelty check is the
+        same ONE batched top-1 cosine join, the accepted rows append
+        straight from the (persisted) import DataFrame — full record
+        payloads never reach the driver. Only per-record DECISION
+        scalars (index, outcome, match id, similarity) are collected,
+        plus the borderline rows' text/category when a ``provider``
+        must resolve them (the LLM boundary is driver-side by nature,
+        exactly like the reference's per-conflict call). A 10^7-record
+        import is therefore bounded by executor memory, not driver
+        heap — the previous path collected every record dict first.
+        """
+        from pyspark.sql.functions import pandas_udf
+
+        from memories_spark.operators.similarity import topk_cosine
+
+        summary: dict = {"added": 0, "skipped": 0, "replaced": 0, "outcomes": []}
+
+        # stable per-record index in input order (same order the old
+        # collect()-based path iterated)
+        rid_schema = T.StructType(
+            [T.StructField("rid", T.LongType())] + list(valid.schema.fields)
+        )
+        recs = self.spark.createDataFrame(
+            valid.rdd.zipWithIndex().map(lambda t: (t[1],) + tuple(t[0])), rid_schema
+        )
+        if embed_fn is not None:
+            @pandas_udf("array<float>")
+            def _embed(texts: pd.Series) -> pd.Series:
+                return texts.map(lambda t: [float(x) for x in embed_fn(t or "")])
+
+            recs = recs.withColumn("embedding", _embed(F.col("text")))
+        else:
+            recs = recs.withColumn(
+                "embedding", F.lit(None).cast("array<float>")
+            )
+        recs = recs.persist()
+        try:
+            n_records = recs.count()
+            if not n_records:
+                return summary
+
+            mem = self.table("memories").filter(F.col("embedding").isNotNull())
+            hits = None
+            if embed_fn is not None and mem.select("id").first() is not None:
+                queries = recs.filter(F.col("embedding").isNotNull()).select(
+                    F.col("rid").alias("query_id"),
+                    F.col("embedding").alias("query_vec"),
+                )
+                hits = (
+                    topk_cosine(
+                        mem.select(F.col("id").alias("vec_id"), "embedding"),
+                        queries,
+                        k=1,
+                        exclude_self=False,
+                    )
+                    .join(
+                        mem.select(
+                            F.col("id").alias("vec_id"),
+                            F.col("created_at").alias("match_created_at"),
+                        ),
+                        "vec_id",
+                    )
+                    .select(
+                        F.col("query_id").alias("rid"),
+                        F.col("vec_id").alias("match_id"),
+                        "sim",
+                        "match_created_at",
+                    )
+                )
+
+            base = recs.select("rid", "created_at")
+            if hits is not None:
+                base = base.join(hits, "rid", "left")
+            else:
+                base = base.select(
+                    "rid",
+                    "created_at",
+                    F.lit(None).cast("long").alias("match_id"),
+                    F.lit(None).cast("double").alias("sim"),
+                    F.lit(None).cast("timestamp").alias("match_created_at"),
+                )
+            incoming_at = F.coalesce(
+                F.col("created_at"), F.lit(now).cast("timestamp")
+            )
+            borderline_rule = (
+                F.lit("borderline")
+                if provider is not None
+                else F.when(
+                    incoming_at > F.col("match_created_at"), "replaced_newer"
+                ).otherwise("skipped_older")
+            )
+            decided = base.select(
+                "rid",
+                "match_id",
+                "sim",
+                F.when(
+                    F.col("sim").isNull() | (F.col("sim") < novel_threshold), "added"
+                )
+                .when(F.col("sim") >= dup_threshold, "skipped_duplicate")
+                .otherwise(borderline_rule)
+                .alias("decision"),
+            )
+            # ONLY scalar decision rows reach the driver
+            dec_rows = {
+                int(r.rid): r for r in decided.collect()
+            }
+
+            # provider resolution for borderline rows: collect text +
+            # category for exactly those (the LLM call needs them)
+            llm_actions: dict[int, str] = {}
+            if provider is not None:
+                bl = (
+                    recs.join(
+                        decided.filter(F.col("decision") == "borderline").select(
+                            "rid"
+                        ),
+                        "rid",
+                        "left_semi",
+                    )
+                    .select("rid", "text", "category")
+                    .collect()
+                )
+                for r in sorted(bl, key=lambda r: int(r.rid)):
+                    d = dec_rows[int(r.rid)]
+                    dec = provider.decide(
+                        {"text": r.text, "category": r.category or "detail",
+                         "directive": "FACT"},
+                        [{"id": int(d.match_id), "sim": float(d.sim)}],
+                        bands=(dup_threshold, novel_threshold),
+                    )
+                    llm_actions[int(r.rid)] = dec.get("action", "NOOP")
+
+            add_rids: list[int] = []
+            to_delete: list[int] = []
+            outcomes: list[dict] = []
+            for rid in sorted(dec_rows):
+                d = dec_rows[rid]
+                decision = d.decision
+                if decision == "added":
+                    add_rids.append(rid)
+                    summary["added"] += 1
+                    outcomes.append({"record": rid, "outcome": "added"})
+                elif decision == "skipped_duplicate":
+                    summary["skipped"] += 1
+                    outcomes.append(
+                        {"record": rid, "outcome": "skipped_duplicate",
+                         "match_id": int(d.match_id)}
+                    )
+                elif decision == "borderline":
+                    action = llm_actions.get(rid, "NOOP")
+                    if action == "UPDATE":
+                        to_delete.append(int(d.match_id))
+                        add_rids.append(rid)
+                        summary["replaced"] += 1
+                    elif action == "DELETE":
+                        to_delete.append(int(d.match_id))
+                        summary["deleted"] = summary.get("deleted", 0) + 1
+                    elif action in ("ADD", "CONFLICT"):
+                        add_rids.append(rid)
+                        summary["added"] += 1
+                    else:  # NOOP
+                        summary["skipped"] += 1
+                    outcomes.append(
+                        {"record": rid, "outcome": f"llm_{action.lower()}",
+                         "match_id": int(d.match_id), "sim": float(d.sim)}
+                    )
+                elif decision == "replaced_newer":
+                    to_delete.append(int(d.match_id))
+                    add_rids.append(rid)
+                    summary["replaced"] += 1
+                    outcomes.append(
+                        {"record": rid, "outcome": "replaced_newer",
+                         "match_id": int(d.match_id)}
+                    )
+                else:  # skipped_older
+                    summary["skipped"] += 1
+                    outcomes.append(
+                        {"record": rid, "outcome": "skipped_older",
+                         "match_id": int(d.match_id)}
+                    )
+            summary["outcomes"] = outcomes
+
+            if to_delete:
+                self.delete(to_delete)
+            if add_rids:
+                # distributed append with engine.add row semantics
+                # (created_at/updated_at stamped to now, flags
+                # defaulted, metadata carried) — payloads stay
+                # executor-side; the accepted-rid set is scalar
+                accept = self.spark.createDataFrame(
+                    [(int(r),) for r in add_rids], "rid long"
+                )
+                prepared = recs.join(F.broadcast(accept), "rid").select(
+                    "rid",
+                    "text",
+                    F.coalesce(F.col("source"), F.lit("")).alias("source"),
+                    F.lit(now).cast("timestamp").alias("created_at"),
+                    F.lit(now).cast("timestamp").alias("updated_at"),
+                    "document_at",
+                    F.lit(None).cast("timestamp").alias("last_reinforced_at"),
+                    "category",
+                    F.coalesce(F.col("pinned"), F.lit(False)).alias("pinned"),
+                    F.coalesce(F.col("archived"), F.lit(False)).alias("archived"),
+                    F.lit(True).alias("is_latest"),
+                    "supersedes",
+                    "conflicts_with",
+                    "entity_key",
+                    "previous_text",
+                    "embedding",
+                    F.when(F.size(F.map_keys(F.coalesce(
+                        F.col("metadata"), F.create_map().cast("map<string,string>")
+                    ))) > 0, F.col("metadata")).alias("metadata"),
+                )
+                offset = self._next_id(len(add_rids))
+                # ids follow input order (orderBy rid + zipWithIndex),
+                # matching the old list-based path's id assignment
+                rdd = (
+                    prepared.orderBy("rid")
+                    .drop("rid")
+                    .rdd.zipWithIndex()
+                    .map(lambda t: (offset + t[1],) + tuple(t[0]))
+                )
+                new_rows = self.spark.createDataFrame(rdd, MEMORY_SCHEMA)
+                self._append_memories(new_rows)
+                self._audit(
+                    "add", [offset + i for i in range(len(add_rids))], now
+                )
+        finally:
+            recs.unpersist()
+        return summary
+
     #: Import reads every exported field back (MEMORY_SCHEMA minus the
     #: instance-local id and the deliberately-stripped embedding).
     _IMPORT_FIELDS = [
@@ -1827,23 +2065,22 @@ class MemoriesEngine:
             valid = valid.withColumn("source", remapped.otherwise(src))
 
         if strategy in ("smart", "smart+extract"):
-            records = [r.asDict(recursive=True) for r in valid.collect()]
-            for r in records:
-                for k in ("created_at", "updated_at", "document_at"):
-                    if r.get(k) is not None:
-                        r[k] = str(r[k])
             # exports strip embeddings, so smart-import novelty needs
             # the caller's embedder to score incoming texts against
             # the corpus (the reference re-embeds on every add)
-            s = self.import_smart(
-                records, now, embed_fn=embed_fn,
+            s = self._import_smart_distributed(
+                valid, now, embed_fn=embed_fn,
                 provider=provider if strategy == "smart+extract" else None,
             )
-            result["imported"] = s["added"]
+            # reference counts replaced rows in BOTH imported and
+            # updated (_import_smart routes them through novel_texts,
+            # memory_engine.py:2618-2636)
+            result["imported"] = s["added"] + s["replaced"]
             result["skipped"] = s["skipped"]
             result["updated"] = s["replaced"]
             if strategy == "smart+extract":
                 result["extraction"] = s["outcomes"]
+                result["deleted"] = s.get("deleted", 0)
             return result
         if strategy != "add":
             result["errors"].append({"line": 0, "error": f"Unknown strategy: {strategy}"})

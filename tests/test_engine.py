@@ -304,6 +304,59 @@ def test_import_add_never_collects_records(engine, tmp_path, spark, monkeypatch)
     assert eng2.count() == 5
 
 
+def test_import_smart_never_collects_record_payloads(tmp_path, spark, monkeypatch):
+    """Smart import at 10^4 records: record payloads stay executor-side
+    (the round-4 defect: the smart path collected EVERY record dict to
+    the driver before classifying). Only per-record decision scalars —
+    and, with a provider, the borderline rows' text — may be
+    collected, so no collected row may ever be record-width."""
+    import json
+
+    from memories_spark.extraction import mock_embed
+
+    n = 10_000
+    src_dir = tmp_path / "bigimp"
+    src_dir.mkdir()
+    (src_dir / "_header.json").write_text(json.dumps({"_header": True}))
+    with open(src_dir / "part-0.json", "w") as f:
+        for i in range(n):
+            f.write(json.dumps({
+                "text": f"bulk fact {i} about subsystem {i % 97}",
+                "source": f"bulk/{i % 8}",
+            }) + "\n")
+
+    dst = MemoriesEngine(spark, str(tmp_path / "bigdst"))
+    dst.add([{"text": "bulk fact 0 about subsystem 0", "source": "bulk/0",
+              "embedding": mock_embed("bulk fact 0 about subsystem 0")}], NOW)
+
+    DataFrame = type(dst.table("memories"))
+    orig_collect = DataFrame.collect
+    MAX_WIDTH = 6  # decision scalars / borderline (rid, text, category)
+
+    def narrow_only(df):
+        rows = orig_collect(df)
+        assert not rows or len(rows[0]) <= MAX_WIDTH, (
+            f"smart import collected record-width rows: {df.columns}"
+        )
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", narrow_only)
+    result = dst.import_ndjson(
+        str(src_dir), LATER, strategy="smart", create_backup=False,
+        embed_fn=mock_embed,
+    )
+    monkeypatch.undo()
+    assert result["errors"] == []
+    # the exact seed restatement is skipped as a duplicate; everything
+    # else is novel
+    assert result["skipped"] >= 1
+    assert result["imported"] + result["skipped"] == n
+    # every borderline record matches the single seed (batch
+    # decisions against the pre-import corpus, same as the old path),
+    # so replacements delete exactly ONE distinct row
+    assert dst.count() == 1 + result["imported"] - (1 if result["updated"] else 0)
+
+
 def test_import_pre_backup_and_source_remap_longest_first(engine, tmp_path, spark):
     out = str(tmp_path / "exp4")
     engine.export_ndjson(out)
@@ -544,7 +597,10 @@ def test_import_smart_extract_llm_resolves_borderline(spark, tmp_path):
         out, LATER, strategy="smart+extract", create_backup=False,
         provider=MockProvider(), embed_fn=mock_embed,
     )
-    assert result["updated"] == 1 and result["imported"] == 1
+    # reference counts replaced rows in BOTH imported and updated
+    # (_import_smart routes them through novel_texts, :2618-2636)
+    assert result["updated"] == 1 and result["imported"] == 2
+    assert result["deleted"] == 0
     outcomes = {o["record"]: o["outcome"] for o in result["extraction"]}
     assert sorted(outcomes.values()) == ["added", "llm_update"]
     texts = {r.text for r in dst.table("memories").collect()}
