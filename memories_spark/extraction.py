@@ -36,16 +36,32 @@ AUTO_LINK_K = 3       # reference C8, llm_extract.py:730-772
 EMBED_DIM = 32
 
 #: Per-source-prefix extraction profile knobs with these defaults
-#: (reference extraction_profiles.py:7-19 DEFAULTS — mode/rules are
-#: prompt-side there; the observable knobs under a mocked provider
-#: are the caps and the AUDN similarity bands).
+#: (reference extraction_profiles.py:7-19 DEFAULTS). ``mode``
+#: ("standard"/"aggressive") is prompt-side in the reference — it
+#: reaches the provider so a profile can select the aggressive
+#: prompt; ``single_call`` fuses extract + AUDN into ONE provider
+#: call with degraded semantics (reference llm_extract.py:463-533,
+#: dispatch :863-875).
 PROFILE_DEFAULTS = {
+    "mode": "standard",
     "max_facts": MAX_FACTS,
     "max_fact_chars": MAX_FACT_CHARS,
     "sim_noop": SIM_NOOP,
     "sim_update": SIM_UPDATE,
+    "single_call": False,
     "enabled": True,
 }
+
+
+def _stage_usage(inp: str, out_texts: list[str]) -> dict:
+    """Deterministic whitespace-token usage estimate for one provider
+    stage (the reference reports provider-metered counts,
+    llm_extract.py:449; under a deterministic provider the estimate
+    keeps the same stage-keyed accounting shape testable)."""
+    return {
+        "input": len(inp.split()),
+        "output": sum(len(t.split()) for t in out_texts),
+    }
 
 
 def resolve_profile(profiles: list[dict] | None, source: str) -> dict:
@@ -90,13 +106,22 @@ class Provider(Protocol):
     ``bands`` carries the resolved profile's (sim_noop, sim_update)
     AUDN thresholds — the reference passes the profile into the
     prompt (llm_extract.py:820-860); a deterministic provider applies
-    the bands directly."""
+    the bands directly. ``mode`` is the profile's prompt selector
+    ("standard"/"aggressive", reference extraction_profiles.py:8 +
+    llm_extract.py:853-855). ``extract_and_decide`` is the optional
+    single-call fusion (reference extract_and_decide_single_call,
+    llm_extract.py:494-533): one call returning fused fact+action
+    dicts, ADD/NOOP only."""
 
-    def extract_facts(self, transcript: str) -> list[dict]: ...
+    def extract_facts(self, transcript: str, mode: str = "standard") -> list[dict]: ...
 
     def decide(
         self, fact: dict, similar: list[dict], bands: tuple[float, float] | None = None
     ) -> dict: ...
+
+    def extract_and_decide(
+        self, transcript: str, max_facts: int = MAX_FACTS, mode: str = "standard"
+    ) -> list[dict]: ...
 
 
 @dataclass
@@ -110,8 +135,12 @@ class MockProvider:
     """
 
     calls: list = field(default_factory=list)
+    #: profile ``mode`` values observed per extract call (pins that the
+    #: resolved profile's mode reaches the provider)
+    modes: list = field(default_factory=list)
 
-    def extract_facts(self, transcript: str) -> list[dict]:
+    def extract_facts(self, transcript: str, mode: str = "standard") -> list[dict]:
+        self.modes.append(mode)
         facts = []
         for line in transcript.splitlines():
             line = line.strip()
@@ -144,6 +173,39 @@ class MockProvider:
         if top >= sim_update:
             return {"action": "UPDATE", "target_id": similar[0]["id"]}
         return {"action": "ADD", "target_id": None}
+
+    def extract_and_decide(
+        self, transcript: str, max_facts: int = MAX_FACTS, mode: str = "standard"
+    ) -> list[dict]:
+        """Single-call fusion (reference extract_and_decide_single_call,
+        llm_extract.py:494-533): ONE provider call, no memory context —
+        so only ADD and NOOP are possible, and a directive that needs
+        memory context (DELETE:/CONFLICT:) is DEMOTED to ADD exactly
+        like the reference demotes UPDATE/DELETE/CONFLICT actions the
+        model returns anyway (:526-528). A ``NOOP:`` directive models
+        the 'generic knowledge' skip."""
+        self.modes.append(mode)
+        self.calls.append(("<single_call>", 0))
+        actions = []
+        for line in transcript.splitlines():
+            line = line.strip()
+            if not line.startswith(("FACT:", "DELETE:", "CONFLICT:", "NOOP:")):
+                continue
+            kind, _, body = line.partition(":")
+            body = body.strip()[:MAX_FACT_CHARS]
+            category = "detail"
+            if "|" in body:
+                body, _, cat = body.rpartition("|")
+                body, cat = body.strip(), cat.strip()
+                category = cat if cat in CATEGORIES else "detail"
+            actions.append(
+                {
+                    "action": "NOOP" if kind == "NOOP" else "ADD",
+                    "text": body,
+                    "category": category,
+                }
+            )
+        return actions[:max_facts]
 
 
 def _similar_topk(engine: MemoriesEngine, facts: list[dict], k: int = 5) -> dict[int, list[dict]]:
@@ -184,6 +246,7 @@ def run_extraction(
     now: str,
     dry_run: bool = False,
     profiles: list[dict] | None = None,
+    debug: bool = False,
 ) -> dict:
     """Execute the AUDN pipeline (reference run_extraction,
     llm_extract.py:820-1053; action rules :534-693).
@@ -195,8 +258,17 @@ def run_extraction(
 
     The source's longest-prefix extraction profile (reference
     llm_extract.py:820-860 + extraction_profiles.py:68-113) sets the
-    fact caps and the AUDN similarity bands; ``profiles`` is the
-    config list (see :func:`resolve_profile`).
+    fact caps, the AUDN similarity bands, the prompt ``mode`` (passed
+    through to the provider, reference extraction_profiles.py:8) and
+    the ``single_call`` dispatch: when set, extract + AUDN fuse into
+    ONE provider call with DEGRADED semantics — no memory context, so
+    only ADD/NOOP actions, no similar-memory lookup, no auto-linking
+    (reference llm_extract.py:463-533, dispatch :863-875; its
+    single-call result pins links_created=[]). Stage-keyed token
+    estimates land in ``summary["tokens"]`` (``extract``/``audn`` or
+    ``single_call``). ``debug=True`` adds the reference's per-stage
+    trace (llm_extract.py:994-1046): extracted facts, per-decision
+    similar memories + resulting ids, and an execution summary.
 
     Write path is BATCHED — O(1) write jobs per extraction, never
     O(facts): the protection lookup reads only the ≤max_facts DELETE/
@@ -214,16 +286,57 @@ def run_extraction(
                 "noop": 0, "conflict": 0, "blocked": 0, "decisions": [],
                 "new_ids": [], "disabled": True}
     max_chars = int(prof["max_fact_chars"])
+    mode = str(prof.get("mode", "standard"))
     bands = (float(prof["sim_noop"]), float(prof["sim_update"]))
-    facts = [
-        {**f, "text": f["text"][:max_chars]}
-        for f in provider.extract_facts(transcript)[: int(prof["max_facts"])]
-    ]
-    similar = _similar_topk(engine, facts)
-    decisions = [provider.decide(f, similar[i], bands) for i, f in enumerate(facts)]
+
+    if prof.get("single_call"):
+        # ONE fused provider call; no memory context -> ADD/NOOP only
+        # (anything else the provider returns is demoted to ADD,
+        # reference llm_extract.py:526-528), no similar lookup, no
+        # auto-linking
+        fused = provider.extract_and_decide(
+            transcript, max_facts=int(prof["max_facts"]), mode=mode
+        )[: int(prof["max_facts"])]
+        facts = [
+            {"text": a.get("text", "")[:max_chars],
+             "category": a.get("category") if a.get("category") in CATEGORIES
+             else "detail",
+             "directive": "FACT"}
+            for a in fused
+        ]
+        decisions = [
+            {"action": a.get("action") if a.get("action") in ("ADD", "NOOP")
+             else "ADD", "target_id": None}
+            for a in fused
+        ]
+        similar = {i: [] for i in range(len(facts))}
+        tokens = {
+            "single_call": _stage_usage(transcript, [f["text"] for f in facts])
+        }
+    else:
+        try:
+            raw_facts = provider.extract_facts(transcript, mode=mode)
+        except TypeError:  # provider predates the mode pass-through
+            raw_facts = provider.extract_facts(transcript)
+        facts = [
+            {**f, "text": f["text"][:max_chars]}
+            for f in raw_facts[: int(prof["max_facts"])]
+        ]
+        similar = _similar_topk(engine, facts)
+        decisions = [
+            provider.decide(f, similar[i], bands) for i, f in enumerate(facts)
+        ]
+        tokens = {
+            "extract": _stage_usage(transcript, [f["text"] for f in facts]),
+            "audn": {
+                "input": sum(len(f["text"].split()) for f in facts)
+                + sum(len(s) for s in similar.values()),
+                "output": len(decisions),
+            },
+        }
     summary = {"extracted": len(facts), "added": 0, "updated": 0,
                "deleted": 0, "noop": 0, "conflict": 0, "blocked": 0,
-               "decisions": decisions, "new_ids": []}
+               "decisions": decisions, "new_ids": [], "tokens": tokens}
     if dry_run:
         return summary
 
@@ -327,6 +440,53 @@ def run_extraction(
         engine.delete(sorted(set(delete_targets)), now)
     if pending_links:
         engine.add_links(pending_links, now)
+
+    if debug:
+        # per-stage trace (reference llm_extract.py:994-1046): what was
+        # extracted, what each decision saw, which ids resulted
+        fact_new_id = dict(zip(new_row_facts, new_ids))
+        audn_trace = []
+        upd_entries, del_ids, added_ids = [], [], []
+        for i, (fact, dec) in enumerate(zip(facts, decisions)):
+            entry: dict = {
+                "fact_index": i,
+                "action": dec["action"],
+                "similar_memories": similar[i],
+            }
+            tid = dec.get("target_id")
+            if dec["action"] == "NOOP":
+                entry["existing_id"] = tid
+            elif dec["action"] == "DELETE":
+                entry["old_id"] = tid
+                if tid is not None and int(tid) in delete_targets:
+                    del_ids.append(int(tid))
+                else:
+                    entry["blocked"] = True
+            elif dec["action"] == "UPDATE":
+                entry["old_id"] = tid
+                entry["new_id"] = fact_new_id.get(i)
+                upd_entries.append({"old": tid, "new": fact_new_id.get(i)})
+            elif dec["action"] == "CONFLICT":
+                entry["new_id"] = fact_new_id.get(i)
+                entry["conflicts_with"] = tid
+            else:  # ADD
+                entry["new_id"] = fact_new_id.get(i)
+                if fact_new_id.get(i) is not None:
+                    added_ids.append(fact_new_id[i])
+            audn_trace.append(entry)
+        summary["debug_trace"] = {
+            "extracted_facts": [
+                {"text": f["text"], "category": f["category"]} for f in facts
+            ],
+            "audn_decisions": audn_trace,
+            "execution_summary": {
+                "added": added_ids,
+                "updated": upd_entries,
+                "deleted": del_ids,
+                "noops": summary["noop"],
+                "conflicts": summary["conflict"],
+            },
+        }
     return summary
 
 

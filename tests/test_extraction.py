@@ -266,3 +266,136 @@ def test_extraction_writes_are_batched_and_bounded(spark, tmp_path, monkeypatch)
     # actions really landed
     assert eng.get([396]).collect()[0].archived is True  # updated row
     assert eng.get([398]).count() == 0  # deleted
+
+
+# ---------------------------------------------------------------------
+# Single-call extraction mode (reference extraction_profiles.py:12 +
+# llm_extract.py:494-533, dispatch :863-875; test twin of the
+# reference's tests/test_single_call_extraction.py)
+# ---------------------------------------------------------------------
+
+
+def test_single_call_returns_add_noop_only():
+    """The fused call has no memory context: DELETE/CONFLICT
+    directives are DEMOTED to ADD (reference demotes UPDATE/DELETE/
+    CONFLICT to ADD, llm_extract.py:526-528); NOOP models the
+    generic-knowledge skip."""
+    p = MockProvider()
+    actions = p.extract_and_decide(
+        "FACT: alpha | decision\nDELETE: beta\nCONFLICT: gamma\nNOOP: delta\n"
+    )
+    assert [a["action"] for a in actions] == ["ADD", "ADD", "ADD", "NOOP"]
+    assert [a["text"] for a in actions] == ["alpha", "beta", "gamma", "delta"]
+    assert actions[0]["category"] == "decision"
+
+
+def test_single_call_profile_dispatch_one_provider_call(engine):
+    """A single_call profile must route through extract_and_decide
+    exactly once: no extract_facts call, no decide calls, no
+    similar-memory lookup, ADD/NOOP outcomes only, token accounting
+    under the single_call stage key."""
+    p = MockProvider()
+    s = run_extraction(
+        engine,
+        "FACT: the api uses port 7443\nNOOP: water is wet\nFACT: novel cadence fact",
+        p, "proj/net", LATER,
+        profiles=[{"source_prefix": "proj/", "single_call": True}],
+    )
+    # exactly ONE provider interaction, the fused one
+    assert p.calls == [("<single_call>", 0)]
+    assert p.modes == ["standard"]
+    # degraded semantics: the near-duplicate "port 7443" fact is ADDED
+    # (no memory context -> no NOOP-by-similarity), the NOOP directive
+    # noops, nothing updates/deletes/conflicts
+    assert s["added"] == 2 and s["noop"] == 1
+    assert s["updated"] == 0 and s["deleted"] == 0 and s["conflict"] == 0
+    assert set(s["tokens"]) == {"single_call"}
+    assert s["tokens"]["single_call"]["input"] > 0
+    # no auto-linking in single-call mode (reference pins
+    # links_created == [])
+    for nid in s["new_ids"]:
+        assert engine.get_links(nid, "out").count() == 0
+
+
+def test_single_call_outcomes_recorded_and_stored(engine):
+    p = MockProvider()
+    before = engine.count()
+    s = run_extraction(
+        engine, "FACT: brand new single call fact", p, "proj/x", LATER,
+        profiles=[{"source_prefix": "proj/", "single_call": True}],
+    )
+    assert [d["action"] for d in s["decisions"]] == ["ADD"]
+    assert engine.count() == before + 1
+    row = engine.get(s["new_ids"]).collect()[0]
+    assert row.text == "brand new single call fact"
+
+
+def test_two_stage_tokens_stage_keyed(engine):
+    p = MockProvider()
+    s = run_extraction(engine, "FACT: some new fact", p, "proj/x", LATER)
+    assert set(s["tokens"]) == {"extract", "audn"}
+    assert s["tokens"]["extract"]["input"] == 4  # whitespace tokens
+    assert s["tokens"]["audn"]["output"] == 1
+
+
+def test_profile_mode_reaches_provider(engine):
+    """Task: the resolved profile's mode must reach the provider
+    (reference extraction_profiles.py:8 — prompt-side knob)."""
+    p = MockProvider()
+    run_extraction(
+        engine, "FACT: mode test fact", p, "proj/net", LATER,
+        profiles=[{"source_prefix": "proj/net", "mode": "aggressive"}],
+    )
+    assert p.modes == ["aggressive"]
+    p2 = MockProvider()
+    run_extraction(engine, "FACT: default mode fact two", p2, "other/src", LATER)
+    assert p2.modes == ["standard"]
+
+
+def test_legacy_provider_without_mode_kw_still_works(engine):
+    """Providers predating the mode pass-through (extract_facts without
+    the keyword) must keep working via the TypeError fallback."""
+
+    class LegacyProvider:
+        def extract_facts(self, transcript):
+            return [{"text": "legacy fact", "category": "detail",
+                     "directive": "FACT"}]
+
+        def decide(self, fact, similar, bands=None):
+            return {"action": "ADD", "target_id": None}
+
+    s = run_extraction(engine, "anything", LegacyProvider(), "proj/x", LATER)
+    assert s["added"] == 1
+
+
+def test_debug_trace_shape(engine):
+    """debug=True returns the reference's per-stage trace
+    (llm_extract.py:994-1046): extracted facts, per-decision similar
+    memories + resulting ids, execution summary."""
+    p = MockProvider()
+    s = run_extraction(
+        engine,
+        "FACT: the api uses port 7443\nFACT: wholly novel debug fact\n"
+        "DELETE: pinned secret fact",
+        p, "proj/net", LATER, debug=True,
+    )
+    tr = s["debug_trace"]
+    assert [f["text"] for f in tr["extracted_facts"]] == [
+        "the api uses port 7443", "wholly novel debug fact",
+        "pinned secret fact",
+    ]
+    by_idx = {e["fact_index"]: e for e in tr["audn_decisions"]}
+    assert by_idx[0]["action"] == "NOOP" and by_idx[0]["existing_id"] == 0
+    assert by_idx[0]["similar_memories"][0]["id"] == 0
+    assert by_idx[1]["action"] == "ADD" and by_idx[1]["new_id"] in s["new_ids"]
+    # the pinned DELETE target is blocked, and the trace says so
+    assert by_idx[2]["action"] == "DELETE" and by_idx[2].get("blocked") is True
+    ex = tr["execution_summary"]
+    assert ex["added"] == [by_idx[1]["new_id"]]
+    assert ex["deleted"] == [] and ex["noops"] == 1 and ex["conflicts"] == 0
+
+
+def test_no_debug_trace_by_default(engine):
+    p = MockProvider()
+    s = run_extraction(engine, "FACT: trace-free fact", p, "proj/x", LATER)
+    assert "debug_trace" not in s
