@@ -892,3 +892,16 @@ def test_bm25_indexed_pushes_term_filter(spark, sf_dir):
     is reading the whole postings table per query."""
     p = plan(QUERIES["bm25_topk_indexed"].fn(spark, sf_dir))
     assert "PushedFilters" in p and "In(term" in p, p
+
+
+def test_hybrid_indexed_never_tokenizes_corpus(spark, sf_dir):
+    """hybrid_rrf_search_indexed's lexical branch reads the persisted
+    postings with the In(term) predicate pushed down and must contain
+    NO corpus tokenization (the inline hybrid's split(lower(trim(text)))
+    stage) — the whole point of the persisted index."""
+    p = plan(QUERIES["hybrid_rrf_search_indexed"].fn(spark, sf_dir))
+    assert "PushedFilters" in p and "In(term" in p, p
+    assert "split(lower(trim(text" not in p, p
+    # the inline flagship DOES tokenize — the gate discriminates
+    p_inline = plan(QUERIES["hybrid_rrf_search"].fn(spark, sf_dir))
+    assert "split(lower(trim(text" in p_inline, p_inline
