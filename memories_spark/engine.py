@@ -1775,7 +1775,14 @@ class MemoriesEngine:
         if embed_fn is not None:
             @pandas_udf("array<float>")
             def _embed(texts: pd.Series) -> pd.Series:
-                return texts.map(lambda t: [float(x) for x in embed_fn(t or "")])
+                def one(t):
+                    # embed_fn may decline a text (None) — such records
+                    # skip the novelty join and import as novel, same
+                    # as the old list-based path
+                    e = embed_fn(t or "")
+                    return [float(x) for x in e] if e is not None else None
+
+                return texts.map(one)
 
             recs = recs.withColumn("embedding", _embed(F.col("text")))
         else:

@@ -18,6 +18,7 @@ mutations (Delta MERGE batches in production).
 from __future__ import annotations
 
 import hashlib
+import inspect
 import math
 from dataclasses import dataclass, field
 from typing import Protocol
@@ -314,10 +315,22 @@ def run_extraction(
             "single_call": _stage_usage(transcript, [f["text"] for f in facts])
         }
     else:
+        # signature inspection, not try/except TypeError: a TypeError
+        # raised INSIDE a mode-aware provider must not trigger a
+        # second (billed, side-effecting) call
         try:
-            raw_facts = provider.extract_facts(transcript, mode=mode)
-        except TypeError:  # provider predates the mode pass-through
-            raw_facts = provider.extract_facts(transcript)
+            sig = inspect.signature(provider.extract_facts)
+            accepts_mode = "mode" in sig.parameters or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in sig.parameters.values()
+            )
+        except (TypeError, ValueError):  # builtins/C callables: assume new
+            accepts_mode = True
+        raw_facts = (
+            provider.extract_facts(transcript, mode=mode)
+            if accepts_mode
+            else provider.extract_facts(transcript)
+        )
         facts = [
             {**f, "text": f["text"][:max_chars]}
             for f in raw_facts[: int(prof["max_facts"])]
@@ -338,6 +351,21 @@ def run_extraction(
                "deleted": 0, "noop": 0, "conflict": 0, "blocked": 0,
                "decisions": decisions, "new_ids": [], "tokens": tokens}
     if dry_run:
+        if debug:
+            # pre-execution trace: everything is already computed at
+            # this point except resulting ids (nothing executes)
+            summary["debug_trace"] = {
+                "extracted_facts": [
+                    {"text": f["text"], "category": f["category"]} for f in facts
+                ],
+                "audn_decisions": [
+                    {"fact_index": i, "action": d["action"],
+                     "target_id": d.get("target_id"),
+                     "similar_memories": similar[i]}
+                    for i, d in enumerate(decisions)
+                ],
+                "execution_summary": None,  # dry run: nothing executed
+            }
         return summary
 
     # ONE bounded lookup: just the ≤2*max_facts target rows — the

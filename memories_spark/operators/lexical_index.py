@@ -35,8 +35,13 @@ reads the (already tokenized, much smaller) postings, not the corpus.
 
 Staleness: the meta pins the store's table version; consumers compare
 and fall back to the inline full-corpus build after any mutation, so
-results are never silently stale. A refresh that leaves the store
-empty removes the meta — which IS the fallback signal.
+results are never silently stale. An emptied store refreshes to an
+EMPTY index (all partitions dropped, empty globals) that serves
+exactly what the inline build would — zero lexical rows — and resumes
+incremental maintenance when documents return. The meta is always the
+LAST artifact written (build renames a fully-populated tmp dir into
+place; refresh rewrites meta after every swap), so a crashed build or
+refresh can never leave a fresh-looking meta over missing tables.
 """
 
 from __future__ import annotations
@@ -121,10 +126,17 @@ def build_lexical(
 ) -> dict:
     """Full build: tokenize the whole corpus once, persist all four
     tables, pin version + folder signatures. ``docs`` may carry a
-    ``part`` column (the store folder) for incremental maintenance."""
+    ``part`` column (the store folder) for incremental maintenance.
+
+    Everything — including the derived global tables AND the meta —
+    lands in a tmp dir first; the atomic rename is the LAST step, so
+    an interrupted build can never leave a meta that reads as fresh
+    while term_idf/corpus are missing (readers would crash instead of
+    falling back)."""
     tmp = f"{index_dir}.tmp-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
     _write_per_doc(docs, id_col, text_col, tmp)
+    _write_globals(spark, tmp, uuid.uuid4().hex[:8])
     meta = {
         "version": int(version),
         "format_version": FORMAT_VERSION,
@@ -135,7 +147,6 @@ def build_lexical(
     if os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
     os.rename(tmp, index_dir)
-    _write_globals(spark, index_dir, uuid.uuid4().hex[:8])
     return meta
 
 
@@ -157,14 +168,20 @@ def refresh_lexical(
     then re-derive the global idf/corpus tables from the merged
     postings and pin the new version + signatures.
 
-    If the refresh leaves no live documents, the meta is removed so
-    consumers take the inline-build fallback."""
+    A store that went EMPTY is just the all-folders-removed case:
+    every partition is dropped, the globals re-derive to empty tables,
+    and the meta stays pinned — serving from the empty-fresh index
+    equals the inline build over the empty store (zero BM25 rows), and
+    the NEXT refresh resumes incrementally when documents return
+    (removing the meta here would strand maintenance on a ValueError).
+
+    In-flight readers never race the swaps: the mutation that made a
+    refresh necessary already bumped the table version, so every
+    reader is on the inline fallback for the whole refresh — the meta
+    written LAST is what routes them back."""
     meta = read_meta(index_dir)
     if meta is None:
         raise ValueError(f"no lexical index at {index_dir} to refresh")
-    if not folder_sigs:
-        os.remove(os.path.join(index_dir, "meta.json"))
-        return {"empty": True, "version": int(version)}
 
     touched = sorted(set(changed) | set(removed))
     if touched:

@@ -110,9 +110,12 @@ def longmemeval_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter((F.col("doc_id") < _Q_N) & (F.size("toks") >= _QTOK))
         .select(F.col("doc_id").alias("qid"), F.slice("toks", 1, _QTOK).alias("qt"))
     )
+    # guarded: sequence(1, 0) would be the DESCENDING [1, 0] on a
+    # 1-token input and element_at(c, 2) then throws (short-doc family)
     bigrams = (
-        "transform(sequence(1, size({c}) - 1), "
-        "i -> concat(element_at({c}, i), ' ', element_at({c}, i + 1)))"
+        "CASE WHEN size({c}) >= 2 THEN transform(sequence(1, size({c}) - 1), "
+        "i -> concat(element_at({c}, i), ' ', element_at({c}, i + 1))) "
+        "ELSE CAST(array() AS array<string>) END"
     )
     qbig = (
         queries.select("qid", F.explode(F.expr(bigrams.format(c="qt"))).alias("bg"))
@@ -266,9 +269,13 @@ def musique_multihop_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter((F.col("doc_id") < _Q_N) & (F.size("toks") >= _QTOK))
         .select(F.col("doc_id").alias("qid"), F.slice("toks", 1, _QTOK).alias("qt"))
     )
+    # guarded like longmemeval's: dbig runs over UNFILTERED docs, and a
+    # <=1-token document would hit the descending sequence(1,0) +
+    # element_at out-of-bounds crash (short-doc family)
     bigrams = (
-        "transform(sequence(1, size({c}) - 1), "
-        "i -> concat(element_at({c}, i), ' ', element_at({c}, i + 1)))"
+        "CASE WHEN size({c}) >= 2 THEN transform(sequence(1, size({c}) - 1), "
+        "i -> concat(element_at({c}, i), ' ', element_at({c}, i + 1))) "
+        "ELSE CAST(array() AS array<string>) END"
     )
     qbig = (
         queries.select("qid", F.explode(F.expr(bigrams.format(c="qt"))).alias("bg"))

@@ -681,3 +681,37 @@ def test_import_smart_passes_thresholds_as_bands(spark, tmp_path):
         provider=RecordingProvider(),
     )
     assert seen == [(0.99, 0.5)]
+
+
+def test_import_smart_tolerates_declining_embedder(spark, tmp_path):
+    """An embed_fn may return None for a text it cannot embed (the old
+    list-based path's supported case): such records must import as
+    novel instead of crashing the Arrow embed stage."""
+    import json
+
+    from memories_spark.extraction import mock_embed
+
+    src_dir = tmp_path / "declimp"
+    src_dir.mkdir()
+    (src_dir / "_header.json").write_text(json.dumps({"_header": True}))
+    with open(src_dir / "part-0.json", "w") as f:
+        f.write(json.dumps({"text": "embeddable note", "source": "d/a"}) + "\n")
+        f.write(json.dumps({"text": "SKIPME opaque blob", "source": "d/b"}) + "\n")
+
+    dst = MemoriesEngine(spark, str(tmp_path / "decldst"))
+    dst.add([{"text": "embeddable note", "source": "d/a",
+              "embedding": mock_embed("embeddable note")}], NOW)
+
+    def picky_embed(t):
+        return None if t.startswith("SKIPME") else mock_embed(t)
+
+    result = dst.import_ndjson(
+        str(src_dir), LATER, strategy="smart", create_backup=False,
+        embed_fn=picky_embed,
+    )
+    assert result["errors"] == []
+    # the exact restatement is skipped; the unembeddable record is
+    # imported as novel (None embedding skips the novelty join)
+    assert result["skipped"] == 1 and result["imported"] == 1
+    texts = {r.text for r in dst.table("memories").collect()}
+    assert "SKIPME opaque blob" in texts

@@ -399,3 +399,41 @@ def test_no_debug_trace_by_default(engine):
     p = MockProvider()
     s = run_extraction(engine, "FACT: trace-free fact", p, "proj/x", LATER)
     assert "debug_trace" not in s
+
+
+def test_mode_aware_provider_internal_typeerror_not_retried(engine):
+    """A TypeError raised INSIDE a mode-aware provider must propagate,
+    not trigger a second (billed, side-effecting) extract call — the
+    legacy-signature fallback is decided by signature inspection."""
+
+    class BuggyProvider:
+        def __init__(self):
+            self.n_calls = 0
+
+        def extract_facts(self, transcript, mode="standard"):
+            self.n_calls += 1
+            raise TypeError("bug inside the provider body")
+
+        def decide(self, fact, similar, bands=None):
+            return {"action": "ADD", "target_id": None}
+
+    p = BuggyProvider()
+    with pytest.raises(TypeError, match="inside the provider"):
+        run_extraction(engine, "FACT: x", p, "proj/x", LATER)
+    assert p.n_calls == 1
+
+
+def test_dry_run_debug_returns_pre_execution_trace(engine):
+    p = MockProvider()
+    s = run_extraction(
+        engine, "FACT: the api uses port 7443\nFACT: novel dry debug fact",
+        p, "proj/net", LATER, dry_run=True, debug=True,
+    )
+    tr = s["debug_trace"]
+    assert [f["text"] for f in tr["extracted_facts"]] == [
+        "the api uses port 7443", "novel dry debug fact"]
+    by_idx = {e["fact_index"]: e for e in tr["audn_decisions"]}
+    assert by_idx[0]["action"] == "NOOP"
+    assert by_idx[0]["similar_memories"][0]["id"] == 0
+    assert tr["execution_summary"] is None  # nothing executed
+    assert engine.count() == 3  # dry run mutated nothing

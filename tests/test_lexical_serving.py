@@ -208,12 +208,43 @@ def test_refresh_touches_only_changed_folders(spark, tmp_path):
         hybrid_search(eng, q, k=5, auto_intent=False, now=LATER))
 
 
-def test_empty_refresh_removes_meta(spark, tmp_path):
+def test_empty_store_refresh_serves_empty_then_resumes(spark, tmp_path):
+    """A store that went empty refreshes to an EMPTY index (all
+    partitions dropped, empty globals) whose results equal the inline
+    build — and the NEXT refresh resumes incremental maintenance when
+    documents return (removing the meta would strand maintenance on
+    ValueError, the round-5 review finding)."""
     eng = MemoriesEngine(spark, str(tmp_path / "store"))
     eng.add(_corpus(12), NOW)
     eng.build_lexical_index()
     eng.delete_by_prefix("corp")
-    assert eng.lexical_index_meta() is None
-    out = eng.refresh_lexical_index()
-    assert out.get("empty") is True
-    assert eng.lexical_index_meta() is None  # fallback signal persists
+    assert eng.lexical_index_meta() is None  # stale after the delete
+    eng.refresh_lexical_index()
+    assert eng.lexical_index_meta() is not None  # fresh AND empty
+    q = "cache subsystem policy"
+    assert _rows(hybrid_search(eng, q, k=5, auto_intent=False, now=NOW,
+                               lexical=True)) == _rows(
+        hybrid_search(eng, q, k=5, auto_intent=False, now=NOW)) == []
+    # stale postings are actually gone from disk
+    idx = eng._dir("_lexical_index")
+    assert not [e for e in os.listdir(os.path.join(idx, "postings"))
+                if e.startswith("part=")]
+    # documents return: the same refresh path resumes incrementally
+    eng.add(_corpus(8), LATER)
+    eng.refresh_lexical_index()
+    assert eng.lexical_index_meta() is not None
+    got = _rows(hybrid_search(eng, q, k=5, auto_intent=False, now=LATER,
+                              lexical=True))
+    assert got == _rows(hybrid_search(eng, q, k=5, auto_intent=False, now=LATER))
+    assert got  # the re-added corpus is served
+
+
+def test_build_is_atomic_no_partial_state(store):
+    """The meta is the LAST artifact inside the atomically-renamed
+    build dir: a live index always has every table present and no
+    leftover tmp dirs (a crash mid-build leaves the OLD index intact)."""
+    idx = store._dir("_lexical_index")
+    for sub in ("postings", "doc_stats", "term_idf", "corpus", "meta.json"):
+        assert os.path.exists(os.path.join(idx, sub)), sub
+    parent = os.path.dirname(idx)
+    assert not [e for e in os.listdir(parent) if ".tmp-" in e]
