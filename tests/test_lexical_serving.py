@@ -208,6 +208,59 @@ def test_refresh_touches_only_changed_folders(spark, tmp_path):
         hybrid_search(eng, q, k=5, auto_intent=False, now=LATER))
 
 
+def test_refresh_handles_hive_escaped_folder_names(spark, tmp_path):
+    """Folder values that Hive-escape in partition dir names (spaces,
+    %, #) must round-trip through signature diffing and the
+    per-folder postings swap — a raw/escaped mismatch would either
+    re-tokenize everything or drop the wrong partition (the ANN index
+    has the same gate, test_ann_serving.py)."""
+    from urllib.parse import unquote
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    weird = ["my docs", "a%b", "c#d", "plain"]
+    recs = []
+    for i in range(80):
+        f = weird[i % len(weird)]
+        text = f"{f} note {i} about subsystem {i % 5}"
+        recs.append({"text": text, "source": f"{f}/x",
+                     "embedding": mock_embed(text)})
+    eng.add(recs, NOW)
+    eng.build_lexical_index()
+    idx = eng._dir("_lexical_index")
+    assert set(eng.lexical_index_meta()["folder_sigs"]) == set(weird)
+
+    def snap():
+        out = {}
+        post = os.path.join(idx, "postings")
+        for part in os.listdir(post):
+            if not part.startswith("part="):
+                continue
+            files = []
+            for root, _, names in os.walk(os.path.join(post, part)):
+                for n in names:
+                    if n.endswith(".parquet"):
+                        p = os.path.join(root, n)
+                        files.append((os.path.relpath(p, post),
+                                      os.path.getsize(p), os.path.getmtime(p)))
+            out[part] = tuple(sorted(files))
+        return out
+
+    before = snap()
+    eng.add([{"text": "my docs fresh note about subsystem 1",
+              "source": "my docs/x",
+              "embedding": mock_embed("my docs fresh note about subsystem 1")}],
+            LATER)
+    eng.refresh_lexical_index()
+    after = snap()
+    changed = {p for p in before if after.get(p) != before[p]}
+    assert {unquote(p[len("part="):]) for p in changed} == {"my docs"}
+    # and the refreshed index serves the new doc identically to inline
+    q = "my docs fresh note about subsystem 1"
+    assert _rows(hybrid_search(eng, q, k=5, auto_intent=False, now=LATER,
+                               lexical=True)) == _rows(
+        hybrid_search(eng, q, k=5, auto_intent=False, now=LATER))
+
+
 def test_empty_store_refresh_serves_empty_then_resumes(spark, tmp_path):
     """A store that went empty refreshes to an EMPTY index (all
     partitions dropped, empty globals) whose results equal the inline
