@@ -1557,6 +1557,10 @@ class MemoriesEngine:
         meta = lexical_index.read_meta(self._dir("_lexical_index"))
         if meta is None:
             raise ValueError("no lexical index to refresh")
+        if meta.get("format_version") != lexical_index.FORMAT_VERSION:
+            # an old on-disk layout can't be patched per-folder —
+            # rebuild wholesale (same one-off cost as the first build)
+            return self.build_lexical_index()
         old_sigs: dict[str, str] = meta.get("folder_sigs") or {}
         cur_sigs = self._folder_signatures()
         changed = sorted(f for f, s in cur_sigs.items() if old_sigs.get(f) != s)
@@ -1575,12 +1579,18 @@ class MemoriesEngine:
         )
 
     def lexical_index_meta(self) -> dict | None:
-        """The lexical index meta iff it exists AND is fresh (built at
-        the current table version); None means inline-build fallback."""
+        """The lexical index meta iff it exists, is fresh (built at
+        the current table version) AND matches the current on-disk
+        format; None means inline-build fallback (a format bump never
+        serves wrong results from an old layout)."""
         from memories_spark.operators import lexical_index
 
         meta = lexical_index.read_meta(self._dir("_lexical_index"))
-        if meta is None or meta.get("version") != self.table_version():
+        if (
+            meta is None
+            or meta.get("version") != self.table_version()
+            or meta.get("format_version") != lexical_index.FORMAT_VERSION
+        ):
             return None
         return meta
 

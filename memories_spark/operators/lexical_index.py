@@ -60,10 +60,10 @@ from memories_spark.operators import bm25 as bm25_op
 #: Partition value used when the caller supplies no part column.
 DEFAULT_PART = "(all)"
 
-_POSTINGS_SCHEMA = "id long, term string, tf long, part string"
+_POSTINGS_SCHEMA = "id long, term string, tf long, dl long, part string"
 _DOC_STATS_SCHEMA = "id long, dl long, part string"
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # 2: postings denormalize the doc length (dl)
 
 
 def _with_part(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -76,23 +76,39 @@ def _with_part(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _write_per_doc(docs: DataFrame, id_col: str, text_col: str, dest: str) -> None:
     """Write postings + doc_stats partitioned by folder, term-sorted
-    within each postings file (row-group pruning for In(term))."""
+    within each postings file (row-group pruning for In(term)).
+
+    Postings DENORMALIZE the document length (``dl``): the serving
+    read then touches ONLY the pruned postings row groups — matched
+    docs' lengths ride along, so no O(corpus) doc_stats scan sits in
+    the query path. +8 bytes per posting buys a serving plan whose
+    input is proportional to the query's matches, which is the number
+    that matters at 100 TB. (doc_stats is still written — audits and
+    rollups read it — but queries don't.)"""
     d = _with_part(docs, id_col, text_col)
+    # ONE tokenize pass feeds both postings and lengths (at warehouse
+    # scale this persist is the staging table a production build
+    # would materialize)
     terms = (
         bm25_op.tokenize_terms(d, "id", "text")
         .join(d.select("id", "part"), "id")
-        .repartition(F.col("part"))
-        .sortWithinPartitions("part", "term")
+        .persist()
     )
-    terms.write.partitionBy("part").parquet(os.path.join(dest, "postings"))
-    # doc lengths derive from the postings just written (read-back
-    # beats re-tokenizing: the lazy terms plan would run twice)
-    written = d.sparkSession.read.schema(_POSTINGS_SCHEMA).parquet(
-        os.path.join(dest, "postings")
-    )
-    written.groupBy("id", "part").agg(F.sum("tf").alias("dl")).select(
-        "id", "dl", "part"
-    ).write.partitionBy("part").parquet(os.path.join(dest, "doc_stats"))
+    try:
+        dl = terms.groupBy("id", "part").agg(F.sum("tf").alias("dl"))
+        (
+            terms.join(dl.select("id", "dl"), "id")
+            .repartition(F.col("part"))
+            .sortWithinPartitions("part", "term")
+            .select("id", "term", "tf", "dl", "part")
+            .write.partitionBy("part")
+            .parquet(os.path.join(dest, "postings"))
+        )
+        dl.select("id", "dl", "part").write.partitionBy("part").parquet(
+            os.path.join(dest, "doc_stats")
+        )
+    finally:
+        terms.unpersist()
 
 
 def _write_globals(spark: SparkSession, index_dir: str, tmp_suffix: str) -> None:
@@ -231,18 +247,21 @@ def query_stats(
     """The stats dict :func:`bm25_op.bm25_scores` consumes, served
     from the persisted index: postings + IDF reads carry an
     ``In(term)`` predicate (row-group pruned via the term-sorted
-    layout), the corpus scalars are one row. Explicit schemas so an
-    index that went empty reads as zero rows, not a schema-inference
-    failure."""
+    layout), the corpus scalars are one row, and the per-doc lengths
+    come from the PRUNED postings' denormalized ``dl`` — only docs
+    matching a query term ever need a length, so the O(corpus)
+    doc_stats table stays out of the query path entirely. Explicit
+    schemas so an index that went empty reads as zero rows, not a
+    schema-inference failure."""
     qset = sorted(set(query_terms))
-    return {
-        "terms": spark.read.schema(_POSTINGS_SCHEMA)
+    pruned = (
+        spark.read.schema(_POSTINGS_SCHEMA)
         .parquet(os.path.join(index_dir, "postings"))
         .filter(F.col("term").isin(qset))
-        .select("id", "term", "tf"),
-        "doc_stats": spark.read.schema(_DOC_STATS_SCHEMA)
-        .parquet(os.path.join(index_dir, "doc_stats"))
-        .select("id", "dl"),
+    )
+    return {
+        "terms": pruned.select("id", "term", "tf"),
+        "doc_stats": pruned.select("id", "dl").distinct(),
         "term_idf": spark.read.schema("term string, idf double")
         .parquet(os.path.join(index_dir, "term_idf"))
         .filter(F.col("term").isin(qset)),

@@ -106,10 +106,14 @@ def test_fresh_index_plan_never_tokenizes_corpus(store):
 
 def test_postings_read_is_term_pruned(store):
     """The stats read carries the In(term) predicate down to the
-    parquet scan (row-group pruning via the term-sorted layout)."""
+    parquet scan (row-group pruning via the term-sorted layout), and
+    the per-doc lengths come from the PRUNED postings' denormalized
+    dl — never an O(corpus) doc_stats scan in the query path."""
     stats = store.lexical_stats(["cache", "policy"])
     plan = stats["terms"]._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "In(term" in plan, plan
+    dplan = stats["doc_stats"]._jdf.queryExecution().executedPlan().toString()
+    assert "In(term" in dplan, dplan
 
 
 def test_prefix_or_archived_searches_fall_back(store):
