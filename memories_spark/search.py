@@ -125,6 +125,12 @@ def hybrid_search(
     does a stale or missing index. Results are identical to the
     inline build by construction (same postings, same fixed-point
     math).
+
+    Serving discipline: each call caches four intermediate
+    DataFrames (plus an eager checkpoint on the graph path), all
+    tracked on the returned DataFrame — call :func:`release_caches`
+    after materializing so a long-lived session's executor storage
+    stays flat.
     """
     now_dt = datetime.fromisoformat(now) if now else datetime(2024, 1, 1)
 
