@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 from datetime import datetime
 from urllib.parse import unquote
@@ -172,6 +173,10 @@ class MemoriesEngine:
         self.spark = spark
         self.path = path
         os.makedirs(path, exist_ok=True)
+        # version-keyed serving cache (one cached corpus scan shared by
+        # every concurrent search; see serving_memories)
+        self._serving_mem: tuple[int, DataFrame] | None = None
+        self._serving_lock = threading.Lock()
 
     # -- storage ------------------------------------------------------
 
@@ -338,6 +343,42 @@ class MemoriesEngine:
         nxt = self.table_version() + 1
         with open(os.path.join(self.path, "table_version"), "w") as f:
             f.write(str(nxt))
+
+    def serving_memories(self) -> DataFrame:
+        """The full-corpus scan, cached ONCE per table version and
+        shared by every search on this engine.
+
+        Per-call ``.cache()`` of the corpus scan is wrong under
+        concurrency: Spark's CacheManager dedups identical plans, so
+        one search's post-materialization ``unpersist`` evicts the
+        block out from under its in-flight siblings — every
+        completion forces the next search to rescan and re-cache
+        (cache thrash, one eviction per op). Scoping the corpus cache
+        to the ENGINE and keying it to :meth:`table_version` fixes
+        both directions: concurrent searches share one stable set of
+        blocks, and any mutation (which bumps the version) atomically
+        swaps in a fresh scan so a cached listing never serves stale
+        files. Query-specific intermediates stay per-call (they are
+        unique plans) and are freed by ``search.release_caches``.
+        """
+        v = self.table_version()
+        with self._serving_lock:
+            if self._serving_mem is not None:
+                held_v, held = self._serving_mem
+                if held_v == v:
+                    return held
+                held.unpersist(False)
+            df = self.table("memories").cache()
+            self._serving_mem = (v, df)
+            return df
+
+    def release_serving_caches(self, blocking: bool = True) -> None:
+        """Free the engine-scoped serving cache (session shutdown /
+        idle eviction); the next search simply re-caches."""
+        with self._serving_lock:
+            if self._serving_mem is not None:
+                self._serving_mem[1].unpersist(blocking)
+                self._serving_mem = None
 
     def _append(self, df: DataFrame, name: str) -> None:
         d = self._dir(name)

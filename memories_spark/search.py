@@ -48,8 +48,8 @@ def release_caches(df: DataFrame, blocking: bool = True) -> None:
     """Release the per-call cached/checkpointed storage blocks
     :func:`hybrid_search` attached to its result.
 
-    Every search call caches four intermediate DataFrames (plus an
-    eager localCheckpoint on the graph path); without release, a
+    Every search call caches its query-specific intermediates (plus
+    an eager localCheckpoint on the graph path); without release, a
     long-lived serving session accumulates storage blocks per query —
     LRU eviction keeps results correct but evicts genuinely hot data
     under pressure. Call this once the result is materialized
@@ -126,11 +126,13 @@ def hybrid_search(
     inline build by construction (same postings, same fixed-point
     math).
 
-    Serving discipline: each call caches four intermediate
-    DataFrames (plus an eager checkpoint on the graph path), all
-    tracked on the returned DataFrame — call :func:`release_caches`
-    after materializing so a long-lived session's executor storage
-    stays flat.
+    Serving discipline: the corpus scan is cached ONCE on the engine
+    (version-keyed, shared by concurrent searches — see
+    ``engine.serving_memories``); each call additionally caches its
+    query-specific intermediates (plus an eager checkpoint on the
+    graph path), all tracked on the returned DataFrame — call
+    :func:`release_caches` after materializing so a long-lived
+    session's executor storage stays flat.
     """
     now_dt = datetime.fromisoformat(now) if now else datetime(2024, 1, 1)
 
@@ -143,8 +145,8 @@ def hybrid_search(
         )
         since, until = merged.get("since"), merged.get("until")
         recency_weight = merged.get("recency_weight") or recency_weight
-        if merged.get("graph_weight") is not None and graph_weight == 0.0:
-            graph_weight = 0.0  # intent only ever suppresses graph
+        # graph_weight stays the caller's: intent never ENABLES graph
+        # expansion on its own (reference memory_engine.py graph opt-in)
 
     # per-call cache scope: every cache/checkpoint lands in these
     # lists, attached to the returned DataFrame for release_caches()
@@ -161,12 +163,19 @@ def hybrid_search(
         df._ms_ckpt_rdds = tuple(_ckpt_rdds)
         return df
 
-    # partition-pruned scan: a source_prefix reads only its folder's
-    # partition directory (engine.memories, F1 at the layout level)
-    mem = engine.memories(source_prefix)
+    # Corpus scan: the unprefixed serving path reads the ENGINE-scoped
+    # version-keyed cache (shared by concurrent searches, swapped on
+    # mutation — see engine.serving_memories; a per-call cache here
+    # thrashed under concurrency because CacheManager dedups identical
+    # plans and one call's release evicted its siblings' blocks). A
+    # source_prefix is a different, partition-pruned scan (F1 at the
+    # layout level) — small by construction, cached per-call.
+    if source_prefix is None:
+        mem = engine.serving_memories()
+    else:
+        mem = _cache(engine.memories(source_prefix))
     if not include_archived:
         mem = mem.filter(~F.coalesce(F.col("archived"), F.lit(False)))
-    mem = _cache(mem)
 
     # Lazy k clamp: the reference clamps k <= min(N, 100) with an eager
     # count (memory_engine.py:1397); a LIMIT k over fewer than k rows

@@ -102,23 +102,74 @@ def test_query_choice_deterministic_across_concurrency(store, monkeypatch):
 
 
 def test_storage_stays_flat_across_sequential_searches(store):
-    """Serving gate: >=50 SEQUENTIAL searches must leave executor
-    storage exactly as they found it — every per-call cache is
-    released after materialization (search.release_caches).
-    Sequential by design: concurrent same-text searches share one
-    cached plan entry (CacheManager dedups on the canonical plan), so
-    an unpersist racing another search's in-flight task can leave a
-    transient orphan block — benign, but not deterministic to gate."""
+    """Serving gate: >=50 searches must leave executor storage
+    exactly as a WARM engine had it — the engine-scoped corpus cache
+    (engine.serving_memories, one block set per table version) is
+    created once, and every per-call cache is released after
+    materialization (search.release_caches)."""
     sc = store.spark.sparkContext
 
     def cached_ids():
         return {int(i.id()) for i in sc._jsc.sc().getRDDStorageInfo()}
 
+    # warm the engine-scoped serving cache (by design it outlives calls)
+    run_load(store, scenario="search", concurrency=1, ops=1, now=NOW)
     before = cached_ids()
     rep = run_load(store, scenario="search", concurrency=1, ops=50, now=NOW)
     assert rep["errors"] == []
     leaked = cached_ids() - before
     assert not leaked, f"{len(leaked)} storage blocks leaked: {sorted(leaked)}"
+
+
+def test_concurrent_searches_share_engine_corpus_cache(spark, tmp_path):
+    """Under CONCURRENCY the corpus scan must be cached once on the
+    engine and never evicted by a sibling's release (the round-5
+    review finding: per-call corpus caches + CacheManager plan dedup
+    meant every completing search evicted the scan out from under the
+    in-flight ones — one re-cache per op). Transient per-call orphan
+    blocks from two IDENTICAL concurrent queries racing a blocking
+    unpersist are tolerated (bounded, benign); losing the engine
+    cache is not."""
+    eng = MemoriesEngine(spark, str(tmp_path / "concstore"))
+    rows = [{"text": f"note {i}: service {i % 3} pattern {i % 2}",
+             "source": f"corp/s{i % 3}",
+             "embedding": mock_embed(f"note {i}")} for i in range(24)]
+    eng.add(rows, NOW)
+    sc = spark.sparkContext
+
+    def cached_ids():
+        return {int(i.id()) for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    pre = cached_ids()
+    eng.serving_memories().count()
+    eng_blocks = cached_ids() - pre
+    assert eng_blocks, "serving_memories did not materialize a cache"
+    rep = run_load(eng, scenario="burst", concurrency=4, ops=16, now=NOW)
+    assert rep["errors"] == []
+    after = cached_ids()
+    assert eng_blocks <= after, "engine corpus cache was evicted mid-run"
+    leaked = after - pre - eng_blocks
+    assert len(leaked) <= 2, f"per-call blocks leaked: {sorted(leaked)}"
+    eng.release_serving_caches()
+
+
+def test_serving_cache_invalidated_by_mutation(spark, tmp_path):
+    """A write bumps the table version, so the NEXT search re-caches a
+    fresh scan — a cached file listing never serves stale data."""
+    eng = MemoriesEngine(spark, str(tmp_path / "inval"))
+    eng.add([{"text": "alpha fact", "source": "corp/a",
+              "embedding": mock_embed("alpha fact")}], NOW)
+    first = eng.serving_memories()
+    assert first.count() == 1
+    assert eng.serving_memories() is first  # same version -> same df
+    eng.add([{"text": "beta fact", "source": "corp/a",
+              "embedding": mock_embed("beta fact")}], NOW)
+    second = eng.serving_memories()
+    assert second is not first
+    assert second.count() == 2
+    texts = {r.text for r in second.select("text").collect()}
+    assert texts == {"alpha fact", "beta fact"}
+    eng.release_serving_caches()
 
 
 def test_release_frees_graph_path_checkpoint(store):
@@ -131,6 +182,7 @@ def test_release_frees_graph_path_checkpoint(store):
     def cached_ids():
         return {int(i.id()) for i in sc._jsc.sc().getRDDStorageInfo()}
 
+    store.serving_memories().count()  # warm the engine-scoped cache
     before = cached_ids()
     df = hybrid_search(store, "service pattern requests", k=5,
                        auto_intent=False, now=NOW, graph_weight=0.2)
