@@ -165,6 +165,14 @@ _SCHEMAS = {
 #: Driver-side counter files snapshotted/restored with the store.
 _COUNTER_FILES = ("next_id", "links_seq")
 
+#: Smart-import novelty join: largest import (records) whose query
+#: vectors are broadcast against the corpus (exact top-1 cosine,
+#: shuffle-free). Above this, the broadcast itself is the scale
+#: hazard (multi-GB of vectors through the driver), so the join
+#: switches to multiprobe sign-LSH blocking. 64k x 384-dim floats
+#: ~ 100 MB — comfortably under broadcast limits.
+SMART_BROADCAST_CAP = 65_536
+
 
 class MemoriesEngine:
     """Parquet-backed memory store with reference mutation semantics."""
@@ -1808,10 +1816,29 @@ class MemoriesEngine:
         exactly like the reference's per-conflict call). A 10^7-record
         import is therefore bounded by executor memory, not driver
         heap — the previous path collected every record dict first.
+
+        The novelty join is tiered on import size: up to
+        ``SMART_BROADCAST_CAP`` records the query set is broadcast
+        against the corpus (exact, shuffle-free); above it the
+        broadcast itself would be the driver/executor OOM, so the
+        join switches to multiprobe sign-LSH blocking
+        (``topk_cosine_blocked``) — approximate, with the same
+        contract as the reference's Qdrant-HNSW novelty check.
+
+        ``embed_fn`` runs INSIDE an Arrow-batched pandas_udf, so it
+        must be picklable and executor-safe (no captured live
+        clients/sockets) — a NEW precondition vs the old driver-side
+        loop. Callers with a driver-bound embedder should pre-embed
+        and use the list-based :meth:`import_smart` instead (its
+        records may carry an ``embedding`` field that skips
+        ``embed_fn`` entirely).
         """
         from pyspark.sql.functions import pandas_udf
 
-        from memories_spark.operators.similarity import topk_cosine
+        from memories_spark.operators.similarity import (
+            topk_cosine,
+            topk_cosine_blocked,
+        )
 
         summary: dict = {"added": 0, "skipped": 0, "replaced": 0, "outcomes": []}
 
@@ -1853,13 +1880,36 @@ class MemoriesEngine:
                     F.col("rid").alias("query_id"),
                     F.col("embedding").alias("query_vec"),
                 )
-                hits = (
-                    topk_cosine(
-                        mem.select(F.col("id").alias("vec_id"), "embedding"),
-                        queries,
-                        k=1,
-                        exclude_self=False,
+                corpus_vecs = mem.select(F.col("id").alias("vec_id"), "embedding")
+                if n_records <= SMART_BROADCAST_CAP:
+                    top1 = topk_cosine(
+                        corpus_vecs, queries, k=1, exclude_self=False
                     )
+                else:
+                    # a broadcast of the whole import's embeddings is
+                    # the driver/executor OOM at this size — switch to
+                    # the multiprobe-LSH blocked join (approximate,
+                    # like the reference's HNSW-backed novelty check)
+                    drow = (
+                        recs.filter(F.col("embedding").isNotNull())
+                        .select(F.size("embedding").alias("d"))
+                        .first()
+                    )
+                    if drow is None:  # every embedding declined ->
+                        # empty query set; broadcast of nothing is fine
+                        top1 = topk_cosine(
+                            corpus_vecs, queries, k=1, exclude_self=False
+                        )
+                    else:
+                        top1 = topk_cosine_blocked(
+                            corpus_vecs,
+                            queries,
+                            k=1,
+                            dim=int(drow.d),
+                            exclude_self=False,
+                        )
+                hits = (
+                    top1
                     .join(
                         mem.select(
                             F.col("id").alias("vec_id"),

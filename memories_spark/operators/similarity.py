@@ -59,6 +59,71 @@ def topk_cosine(
     )
 
 
+def topk_cosine_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    threshold: float | None = None,
+    exclude_self: bool = True,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k cosine neighbors for a LARGE query set — no broadcast.
+
+    :func:`topk_cosine`'s ``broadcast(queries)`` is the right plan
+    only while the query set fits the driver and every executor (a
+    few 10^4 vectors); beyond that the broadcast is a driver-OOM and
+    the cross join is quadratic work anyway. Here both sides are
+    bucketed by deterministic sign-projection LSH
+    (:func:`lsh_bucket_expr`) and the join is a shuffled EQUI-join on
+    the bucket key, with Hamming-radius-1 multiprobe on the query
+    side (:func:`multiprobe_buckets_expr`) so near neighbors that
+    straddle one hyperplane are still found. Candidate volume is
+    ~|Q|x|C|x(n_planes+1)/2^n_planes instead of |Q|x|C|, and nothing
+    is collected to the driver.
+
+    APPROXIMATE by construction — a neighbor more than one hyperplane
+    away from the query's bucket is missed. That is the same contract
+    as the reference's novelty check, which runs on Qdrant's HNSW
+    (approximate) index (reference qdrant_store.py:188-215); vectors
+    at near-dup similarity are overwhelmingly co-bucketed.
+    """
+    cb = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket_expr(vec_col, dim, n_planes).alias("_b"),
+    )
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.explode(
+            multiprobe_buckets_expr(
+                lsh_bucket_expr(query_vec_col, dim, n_planes), n_planes
+            )
+        ).alias("_b"),
+    )
+    joined = qb.join(cb, "_b")
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col(query_id_col))
+    sim = F.round(cosine_expr(vec_col, query_vec_col), round_dp)
+    scored = joined.select(query_id_col, id_col, sim.alias("sim")).dropDuplicates(
+        [query_id_col, id_col]  # a pair can co-occur in several probes
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col("sim") >= threshold)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
 def knn_sql(
     emb_view: str,
     dim: int,

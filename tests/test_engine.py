@@ -357,6 +357,58 @@ def test_import_smart_never_collects_record_payloads(tmp_path, spark, monkeypatc
     assert dst.count() == 1 + result["imported"] - (1 if result["updated"] else 0)
 
 
+def test_import_smart_large_switches_to_blocked_join(tmp_path, spark, monkeypatch):
+    """Above SMART_BROADCAST_CAP the novelty join must NOT broadcast
+    the import's embeddings through the driver (the round-5 review
+    finding: broadcast(whole-import) is a driver OOM at 10^7 records
+    and bypasses the collect-width gate); it switches to the
+    multiprobe-LSH blocked join and still classifies correctly —
+    identical vectors share a bucket by construction, so the
+    duplicate is found without any broadcast."""
+    import json
+
+    import memories_spark.engine as eng_mod
+    from memories_spark.extraction import mock_embed
+    from memories_spark.operators import similarity as sim_mod
+
+    src_dir = tmp_path / "blkimp"
+    src_dir.mkdir()
+    (src_dir / "_header.json").write_text(json.dumps({"_header": True}))
+    recs = ["alpha gateway retries twice",       # dup of corpus row
+            "beta cache ttl is ninety seconds",  # novel
+            "gamma deploys run on fridays",      # novel
+            "delta queue drains at midnight"]    # novel
+    with open(src_dir / "part-0.json", "w") as f:
+        for i, t in enumerate(recs):
+            f.write(json.dumps({"text": t, "source": f"blk/{i % 2}"}) + "\n")
+
+    dst = MemoriesEngine(spark, str(tmp_path / "blkdst"))
+    dst.add([{"text": "alpha gateway retries twice", "source": "blk/0",
+              "embedding": mock_embed("alpha gateway retries twice")}], NOW)
+
+    calls = {"broadcast": 0, "blocked": 0}
+    orig_exact, orig_blocked = sim_mod.topk_cosine, sim_mod.topk_cosine_blocked
+
+    def spy_exact(*a, **kw):
+        calls["broadcast"] += 1
+        return orig_exact(*a, **kw)
+
+    def spy_blocked(*a, **kw):
+        calls["blocked"] += 1
+        return orig_blocked(*a, **kw)
+
+    monkeypatch.setattr(sim_mod, "topk_cosine", spy_exact)
+    monkeypatch.setattr(sim_mod, "topk_cosine_blocked", spy_blocked)
+    monkeypatch.setattr(eng_mod, "SMART_BROADCAST_CAP", 2)
+
+    result = dst.import_ndjson(str(src_dir), LATER, strategy="smart",
+                               create_backup=False, embed_fn=mock_embed)
+    assert calls == {"broadcast": 0, "blocked": 1}
+    assert result["errors"] == []
+    assert result["skipped"] == 1 and result["imported"] == 3
+    assert dst.count() == 4
+
+
 def test_import_pre_backup_and_source_remap_longest_first(engine, tmp_path, spark):
     out = str(tmp_path / "exp4")
     engine.export_ndjson(out)
