@@ -1454,24 +1454,49 @@ class MemoriesEngine:
             ).hexdigest()[:16]
         return sigs
 
+    def _live_rows(
+        self, cols: list, folders: list[str] | None = None, predicate=None
+    ) -> DataFrame:
+        """Partition-pruned projection over the memories layout with
+        the folder partition readable as a column — the shared scan
+        under every derived-index build/refresh. ``folders`` prunes
+        physically (an incremental refresh reads ONLY the changed
+        folders' files); an empty/missing store yields an empty frame
+        of the same shape."""
+        d = self._dir("memories")
+        stored = T.StructType(
+            list(MEMORY_SCHEMA.fields) + [T.StructField(FOLDER_COL, T.StringType())]
+        )
+        if not os.path.isdir(d):
+            df = self.spark.createDataFrame([], stored)
+        else:
+            df = self.spark.read.schema(stored).parquet(d)
+            if folders is not None:
+                df = df.filter(F.col(FOLDER_COL).isin(folders))
+        if predicate is not None:
+            df = df.filter(predicate)
+        return df.select(*cols)
+
+    def _index_delta(self, meta: dict) -> tuple[list[str], list[str], dict[str, str]]:
+        """(changed, removed, current_sigs) vs the folder signatures
+        pinned in an index meta — the ONE incremental-maintenance
+        diff protocol shared by the vector and lexical indexes (a fix
+        to how deltas are computed must apply to both)."""
+        old_sigs: dict[str, str] = meta.get("folder_sigs") or {}
+        cur_sigs = self._folder_signatures()
+        changed = sorted(f for f, s in cur_sigs.items() if old_sigs.get(f) != s)
+        removed = sorted(set(old_sigs) - set(cur_sigs))
+        return changed, removed, cur_sigs
+
     def _live_vectors(self, folders: list[str] | None = None) -> DataFrame:
         """(id, embedding, part) of live vectors — physically
         partition-pruned to ``folders`` when given (the incremental
         refresh reads ONLY the changed folders' files)."""
-        d = self._dir("memories")
-        cols = [F.col("id"), F.col("embedding"), F.col(FOLDER_COL).alias("part")]
-        if not os.path.isdir(d):
-            empty = T.StructType(
-                list(MEMORY_SCHEMA.fields) + [T.StructField(FOLDER_COL, T.StringType())]
-            )
-            return self.spark.createDataFrame([], empty).select(*cols)
-        stored = T.StructType(
-            list(MEMORY_SCHEMA.fields) + [T.StructField(FOLDER_COL, T.StringType())]
+        return self._live_rows(
+            [F.col("id"), F.col("embedding"), F.col(FOLDER_COL).alias("part")],
+            folders=folders,
+            predicate=F.col("embedding").isNotNull(),
         )
-        df = self.spark.read.schema(stored).parquet(d)
-        if folders is not None:
-            df = df.filter(F.col(FOLDER_COL).isin(folders))
-        return df.filter(F.col("embedding").isNotNull()).select(*cols)
 
     def build_vector_index(self, cells: int = 16, nprobe: int = 3) -> dict:
         """One-off IVF index build over the store's embeddings (the
@@ -1510,12 +1535,7 @@ class MemoriesEngine:
         meta = ann_index.read_meta(self._dir("_ann_index"))
         if meta is None:
             raise ValueError("no vector index to refresh")
-        old_sigs: dict[str, str] = meta.get("folder_sigs") or {}
-        cur_sigs = self._folder_signatures()
-        changed = sorted(
-            f for f, s in cur_sigs.items() if old_sigs.get(f) != s
-        )
-        removed = sorted(set(old_sigs) - set(cur_sigs))
+        changed, removed, cur_sigs = self._index_delta(meta)
         emb_changed = self._live_vectors(changed) if changed else None
         return ann_index.refresh_ivf(
             self.spark,
@@ -1557,21 +1577,11 @@ class MemoriesEngine:
         against the non-archived set: BM25's global statistics (df, N,
         avgdl) must be computed over exactly the corpus being served
         or scores silently diverge from the inline build."""
-        d = self._dir("memories")
-        cols = [F.col("id"), F.col("text"), F.col(FOLDER_COL).alias("part")]
-        live = ~F.coalesce(F.col("archived"), F.lit(False))
-        if not os.path.isdir(d):
-            empty = T.StructType(
-                list(MEMORY_SCHEMA.fields) + [T.StructField(FOLDER_COL, T.StringType())]
-            )
-            return self.spark.createDataFrame([], empty).select(*cols)
-        stored = T.StructType(
-            list(MEMORY_SCHEMA.fields) + [T.StructField(FOLDER_COL, T.StringType())]
+        return self._live_rows(
+            [F.col("id"), F.col("text"), F.col(FOLDER_COL).alias("part")],
+            folders=folders,
+            predicate=~F.coalesce(F.col("archived"), F.lit(False)),
         )
-        df = self.spark.read.schema(stored).parquet(d)
-        if folders is not None:
-            df = df.filter(F.col(FOLDER_COL).isin(folders))
-        return df.filter(live).select(*cols)
 
     def build_lexical_index(self) -> dict:
         """One-off BM25 index build: persist term-sorted postings,
@@ -1610,10 +1620,7 @@ class MemoriesEngine:
             # an old on-disk layout can't be patched per-folder —
             # rebuild wholesale (same one-off cost as the first build)
             return self.build_lexical_index()
-        old_sigs: dict[str, str] = meta.get("folder_sigs") or {}
-        cur_sigs = self._folder_signatures()
-        changed = sorted(f for f, s in cur_sigs.items() if old_sigs.get(f) != s)
-        removed = sorted(set(old_sigs) - set(cur_sigs))
+        changed, removed, cur_sigs = self._index_delta(meta)
         docs_changed = self._live_texts(changed) if changed else None
         return lexical_index.refresh_lexical(
             self.spark,

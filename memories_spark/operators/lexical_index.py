@@ -57,6 +57,10 @@ from pyspark.sql import functions as F
 
 from memories_spark.operators import bm25 as bm25_op
 
+# one meta.json contract shared by every persisted index (corrupt or
+# missing meta reads as "no index" -> inline fallback)
+from memories_spark.operators.ann_index import read_meta  # noqa: F401
+
 #: Partition value used when the caller supplies no part column.
 DEFAULT_PART = "(all)"
 
@@ -228,17 +232,6 @@ def refresh_lexical(
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         f.write(json.dumps(meta))
     return meta
-
-
-def read_meta(index_dir: str) -> dict | None:
-    path = os.path.join(index_dir, "meta.json")
-    if not os.path.exists(path):
-        return None
-    try:
-        with open(path) as f:
-            return json.loads(f.read())
-    except (ValueError, OSError):
-        return None
 
 
 def query_stats(

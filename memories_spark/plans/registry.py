@@ -584,17 +584,16 @@ LIMIT 10
 """
 
 
-@register(
-    "hybrid_rrf_search",
-    oracle=_hybrid_oracle(),
-    bench=True,
-    doc="Hybrid retrieval: vector top-30 + BM25 top-30 fused with "
-    "Reciprocal Rank Fusion, weights 0.7/0.3, rrf_k=60 (reference R3 "
-    "hybrid_search, memory_engine.py:1787-1858; oversample 3k "
-    ":1752-1753). The engine's flagship query.",
-    tags=("retrieval", "rrf", "flagship"),
-)
-def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hybrid_rrf_plan(
+    spark: SparkSession, sf_dir: str, bm_stats: dict | None = None
+) -> DataFrame:
+    """The flagship hybrid plan, shared by ``hybrid_rrf_search`` and
+    its ``_indexed`` twin. ``bm_stats`` is the ONLY difference between
+    the two entries: None tokenizes the corpus inline; a persisted
+    term-stats dict serves the BM25 branch from pruned postings
+    reads. They share one oracle, so sharing the builder makes
+    result-identity true by construction — a weights/oversample/
+    tie-break tweak cannot drift one without the other."""
     t = load_tables(spark, sf_dir)
     docs, emb = t["documents"], t["embeddings"]
 
@@ -611,7 +610,12 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vec_ranked = rrf_op.rank_signal(vec_scored, "id", "sim", limit=30)
 
-    bm = bm25_op.bm25_scores(docs, "doc_id", "text", _BM25_QUERY)
+    if bm_stats is None:
+        bm = bm25_op.bm25_scores(docs, "doc_id", "text", _BM25_QUERY)
+    else:
+        bm = bm25_op.bm25_scores(
+            bm_stats["doc_stats"], "doc_id", "text", _BM25_QUERY, stats=bm_stats
+        )
     bm_ranked = rrf_op.rank_signal(bm, "id", "score", limit=30)
 
     fused = rrf_op.rrf_fuse(
@@ -623,6 +627,20 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vector_rank").cast("long").alias("vector_rank"),
         F.col("bm25_rank").cast("long").alias("bm25_rank"),
     ).orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle=_hybrid_oracle(),
+    bench=True,
+    doc="Hybrid retrieval: vector top-30 + BM25 top-30 fused with "
+    "Reciprocal Rank Fusion, weights 0.7/0.3, rrf_k=60 (reference R3 "
+    "hybrid_search, memory_engine.py:1787-1858; oversample 3k "
+    ":1752-1753). The engine's flagship query.",
+    tags=("retrieval", "rrf", "flagship"),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hybrid_rrf_plan(spark, sf_dir)
 
 
 @register(
@@ -720,37 +738,8 @@ def _read_bm25_index(spark: SparkSession, idx: str) -> dict:
 def hybrid_rrf_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from memories_spark.plans.queries_ann import _ensure_index
 
-    t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
-
     # shared "bm25" index key: one build serves both indexed entries
     idx = _ensure_index(
         "bm25", sf_dir, _bm25_index_builder(spark, sf_dir), table="documents.parquet"
     )
-    stats = _read_bm25_index(spark, idx)
-
-    query_vec = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("query_vec")
-    )
-    vec_scored = (
-        emb.crossJoin(F.broadcast(query_vec))
-        .filter(F.col("vec_id") != 0)
-        .select(
-            F.col("vec_id").alias("id"),
-            F.round(cosine_expr("embedding", "query_vec"), 6).alias("sim"),
-        )
-    )
-    vec_ranked = rrf_op.rank_signal(vec_scored, "id", "sim", limit=30)
-    bm = bm25_op.bm25_scores(
-        stats["doc_stats"], "doc_id", "text", _BM25_QUERY, stats=stats
-    )
-    bm_ranked = rrf_op.rank_signal(bm, "id", "score", limit=30)
-    fused = rrf_op.rrf_fuse(
-        {"vector": (vec_ranked, 0.7), "bm25": (bm_ranked, 0.3)}, k=10
-    )
-    return fused.select(
-        F.col("id").alias("doc_id"),
-        F.round("rrf_score", 6).alias("rrf_score"),
-        F.col("vector_rank").cast("long").alias("vector_rank"),
-        F.col("bm25_rank").cast("long").alias("bm25_rank"),
-    ).orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return _hybrid_rrf_plan(spark, sf_dir, bm_stats=_read_bm25_index(spark, idx))
