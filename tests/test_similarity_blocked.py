@@ -68,6 +68,23 @@ def test_blocked_agrees_with_exact_on_found_pairs(spark):
         assert exact[(int(r.query_id), int(r.vec_id))] == float(r.sim)
 
 
+def test_blocked_join_is_an_equi_join(spark):
+    """Plan gate: the blocked join must compile to an EQUI-join on
+    the bucket key — never a CartesianProduct / BroadcastNestedLoopJoin
+    (which would silently reintroduce the |Q|x|C| scan the blocking
+    exists to avoid)."""
+    corpus = _corpus(spark, [f"fact {i}" for i in range(10)])
+    queries = _queries(spark, ["fact 1", "fact 2"])
+    plan = (
+        topk_cosine_blocked(corpus, queries, k=1, dim=EMBED_DIM)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_multiprobe_dedups_pairs_and_ranks_deterministically(spark):
     """A pair co-occurring in several probed buckets must appear ONCE,
     and ranks are dense 1..k with id-ASC tie-breaks."""
