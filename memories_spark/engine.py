@@ -1564,7 +1564,10 @@ class MemoriesEngine:
         partition-pruned to the probed cells."""
         from memories_spark.operators import ann_index
 
-        idx = self._dir("_ann_index")
+        # bind to the meta-named GENERATION: the returned plan stays
+        # valid under any concurrent refresh (generations are
+        # immutable; the previous one is retained one publish)
+        idx = ann_index.table_root(self._dir("_ann_index"), meta)
         cells = ann_index.probe_cells(self.spark, idx, qvec, int(meta["nprobe"]))
         return ann_index.candidate_ids(self.spark, idx, cells)
 
@@ -1654,11 +1657,14 @@ class MemoriesEngine:
         """BM25 stats served from the persisted index: postings + IDF
         reads carry an In(term) predicate over the term-sorted layout
         (row-group pruning), so a search reads the query terms'
-        postings — not the corpus."""
+        postings — not the corpus. Plans bind to the meta-named
+        GENERATION, so they stay valid (and consistent) under any
+        concurrent refresh."""
         from memories_spark.operators import lexical_index
 
+        idx = self._dir("_lexical_index")
         return lexical_index.query_stats(
-            self.spark, self._dir("_lexical_index"), query_terms
+            self.spark, lexical_index.table_root(idx), query_terms
         )
 
     def rebuild_from_files(self, file_paths: list[str], now: str, embed_fn=None) -> int:
@@ -1839,6 +1845,13 @@ class MemoriesEngine:
         and use the list-based :meth:`import_smart` instead (its
         records may carry an ``embedding`` field that skips
         ``embed_fn`` entirely).
+
+        Summary counts are PER RECORD, decided against the PRE-import
+        corpus in one batch: if two import records both replace the
+        same corpus row, ``replaced`` reports 2 while the store loses
+        one row (``delete`` dedups ids). The reference decides
+        sequentially against a live corpus, so this shape only
+        differs on intra-import collisions.
         """
         from pyspark.sql.functions import pandas_udf
 
@@ -1888,7 +1901,13 @@ class MemoriesEngine:
                     F.col("embedding").alias("query_vec"),
                 )
                 corpus_vecs = mem.select(F.col("id").alias("vec_id"), "embedding")
-                if n_records <= SMART_BROADCAST_CAP:
+                # tier on the EMBEDDABLE query count, not total records:
+                # declined texts never enter the join, and the exact
+                # broadcast stays affordable (and preferable) whenever
+                # the actual vector set fits (recs is persisted, so
+                # this count is a cheap cached scan)
+                n_queries = queries.count()
+                if n_queries <= SMART_BROADCAST_CAP:
                     top1 = topk_cosine(
                         corpus_vecs, queries, k=1, exclude_self=False
                     )
@@ -1973,17 +1992,25 @@ class MemoriesEngine:
             # category for exactly those (the LLM call needs them)
             llm_actions: dict[int, str] = {}
             if provider is not None:
-                bl = (
-                    recs.join(
-                        decided.filter(F.col("decision") == "borderline").select(
-                            "rid"
-                        ),
-                        "rid",
-                        "left_semi",
+                # borderline rids are already ON THE DRIVER in dec_rows;
+                # semi-joining against `decided` here would re-execute
+                # the whole (unpersisted) novelty-join lineage a second
+                # time — the dominant cost of a large import. Broadcast
+                # the (bounded, borderline-sized) rid list instead and
+                # prune the persisted recs scan with it.
+                bl_rids = [
+                    rid for rid, d in dec_rows.items() if d.decision == "borderline"
+                ]
+                bl = []
+                if bl_rids:
+                    rid_df = self.spark.createDataFrame(
+                        [(r,) for r in bl_rids], "rid long"
                     )
-                    .select("rid", "text", "category")
-                    .collect()
-                )
+                    bl = (
+                        recs.join(F.broadcast(rid_df), "rid", "left_semi")
+                        .select("rid", "text", "category")
+                        .collect()
+                    )
                 for r in sorted(bl, key=lambda r: int(r.rid)):
                     d = dec_rows[int(r.rid)]
                     dec = provider.decide(

@@ -285,7 +285,7 @@ def run_extraction(
     if not prof.get("enabled", True):
         return {"extracted": 0, "added": 0, "updated": 0, "deleted": 0,
                 "noop": 0, "conflict": 0, "blocked": 0, "decisions": [],
-                "new_ids": [], "disabled": True}
+                "new_ids": [], "tokens": {}, "disabled": True}
     max_chars = int(prof["max_fact_chars"])
     mode = str(prof.get("mode", "standard"))
     bands = (float(prof["sim_noop"]), float(prof["sim_update"]))

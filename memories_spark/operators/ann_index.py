@@ -158,7 +158,10 @@ def build_ivf(
     )
     seed_ids = [int(r.id) for r in seed_rows]
 
-    tmp = f"{index_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    prev = read_meta(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    gen = new_gen_name()
+    tmp = os.path.join(index_dir, f".tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
     cent = train_centroids(emb, id_col, dim, seed_ids)
     cent.coalesce(1).write.parquet(os.path.join(tmp, "centroids"))
@@ -173,12 +176,16 @@ def build_ivf(
         "dim": dim,
         "seed_ids": seed_ids,
         "folder_sigs": folder_sigs or {},
+        "gen": gen,
     }
-    with open(os.path.join(tmp, "meta.json"), "w") as f:
-        f.write(json.dumps(meta))
-    if os.path.isdir(index_dir):
-        shutil.rmtree(index_dir)
-    os.rename(tmp, index_dir)
+    # publish order: complete generation first, meta swap second — a
+    # crash in between leaves an orphan gen (GC'd next publish) and
+    # the previous index fully intact
+    os.rename(tmp, os.path.join(index_dir, gen))
+    publish_meta(index_dir, meta)
+    keep = {gen} | ({prev["gen"]} if prev and prev.get("gen") else set())
+    legacy = ("assign", "centroids") if prev and prev.get("gen") else ()
+    gc_generations(index_dir, keep, legacy)
     return meta
 
 
@@ -204,7 +211,16 @@ def refresh_ivf(
     If the refresh leaves no live vectors at all, the meta is removed
     so consumers take the exact-scan fallback (an assignment
     directory with zero part files would fail schema inference in
-    naive readers and serve nothing correct in careful ones)."""
+    naive readers and serve nothing correct in careful ones).
+
+    The refresh NEVER mutates the published generation: fresh
+    assignments for changed folders are written to a new generation
+    dir, every unchanged folder's files are carried forward as
+    hardlinks (O(1) IO each), centroids are linked unchanged, and the
+    meta swap publishes the whole thing atomically — in-flight
+    readers bound to the previous generation keep scoring against a
+    complete, consistent index (see the generation-publishing note
+    above ``table_root``)."""
     meta = read_meta(index_dir)
     if meta is None:
         raise ValueError(f"no index at {index_dir} to refresh")
@@ -213,47 +229,59 @@ def refresh_ivf(
         os.remove(os.path.join(index_dir, "meta.json"))
         return {"empty": True, "version": int(version)}
 
-    final = os.path.join(index_dir, "assign")
+    cur_root = table_root(index_dir, meta)
+    cur_assign = os.path.join(cur_root, "assign")
     # pre-(part,cell) layout (assignment partitioned by cell only,
-    # meta without folder signatures): the per-folder swap below would
-    # mix cell= and part= dirs into one directory, which Spark's
-    # partition discovery rejects ('Conflicting directory structures').
-    # An old meta pins no sigs, so the engine marks EVERY folder
-    # changed — emb_changed already covers the full live set — and the
-    # upgrade is a wholesale swap of the assignment.
+    # meta without folder signatures): cell= dirs cannot mix with
+    # part= dirs in one directory (Spark rejects 'Conflicting
+    # directory structures'). An old meta pins no sigs, so the engine
+    # marks EVERY folder changed — emb_changed already covers the
+    # full live set — and nothing is carried forward.
     legacy_layout = any(
-        e.startswith("cell=") for e in os.listdir(final)
-    ) if os.path.isdir(final) else False
+        e.startswith("cell=") for e in os.listdir(cur_assign)
+    ) if os.path.isdir(cur_assign) else False
+    prev_gen = meta.get("gen")
     touched = sorted(set(changed) | set(removed))
-    if touched or legacy_layout:
-        tmp = os.path.join(index_dir, f"assign.tmp-{uuid.uuid4().hex[:8]}")
+    if touched or legacy_layout or not prev_gen:
+        gen = new_gen_name()
+        tmp = os.path.join(index_dir, f".tmp-{uuid.uuid4().hex[:8]}")
         written: set[str] = set()
         if changed and emb_changed is not None:
             dim = int(meta["dim"])
-            cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+            cent = spark.read.parquet(os.path.join(cur_root, "centroids"))
             _assign(emb_changed, id_col, dim, cent).write.partitionBy(
                 "part", "cell"
-            ).parquet(tmp)
+            ).parquet(os.path.join(tmp, "assign"))
             written = {
-                e for e in os.listdir(tmp) if e.startswith("part=")
+                e
+                for e in os.listdir(os.path.join(tmp, "assign"))
+                if e.startswith("part=")
             }
-        if legacy_layout:
-            shutil.rmtree(final)
-            os.makedirs(final, exist_ok=True)
-        # per-folder swap: drop stale partitions, move fresh ones in —
-        # every untouched folder's files are untouched bytes
-        for e in list(os.listdir(final)):
-            if e.startswith("part=") and unquote(e[len("part="):]) in touched:
-                shutil.rmtree(os.path.join(final, e))
-        for e in written:
-            os.rename(os.path.join(tmp, e), os.path.join(final, e))
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        spark.catalog.refreshByPath(final)
+        os.makedirs(os.path.join(tmp, "assign"), exist_ok=True)
+        # carry every untouched folder forward as hardlinks — same
+        # bytes (the incremental contract), zero copy
+        if os.path.isdir(cur_assign) and not legacy_layout:
+            for e in os.listdir(cur_assign):
+                if (
+                    e.startswith("part=")
+                    and unquote(e[len("part="):]) not in touched
+                    and e not in written
+                ):
+                    link_tree(
+                        os.path.join(cur_assign, e),
+                        os.path.join(tmp, "assign", e),
+                    )
+        link_tree(
+            os.path.join(cur_root, "centroids"), os.path.join(tmp, "centroids")
+        )
+        os.rename(tmp, os.path.join(index_dir, gen))
+        meta["gen"] = gen
     meta["version"] = int(version)
     meta["folder_sigs"] = dict(folder_sigs)
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        f.write(json.dumps(meta))
+    publish_meta(index_dir, meta)
+    keep = {meta["gen"]} | ({prev_gen} if prev_gen else set())
+    legacy = ("assign", "centroids") if prev_gen else ()
+    gc_generations(index_dir, keep, legacy)
     return meta
 
 
@@ -266,6 +294,80 @@ def read_meta(index_dir: str) -> dict | None:
             return json.loads(f.read())
     except (ValueError, OSError):
         return None
+
+
+# --- generation publishing (shared by the vector + lexical indexes) ---
+#
+# Index tables live in IMMUTABLE generation dirs (g-<hex>/) under the
+# index root; meta.json names the active one. A build/refresh writes a
+# complete NEW generation (hardlinking unchanged files, so incremental
+# cost stays O(changed folders)) and publishes it by atomically
+# swapping the meta — it NEVER mutates a published generation. This is
+# what makes refresh safe under concurrent readers: a search that
+# validated freshness binds its plans to that generation's paths, and
+# those paths stay intact through any number of later refreshes (the
+# previous generation is retained one publish; only older ones are
+# GC'd). The in-place per-folder swap this replaces could rmtree a
+# partition out from under an in-flight scan (FileNotFound) or let a
+# reader see NEW postings joined to OLD globals (silently wrong
+# scores).
+
+GEN_PREFIX = "g-"
+
+
+def table_root(index_dir: str, meta: dict | None = None) -> str:
+    """Directory holding the index tables: the meta-named generation,
+    or the index root itself for legacy pre-generation layouts (which
+    refresh migrates on its first real change)."""
+    if meta is None:
+        meta = read_meta(index_dir)
+    gen = (meta or {}).get("gen")
+    return os.path.join(index_dir, gen) if gen else index_dir
+
+
+def new_gen_name() -> str:
+    return f"{GEN_PREFIX}{uuid.uuid4().hex[:8]}"
+
+
+def publish_meta(index_dir: str, meta: dict) -> None:
+    """Atomic meta swap (tmp + rename): readers see the old meta or
+    the new one, never a torn write."""
+    tmp = os.path.join(index_dir, f"meta.json.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(json.dumps(meta))
+    os.replace(tmp, os.path.join(index_dir, "meta.json"))
+
+
+def link_tree(src: str, dst: str) -> None:
+    """Recursively hardlink ``src`` into ``dst`` — same bytes, zero
+    copy: how a new generation carries every UNCHANGED folder's files
+    forward at O(1) IO per file."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        tdir = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(tdir, exist_ok=True)
+        for name in files:
+            os.link(os.path.join(root, name), os.path.join(tdir, name))
+
+
+def gc_generations(
+    index_dir: str, keep: set[str], legacy_tables: tuple[str, ...] = ()
+) -> None:
+    """Prune generation dirs not in ``keep`` (plus crashed .tmp dirs).
+    ``legacy_tables`` names root-level table dirs from the
+    pre-generation layout — passed only once they are at least one
+    publish old (so legacy in-flight readers get the same one-publish
+    grace as generation readers)."""
+    for e in list(os.listdir(index_dir)):
+        p = os.path.join(index_dir, e)
+        if e.startswith(GEN_PREFIX) and e not in keep and os.path.isdir(p):
+            shutil.rmtree(p)
+        elif ".tmp-" in e:
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+    for t in legacy_tables:
+        p = os.path.join(index_dir, t)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
 
 
 def file_identity(d: str) -> tuple:

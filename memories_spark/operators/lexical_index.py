@@ -9,7 +9,13 @@ FULL corpus on every search — tokenize + explode + three shuffles per
 query, the last full-corpus-per-query cost in the hot path. This
 module hoists that work into a persisted index:
 
-Layout (``<store>/_lexical_index/``):
+Layout (``<store>/_lexical_index/``): ``meta.json`` at the root names
+the active immutable GENERATION dir (``g-<hex>/``) holding the four
+tables — build/refresh publish a complete new generation (hardlinking
+unchanged folders) and swap the meta atomically, so in-flight readers
+bound to the previous generation (retained one publish) never race a
+refresh; see the generation-publishing note in ``ann_index.py``.
+Inside a generation:
 
 - ``postings/part=<folder>/`` — ``(id, term, tf)`` partitioned by the
   store's folder and sorted by ``term`` within each file, so a query's
@@ -20,7 +26,9 @@ Layout (``<store>/_lexical_index/``):
 - ``term_idf/`` — ``(term, idf)`` epsilon-floored vocabulary IDFs,
   range-partitioned + sorted by term (same pruning).
 - ``corpus/`` — the 1-row ``(n, avgdl)`` scalars.
-- ``meta.json`` — pinned table version + per-folder file signatures.
+
+``meta.json`` pins the table version, per-folder file signatures and
+the active generation name.
 
 Maintenance (``refresh_lexical``): the per-document tables are
 maintained INCREMENTALLY — the engine diffs its per-folder file
@@ -57,9 +65,21 @@ from pyspark.sql import functions as F
 
 from memories_spark.operators import bm25 as bm25_op
 
-# one meta.json contract shared by every persisted index (corrupt or
-# missing meta reads as "no index" -> inline fallback)
-from memories_spark.operators.ann_index import read_meta  # noqa: F401
+# the meta.json + generation-publishing contract is shared by every
+# persisted index (corrupt/missing meta reads as "no index" -> inline
+# fallback; see the generation note in ann_index.py)
+from memories_spark.operators.ann_index import (  # noqa: F401
+    gc_generations,
+    link_tree,
+    new_gen_name,
+    publish_meta,
+    read_meta,
+    table_root,
+)
+
+#: Root-level table dirs of the legacy pre-generation layout (GC'd one
+#: publish after migration).
+_TABLES = ("postings", "doc_stats", "term_idf", "corpus")
 
 #: Partition value used when the caller supplies no part column.
 DEFAULT_PART = "(all)"
@@ -148,12 +168,17 @@ def build_lexical(
     tables, pin version + folder signatures. ``docs`` may carry a
     ``part`` column (the store folder) for incremental maintenance.
 
-    Everything — including the derived global tables AND the meta —
-    lands in a tmp dir first; the atomic rename is the LAST step, so
-    an interrupted build can never leave a meta that reads as fresh
-    while term_idf/corpus are missing (readers would crash instead of
-    falling back)."""
-    tmp = f"{index_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    Everything — all four tables including the derived globals —
+    lands in a tmp dir first, is renamed into place as a complete
+    immutable GENERATION, and only then does the atomic meta swap
+    publish it (see the generation-publishing note in
+    ``operators/ann_index.py``): an interrupted build leaves the old
+    index fully intact, and a concurrent reader bound to the previous
+    generation keeps scoring against a complete, consistent index."""
+    prev = read_meta(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    gen = new_gen_name()
+    tmp = os.path.join(index_dir, f".tmp-{uuid.uuid4().hex[:8]}")
     os.makedirs(tmp, exist_ok=True)
     _write_per_doc(docs, id_col, text_col, tmp)
     _write_globals(spark, tmp, uuid.uuid4().hex[:8])
@@ -161,12 +186,13 @@ def build_lexical(
         "version": int(version),
         "format_version": FORMAT_VERSION,
         "folder_sigs": folder_sigs or {},
+        "gen": gen,
     }
-    with open(os.path.join(tmp, "meta.json"), "w") as f:
-        f.write(json.dumps(meta))
-    if os.path.isdir(index_dir):
-        shutil.rmtree(index_dir)
-    os.rename(tmp, index_dir)
+    os.rename(tmp, os.path.join(index_dir, gen))
+    publish_meta(index_dir, meta)
+    keep = {gen} | ({prev["gen"]} if prev and prev.get("gen") else set())
+    legacy = _TABLES if prev and prev.get("gen") else ()
+    gc_generations(index_dir, keep, legacy)
     return meta
 
 
@@ -195,17 +221,25 @@ def refresh_lexical(
     the NEXT refresh resumes incrementally when documents return
     (removing the meta here would strand maintenance on a ValueError).
 
-    In-flight readers never race the swaps: the mutation that made a
-    refresh necessary already bumped the table version, so every
-    reader is on the inline fallback for the whole refresh — the meta
-    written LAST is what routes them back."""
+    The refresh NEVER mutates the published generation: changed
+    folders' postings/doc_stats are written fresh into a NEW
+    generation dir, every unchanged folder's files are carried
+    forward as hardlinks (same bytes, O(1) IO each), the globals are
+    re-derived inside the new generation, and the atomic meta swap
+    publishes it — in-flight readers bound to the previous generation
+    (retained one publish) keep scoring against a complete,
+    consistent index, never NEW postings joined to OLD globals and
+    never a partition rmtree'd out from under a running scan."""
     meta = read_meta(index_dir)
     if meta is None:
         raise ValueError(f"no lexical index at {index_dir} to refresh")
 
+    cur_root = table_root(index_dir, meta)
+    prev_gen = meta.get("gen")
     touched = sorted(set(changed) | set(removed))
-    if touched:
-        tmp = os.path.join(index_dir, f"refresh.tmp-{uuid.uuid4().hex[:8]}")
+    if touched or not prev_gen:
+        gen = new_gen_name()
+        tmp = os.path.join(index_dir, f".tmp-{uuid.uuid4().hex[:8]}")
         written: dict[str, set[str]] = {"postings": set(), "doc_stats": set()}
         if changed and docs_changed is not None:
             _write_per_doc(docs_changed, id_col, text_col, tmp)
@@ -215,22 +249,29 @@ def refresh_lexical(
                     for e in os.listdir(os.path.join(tmp, sub))
                     if e.startswith("part=")
                 }
-        # per-folder swap: drop stale partitions, move fresh ones in
+        # carry every untouched folder forward as hardlinks
         for sub in ("postings", "doc_stats"):
-            final = os.path.join(index_dir, sub)
-            for e in list(os.listdir(final)):
-                if e.startswith("part=") and unquote(e[len("part="):]) in touched:
-                    shutil.rmtree(os.path.join(final, e))
-            for e in written[sub]:
-                os.rename(os.path.join(tmp, sub, e), os.path.join(final, e))
-            spark.catalog.refreshByPath(final)
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        _write_globals(spark, index_dir, uuid.uuid4().hex[:8])
+            os.makedirs(os.path.join(tmp, sub), exist_ok=True)
+            cur_sub = os.path.join(cur_root, sub)
+            if os.path.isdir(cur_sub):
+                for e in os.listdir(cur_sub):
+                    if (
+                        e.startswith("part=")
+                        and unquote(e[len("part="):]) not in touched
+                        and e not in written[sub]
+                    ):
+                        link_tree(
+                            os.path.join(cur_sub, e), os.path.join(tmp, sub, e)
+                        )
+        _write_globals(spark, tmp, uuid.uuid4().hex[:8])
+        os.rename(tmp, os.path.join(index_dir, gen))
+        meta["gen"] = gen
     meta["version"] = int(version)
     meta["folder_sigs"] = dict(folder_sigs)
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        f.write(json.dumps(meta))
+    publish_meta(index_dir, meta)
+    keep = {meta["gen"]} | ({prev_gen} if prev_gen else set())
+    legacy = _TABLES if prev_gen else ()
+    gc_generations(index_dir, keep, legacy)
     return meta
 
 

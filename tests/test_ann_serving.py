@@ -52,9 +52,10 @@ def test_index_layout_and_meta(store):
     assert meta["cells"] == 16 and meta["nprobe"] == 3
     assert meta["version"] == store.table_version()
     assert meta["folder_sigs"]  # per-folder identity pinned for refresh
+    assert meta["gen"].startswith("g-")  # tables live in a generation
     # (part=folder, cell=cid) layout: folder swap for refresh,
     # cell pruning for probes
-    assign = os.path.join(idx, "assign")
+    assign = os.path.join(ann_index.table_root(idx, meta), "assign")
     parts = [e for e in os.listdir(assign) if e.startswith("part=")]
     assert parts == ["part=corp"]
     cells = [
@@ -69,7 +70,7 @@ def test_index_layout_and_meta(store):
 def test_driver_probe_matches_spark_assignment(store):
     """Probing with a STORED vector must name that vector's own cell
     first — the driver-side fixed-point math mirrors the build."""
-    idx = store._dir("_ann_index")
+    idx = ann_index.table_root(store._dir("_ann_index"))
     assign = {
         int(r.id): int(r.cell)
         for r in store.spark.read.parquet(os.path.join(idx, "assign")).collect()
@@ -146,7 +147,7 @@ def test_refresh_reassigns_without_retraining(spark, tmp_path):
     cents_before = sorted(
         (int(r.cid), int(r.sd), float(r.c))
         for r in spark.read.parquet(
-            os.path.join(eng._dir("_ann_index"), "centroids")
+            os.path.join(ann_index.table_root(eng._dir("_ann_index")), "centroids")
         ).collect()
     )
 
@@ -164,7 +165,7 @@ def test_refresh_reassigns_without_retraining(spark, tmp_path):
     cents_after = sorted(
         (int(r.cid), int(r.sd), float(r.c))
         for r in spark.read.parquet(
-            os.path.join(eng._dir("_ann_index"), "centroids")
+            os.path.join(ann_index.table_root(eng._dir("_ann_index")), "centroids")
         ).collect()
     )
     assert cents_after == cents_before
@@ -172,7 +173,7 @@ def test_refresh_reassigns_without_retraining(spark, tmp_path):
     assigned = {
         int(r.id)
         for r in spark.read.parquet(
-            os.path.join(eng._dir("_ann_index"), "assign")
+            os.path.join(ann_index.table_root(eng._dir("_ann_index")), "assign")
         ).collect()
     }
     assert new_id in assigned and 0 not in assigned
@@ -188,7 +189,7 @@ def test_probe_runs_zero_spark_jobs_after_warmup(store):
     """probe_cells memoizes the collected centroid table on the
     centroid files' identity: after the first probe of an index
     build, a probe is pure driver math — zero Spark jobs."""
-    idx = store._dir("_ann_index")
+    idx = ann_index.table_root(store._dir("_ann_index"))
     sc = store.spark.sparkContext
     qvec = mock_embed("cache subsystem policy")
     ann_index.probe_cells(store.spark, idx, qvec, 3)  # warm-up
@@ -202,8 +203,11 @@ def test_probe_runs_zero_spark_jobs_after_warmup(store):
 
 
 def _assign_snapshot(idx: str) -> dict[str, tuple]:
-    """part dir -> sorted (file, size, mtime) — byte-identity per folder."""
-    assign = os.path.join(idx, "assign")
+    """part dir -> sorted (file, size, mtime) — byte-identity per
+    folder. Resolves the ACTIVE generation each call (refresh
+    publishes a new one; unchanged folders ride over as hardlinks, so
+    name/size/mtime identity still proves untouched bytes)."""
+    assign = os.path.join(ann_index.table_root(idx), "assign")
     snap = {}
     for part in os.listdir(assign):
         if not part.startswith("part="):
@@ -264,7 +268,10 @@ def test_refresh_is_incremental_per_folder(spark, tmp_path):
             assert after[part] == before[part], part
     # (c) the new row is assigned and ANN-servable
     assigned = {
-        int(r.id) for r in spark.read.parquet(os.path.join(idx, "assign")).collect()
+        int(r.id)
+        for r in spark.read.parquet(
+            os.path.join(ann_index.table_root(idx), "assign")
+        ).collect()
     }
     assert new_id in assigned
     hits = [r.id for r in hybrid_search(
@@ -286,7 +293,11 @@ def test_refresh_drops_removed_folder_partitions(spark, tmp_path):
 
     eng.delete_by_prefix("cache/")
     eng.refresh_vector_index()
-    parts = {e for e in os.listdir(os.path.join(idx, "assign")) if e.startswith("part=")}
+    parts = {
+        e
+        for e in os.listdir(os.path.join(ann_index.table_root(idx), "assign"))
+        if e.startswith("part=")
+    }
     assert parts == {"part=database", "part=queue"}
     assert eng.vector_index_meta() is not None
 
@@ -326,28 +337,34 @@ def test_refresh_upgrades_legacy_cell_only_layout(spark, tmp_path):
     eng.build_vector_index(cells=4, nprobe=2)
     idx = eng._dir("_ann_index")
 
-    # retrofit the OLD layout: flatten part=corp/cell=N -> cell=N and
-    # strip folder_sigs from the meta
+    # retrofit the OLD layout: tables at the index ROOT (no generation
+    # dir), assignment flattened part=corp/cell=N -> cell=N, meta
+    # without folder_sigs or gen
+    gen_root = ann_index.table_root(idx)
     assign = os.path.join(idx, "assign")
-    old = os.path.join(idx, "assign.legacyfix")
-    os.rename(assign, old)
     os.makedirs(assign)
-    for e in os.listdir(os.path.join(old, "part=corp")):
+    for e in os.listdir(os.path.join(gen_root, "assign", "part=corp")):
         if e.startswith("cell="):
-            os.rename(os.path.join(old, "part=corp", e), os.path.join(assign, e))
-    shutil.rmtree(old)
+            os.rename(
+                os.path.join(gen_root, "assign", "part=corp", e),
+                os.path.join(assign, e),
+            )
+    os.rename(os.path.join(gen_root, "centroids"), os.path.join(idx, "centroids"))
+    shutil.rmtree(gen_root)
     meta_path = os.path.join(idx, "meta.json")
     meta = json.loads(open(meta_path).read())
     meta.pop("folder_sigs", None)
+    meta.pop("gen", None)
     open(meta_path, "w").write(json.dumps(meta))
 
     eng.add([{"text": "fresh cache fact", "source": "corp/cache",
               "embedding": mock_embed("fresh cache fact")}], LATER)
     out = eng.refresh_vector_index()
     assert out["version"] == eng.table_version()
-    entries = {e for e in os.listdir(assign) if "=" in e}
+    new_assign = os.path.join(ann_index.table_root(idx), "assign")
+    entries = {e for e in os.listdir(new_assign) if "=" in e}
     assert entries == {"part=corp"}  # clean new layout, no stragglers
-    n = spark.read.parquet(assign).count()
+    n = spark.read.parquet(new_assign).count()
     assert n == 61
     hits = [r.id for r in hybrid_search(eng, "fresh cache fact", k=5,
                                         auto_intent=False, now=LATER,
@@ -388,6 +405,40 @@ def test_refresh_handles_hive_escaped_folder_names(spark, tmp_path):
     # may not be %-escaped depending on the char; unquote normalizes)
     assert {unquote(p[len("part="):]) for p in changed} == {"my docs"}
     assigned = {
-        int(r.id) for r in spark.read.parquet(os.path.join(idx, "assign")).collect()
+        int(r.id)
+        for r in spark.read.parquet(
+            os.path.join(ann_index.table_root(idx), "assign")
+        ).collect()
     }
     assert new_id in assigned and len(assigned) == 81
+
+def test_refresh_never_disturbs_inflight_readers(spark, tmp_path):
+    """Generation-publishing contract (round-5 review finding): a
+    candidate plan bound to the active generation keeps executing
+    correctly even after a mutation + refresh publish a new one — the
+    previous generation is retained for one publish, so the old
+    in-place folder swap's FileNotFound (or mixed-generation read)
+    cannot happen."""
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(_corpus(60), NOW)
+    eng.build_vector_index(cells=4, nprobe=2)
+    meta = eng.vector_index_meta()
+    qvec = mock_embed("cache subsystem policy")
+
+    cand = eng.vector_candidates(qvec, meta)  # plan bound to gen
+    expected = sorted(int(r.id) for r in cand.collect())
+    assert expected
+
+    eng.add([{"text": "fresh cache fact", "source": "corp/cache",
+              "embedding": mock_embed("fresh cache fact")}], LATER)
+    eng.refresh_vector_index()
+
+    got = sorted(int(r.id) for r in cand.collect())
+    assert got == expected  # old generation intact through the publish
+
+    # a NEW reader (fresh meta) sees the refreshed assignment
+    meta2 = eng.vector_index_meta()
+    assert meta2["gen"] != meta["gen"]
+    idx = eng._dir("_ann_index")
+    gens = [e for e in os.listdir(idx) if e.startswith("g-")]
+    assert len(gens) == 2  # active + one retained for in-flight readers

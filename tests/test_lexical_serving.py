@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from memories_spark.engine import MemoriesEngine
 from memories_spark.extraction import mock_embed
+from memories_spark.operators.lexical_index import table_root
 from memories_spark.search import hybrid_search
 
 NOW = "2024-06-01 12:00:00"
@@ -60,13 +61,15 @@ def test_index_layout_and_meta(store):
     assert meta is not None
     assert meta["version"] == store.table_version()
     assert meta["folder_sigs"]  # per-folder identity pinned for refresh
+    assert meta["gen"].startswith("g-")  # tables live in a generation
+    root = table_root(idx, meta)
     for sub in ("postings", "doc_stats"):
-        parts = [e for e in os.listdir(os.path.join(idx, sub)) if e.startswith("part=")]
+        parts = [e for e in os.listdir(os.path.join(root, sub)) if e.startswith("part=")]
         assert parts == ["part=corp"], (sub, parts)
-    assert os.path.isdir(os.path.join(idx, "term_idf"))
-    assert os.path.isdir(os.path.join(idx, "corpus"))
+    assert os.path.isdir(os.path.join(root, "term_idf"))
+    assert os.path.isdir(os.path.join(root, "corpus"))
     # every live doc has a length row; postings cover the vocabulary
-    n_docs = store.spark.read.parquet(os.path.join(idx, "doc_stats")).count()
+    n_docs = store.spark.read.parquet(os.path.join(root, "doc_stats")).count()
     assert n_docs == store.count()
 
 
@@ -167,7 +170,7 @@ def test_stale_index_falls_back_then_refresh_restores(spark, tmp_path):
     ids = {
         int(r.id)
         for r in spark.read.parquet(
-            os.path.join(eng._dir("_lexical_index"), "doc_stats")
+            os.path.join(table_root(eng._dir("_lexical_index")), "doc_stats")
         ).collect()
     }
     assert 0 not in ids and new_id in ids
@@ -186,7 +189,10 @@ def test_refresh_touches_only_changed_folders(spark, tmp_path):
     idx = eng._dir("_lexical_index")
 
     def snap(sub, part):
-        d = os.path.join(idx, sub, f"part={part}")
+        # resolve the ACTIVE generation each call (refresh publishes a
+        # new one; unchanged folders are carried over as hardlinks, so
+        # name/size/mtime identity still proves untouched bytes)
+        d = os.path.join(table_root(idx), sub, f"part={part}")
         out = []
         for root, _, names in os.walk(d):
             for n in names:
@@ -235,7 +241,7 @@ def test_refresh_handles_hive_escaped_folder_names(spark, tmp_path):
 
     def snap():
         out = {}
-        post = os.path.join(idx, "postings")
+        post = os.path.join(table_root(idx), "postings")
         for part in os.listdir(post):
             if not part.startswith("part="):
                 continue
@@ -282,9 +288,9 @@ def test_empty_store_refresh_serves_empty_then_resumes(spark, tmp_path):
     assert _rows(hybrid_search(eng, q, k=5, auto_intent=False, now=NOW,
                                lexical=True)) == _rows(
         hybrid_search(eng, q, k=5, auto_intent=False, now=NOW)) == []
-    # stale postings are actually gone from disk
+    # stale postings are actually gone from the ACTIVE generation
     idx = eng._dir("_lexical_index")
-    assert not [e for e in os.listdir(os.path.join(idx, "postings"))
+    assert not [e for e in os.listdir(os.path.join(table_root(idx), "postings"))
                 if e.startswith("part=")]
     # documents return: the same refresh path resumes incrementally
     eng.add(_corpus(8), LATER)
@@ -332,11 +338,68 @@ def test_full_indexed_stack_matches_inline(spark, tmp_path):
 
 
 def test_build_is_atomic_no_partial_state(store):
-    """The meta is the LAST artifact inside the atomically-renamed
-    build dir: a live index always has every table present and no
+    """The meta swap is the LAST publish step: a live index always has
+    every table present inside its meta-named generation and no
     leftover tmp dirs (a crash mid-build leaves the OLD index intact)."""
     idx = store._dir("_lexical_index")
-    for sub in ("postings", "doc_stats", "term_idf", "corpus", "meta.json"):
-        assert os.path.exists(os.path.join(idx, sub)), sub
-    parent = os.path.dirname(idx)
-    assert not [e for e in os.listdir(parent) if ".tmp-" in e]
+    root = table_root(idx)
+    for sub in ("postings", "doc_stats", "term_idf", "corpus"):
+        assert os.path.isdir(os.path.join(root, sub)), sub
+    assert os.path.exists(os.path.join(idx, "meta.json"))
+    assert not [e for e in os.listdir(idx) if ".tmp-" in e]
+    assert not [e for e in os.listdir(os.path.dirname(idx)) if ".tmp-" in e]
+
+
+def test_refresh_never_disturbs_inflight_readers(spark, tmp_path):
+    """THE generation-publishing contract (round-5 review finding): a
+    reader that validated freshness and bound its plans to the active
+    generation must keep executing correctly — same complete,
+    consistent index — even if a mutation + refresh publish a new
+    generation before the reader's jobs run. The old in-place
+    per-folder swap could rmtree a partition out from under the scan
+    or serve NEW postings against OLD globals."""
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(_corpus(60), NOW)
+    eng.build_lexical_index()
+
+    # reader binds plans to the CURRENT generation (as hybrid_search
+    # does after its freshness check) but does not execute yet
+    stats = eng.lexical_stats(["cache", "subsystem", "policy"])
+    expected = sorted(
+        (int(r.id), r.term, int(r.tf)) for r in stats["terms"].collect()
+    )
+
+    # writer mutates and refreshes TWICE — the reader's generation is
+    # retained for one publish, so the first refresh must leave it
+    # intact on disk
+    eng.add([{"text": "fresh cache fact", "source": "corp/cache",
+              "embedding": mock_embed("fresh cache fact")}], LATER)
+    eng.refresh_lexical_index()
+
+    got = sorted((int(r.id), r.term, int(r.tf)) for r in stats["terms"].collect())
+    assert got == expected  # old generation: identical rows, no crash
+    idf_rows = stats["term_idf"].collect()  # globals still consistent
+    assert idf_rows and all(r.idf is not None for r in idf_rows)
+
+    # and a NEW reader sees the refreshed corpus
+    fresh = eng.lexical_stats(["fresh"])
+    assert fresh["terms"].count() >= 1
+
+
+def test_generations_are_garbage_collected(spark, tmp_path):
+    """Exactly the active + previous generations survive a publish;
+    older ones and crashed tmp dirs are pruned."""
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(_corpus(24), NOW)
+    eng.build_lexical_index()
+    idx = eng._dir("_lexical_index")
+    for i in range(3):
+        eng.add([{"text": f"gc probe {i}", "source": "corp/cache",
+                  "embedding": mock_embed(f"gc probe {i}")}], LATER)
+        eng.refresh_lexical_index()
+        gens = [e for e in os.listdir(idx) if e.startswith("g-")]
+        assert len(gens) <= 2, gens
+    from memories_spark.operators.lexical_index import read_meta
+
+    assert read_meta(idx)["gen"] in os.listdir(idx)
+    assert not [e for e in os.listdir(idx) if ".tmp-" in e]
