@@ -182,8 +182,10 @@ class MemoriesEngine:
         self.path = path
         os.makedirs(path, exist_ok=True)
         # version-keyed serving cache (one cached corpus scan shared by
-        # every concurrent search; see serving_memories)
+        # every concurrent search; see serving_memories) + the
+        # displaced snapshot, retained one swap for in-flight readers
         self._serving_mem: tuple[int, DataFrame] | None = None
+        self._serving_prev: DataFrame | None = None
         self._serving_lock = threading.Lock()
 
     # -- storage ------------------------------------------------------
@@ -352,41 +354,68 @@ class MemoriesEngine:
         with open(os.path.join(self.path, "table_version"), "w") as f:
             f.write(str(nxt))
 
-    def serving_memories(self) -> DataFrame:
-        """The full-corpus scan, cached ONCE per table version and
-        shared by every search on this engine.
+    def serving_snapshot(self) -> tuple[int, DataFrame]:
+        """(version, corpus scan) — the scan is cached ONCE per table
+        version, EAGERLY materialized, and shared by every search on
+        this engine.
 
-        Per-call ``.cache()`` of the corpus scan is wrong under
-        concurrency: Spark's CacheManager dedups identical plans, so
-        one search's post-materialization ``unpersist`` evicts the
-        block out from under its in-flight siblings — every
-        completion forces the next search to rescan and re-cache
-        (cache thrash, one eviction per op). Scoping the corpus cache
-        to the ENGINE and keying it to :meth:`table_version` fixes
-        both directions: concurrent searches share one stable set of
-        blocks, and any mutation (which bumps the version) atomically
-        swaps in a fresh scan so a cached listing never serves stale
-        files. Query-specific intermediates stay per-call (they are
-        unique plans) and are freed by ``search.release_caches``.
+        Three serving problems this solves at once:
+
+        - Cache thrash: per-call ``.cache()`` of the corpus scan is
+          wrong under concurrency — Spark's CacheManager dedups
+          identical plans, so one search's post-materialization
+          ``unpersist`` evicts the block out from under its in-flight
+          siblings. The engine-scoped cache gives concurrent searches
+          one stable block set.
+        - Staleness: any mutation bumps :meth:`table_version`, so the
+          next search atomically swaps in a fresh scan — a cached
+          listing never serves stale files.
+        - Snapshot consistency: the scan is materialized (counted)
+          BEFORE being handed out, so a query plan built against it
+          reads the version's data even if a mutation lands while the
+          query executes — a lazily-cached scan would list parquet
+          files at execution time and could mix two corpus states
+          inside one query (or hit files a delete removed). The
+          displaced snapshot is retained for one swap, mirroring the
+          index generations, so in-flight readers keep their blocks.
+
+        Query-specific intermediates stay per-call (unique plans) and
+        are freed by ``search.release_caches``. The returned version
+        is what consumers must compare INDEX metas against — pairing
+        the corpus snapshot with same-version indexes is what keeps a
+        racing refresh from mixing new index stats with an old corpus
+        (or vice versa). At warehouse scale this caching pattern maps
+        onto a table format's snapshot reads (Delta/Iceberg pin the
+        file listing per version natively).
         """
         v = self.table_version()
         with self._serving_lock:
             if self._serving_mem is not None:
                 held_v, held = self._serving_mem
                 if held_v == v:
-                    return held
-                held.unpersist(False)
+                    return v, held
+                if self._serving_prev is not None:
+                    self._serving_prev.unpersist(False)
+                self._serving_prev = held  # one-swap grace for readers
             df = self.table("memories").cache()
+            df.count()  # materialize: pin THIS version's data
             self._serving_mem = (v, df)
-            return df
+            return v, df
+
+    def serving_memories(self) -> DataFrame:
+        """The snapshot scan alone (see :meth:`serving_snapshot`)."""
+        return self.serving_snapshot()[1]
 
     def release_serving_caches(self, blocking: bool = True) -> None:
-        """Free the engine-scoped serving cache (session shutdown /
+        """Free the engine-scoped serving caches (session shutdown /
         idle eviction); the next search simply re-caches."""
         with self._serving_lock:
             if self._serving_mem is not None:
                 self._serving_mem[1].unpersist(blocking)
                 self._serving_mem = None
+            if self._serving_prev is not None:
+                self._serving_prev.unpersist(blocking)
+                self._serving_prev = None
 
     def _append(self, df: DataFrame, name: str) -> None:
         d = self._dir(name)
@@ -1653,18 +1682,20 @@ class MemoriesEngine:
             return None
         return meta
 
-    def lexical_stats(self, query_terms: list[str]) -> dict:
+    def lexical_stats(self, query_terms: list[str], meta: dict | None = None) -> dict:
         """BM25 stats served from the persisted index: postings + IDF
         reads carry an In(term) predicate over the term-sorted layout
         (row-group pruning), so a search reads the query terms'
         postings — not the corpus. Plans bind to the meta-named
         GENERATION, so they stay valid (and consistent) under any
-        concurrent refresh."""
+        concurrent refresh. Pass the ``meta`` you already freshness-
+        checked: re-reading it here could resolve a generation
+        published AFTER your check (a torn index/corpus pairing)."""
         from memories_spark.operators import lexical_index
 
         idx = self._dir("_lexical_index")
         return lexical_index.query_stats(
-            self.spark, lexical_index.table_root(idx), query_terms
+            self.spark, lexical_index.table_root(idx, meta), query_terms
         )
 
     def rebuild_from_files(self, file_paths: list[str], now: str, embed_fn=None) -> int:

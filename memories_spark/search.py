@@ -171,8 +171,12 @@ def hybrid_search(
     # source_prefix is a different, partition-pruned scan (F1 at the
     # layout level) — small by construction, cached per-call.
     if source_prefix is None:
-        mem = engine.serving_memories()
+        # the snapshot VERSION pairs the corpus scan with index metas
+        # below: a refresh publishing between this line and a meta
+        # check must not mix new index stats with this (older) corpus
+        mem_version, mem = engine.serving_snapshot()
     else:
+        mem_version = None
         mem = _cache(engine.memories(source_prefix))
     if not include_archived:
         mem = mem.filter(~F.coalesce(F.col("archived"), F.lit(False)))
@@ -189,6 +193,11 @@ def hybrid_search(
     with_emb = mem.filter(F.col("embedding").isNotNull())
     if ann:
         meta = engine.vector_index_meta()
+        if meta is not None and mem_version is not None:
+            # same-version pairing: an index published AFTER this
+            # call's corpus snapshot must not serve it
+            if int(meta["version"]) != mem_version:
+                meta = None
         if meta is not None and len(qvec) == int(meta["dim"]):
             # IVF-probed candidates: partition-pruned id scan,
             # exact cosine only inside the probed cells
@@ -207,8 +216,10 @@ def hybrid_search(
     qterms = query_text.lower().split()
     bm_stats = None
     if lexical and source_prefix is None and not include_archived:
-        if engine.lexical_index_meta() is not None:
-            bm_stats = engine.lexical_stats(qterms)
+        lmeta = engine.lexical_index_meta()
+        # same-version pairing (see the ann branch)
+        if lmeta is not None and int(lmeta["version"]) == mem_version:
+            bm_stats = engine.lexical_stats(qterms, meta=lmeta)
     bm = bm25_op.bm25_scores(mem, "id", "text", qterms, stats=bm_stats)
     bm_ranked = rrf_op.rank_signal(bm, "id", "score", limit=oversample)
 

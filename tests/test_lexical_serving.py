@@ -403,3 +403,65 @@ def test_generations_are_garbage_collected(spark, tmp_path):
 
     assert read_meta(idx)["gen"] in os.listdir(idx)
     assert not [e for e in os.listdir(idx) if ".tmp-" in e]
+
+
+def test_concurrent_searches_race_refresh_soak(spark, tmp_path):
+    """Soak the serving consistency contract under REAL concurrency:
+    searcher threads run indexed searches while the writer mutates
+    the store and refreshes both indexes. Every search must complete
+    without error and return exactly a PRE-state or POST-state result
+    set: pre-snapshot+pre-index, post-corpus inline (the stale window
+    between mutation and publish) or post-corpus+post-index. A torn
+    combination — old index stats scored against the new corpus, a
+    partition rmtree'd mid-scan, a half-materialized corpus cache —
+    would crash or produce a result outside the set (this test caught
+    exactly that before the snapshot/meta version-pairing landed)."""
+    import threading
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(_corpus(60), NOW)
+    eng.build_vector_index(cells=4, nprobe=2)
+    eng.build_lexical_index()
+
+    q = "cache subsystem policy"
+
+    def run_search():
+        return tuple(_rows(hybrid_search(eng, q, k=5, auto_intent=False,
+                                         now=LATER, ann=True, lexical=True)))
+
+    pre = run_search()
+
+    results: list = []
+    errors: list = []
+    start = threading.Barrier(4)
+
+    def searcher():
+        start.wait()
+        for _ in range(3):
+            try:
+                results.append(run_search())
+            except Exception as e:  # noqa: BLE001 — the soak records it
+                errors.append(f"{type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=searcher) for _ in range(3)]
+    for t in threads:
+        t.start()
+    start.wait()  # writer races the searchers from here
+    eng.add([{"text": "brand new cache policy doc", "source": "corp/cache",
+              "embedding": mock_embed("brand new cache policy doc")}], LATER)
+    eng.refresh_vector_index()
+    eng.refresh_lexical_index()
+    for t in threads:
+        t.join()
+
+    # post states are deterministic on the settled store, so computing
+    # them AFTER the race still names exactly what racing readers were
+    # allowed to see
+    post_indexed = run_search()
+    post_inline = tuple(_rows(hybrid_search(eng, q, k=5, auto_intent=False,
+                                            now=LATER)))
+    allowed = {pre, post_indexed, post_inline}
+
+    assert errors == [], errors
+    bad = [r for r in results if r not in allowed]
+    assert not bad, f"{len(bad)} torn result sets: {bad[:2]} allowed={allowed}"
