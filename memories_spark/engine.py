@@ -388,19 +388,44 @@ class MemoriesEngine:
         onto a table format's snapshot reads (Delta/Iceberg pin the
         file listing per version natively).
         """
-        v = self.table_version()
         with self._serving_lock:
-            if self._serving_mem is not None:
-                held_v, held = self._serving_mem
-                if held_v == v:
-                    return v, held
-                if self._serving_prev is not None:
-                    self._serving_prev.unpersist(False)
-                self._serving_prev = held  # one-swap grace for readers
-            df = self.table("memories").cache()
-            df.count()  # materialize: pin THIS version's data
-            self._serving_mem = (v, df)
-            return v, df
+            cur = self.table_version()
+            if self._serving_mem is not None and self._serving_mem[0] == cur:
+                return self._serving_mem
+            displaced = self._serving_mem
+            # Materialization RACES writers: a delete/update rewrites
+            # its partition dir (old files vanish), so the count can
+            # hit FAILED_READ.FILE_NOT_EXIST; and a write landing
+            # between the version read and the scan's file listing
+            # would mislabel newer data with the older version. Retry
+            # until one materialization completes with the version
+            # unchanged across it. The final attempt accepts without
+            # the recheck: under sustained writing every index is
+            # stale anyway, so consumers take the inline path over
+            # this (internally consistent) snapshot regardless of its
+            # label.
+            last_exc: Exception | None = None
+            for attempt in range(5):
+                v = self.table_version()
+                self.spark.catalog.refreshByPath(self._dir("memories"))
+                df = self.table("memories").cache()
+                try:
+                    df.count()  # materialize: pin THIS version's data
+                except Exception as e:  # racing partition rewrite
+                    df.unpersist(False)
+                    last_exc = e
+                    continue
+                if self.table_version() != v and attempt < 4:
+                    df.unpersist(False)
+                    continue
+                if displaced is not None:
+                    if self._serving_prev is not None:
+                        self._serving_prev.unpersist(False)
+                    # one-swap grace for in-flight readers
+                    self._serving_prev = displaced[1]
+                self._serving_mem = (v, df)
+                return v, df
+            raise last_exc
 
     def serving_memories(self) -> DataFrame:
         """The snapshot scan alone (see :meth:`serving_snapshot`)."""

@@ -82,9 +82,16 @@ def run_load(
     k: int = 5,
     now: str = "2026-04-01 12:00:00",
     seed: int = 0,
+    indexed: bool = False,
 ) -> dict:
     """Run ``ops`` operations of ``scenario`` at ``concurrency`` and
-    report per-operation latency percentiles + throughput."""
+    report per-operation latency percentiles + throughput.
+
+    ``indexed=True`` serves searches through the persisted indexes
+    (``hybrid_search(ann=True, lexical=True)``) — the production
+    serving configuration. The caller builds/refreshes the indexes;
+    stale indexes just measure the inline fallback, which is itself a
+    legitimate load shape (the post-mutation window)."""
     from memories_spark.extraction import MockProvider, mock_embed, run_extraction
     from memories_spark.search import hybrid_search, release_caches
 
@@ -97,7 +104,8 @@ def run_load(
         # worker threads never touch the RNG, so query choice is
         # deterministic regardless of thread interleaving
         q = SAMPLE_QUERIES[qidx]
-        df = hybrid_search(engine, q, k=k, auto_intent=False, now=now)
+        df = hybrid_search(engine, q, k=k, auto_intent=False, now=now,
+                           ann=indexed, lexical=indexed)
         df.collect()
         # serving discipline: free this call's cached blocks so a
         # long run's executor storage stays FLAT (gated in tests)

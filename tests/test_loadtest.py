@@ -191,3 +191,22 @@ def test_release_frees_graph_path_checkpoint(store):
     release_caches(df)
     leaked = cached_ids() - before
     assert not leaked, f"graph-path blocks leaked: {sorted(leaked)}"
+
+
+def test_indexed_serving_scenario(spark, tmp_path):
+    """run_load(indexed=True) drives the production serving shape —
+    both persisted indexes fresh, every search down the pruned-read
+    path — and a mid-run mutation just flips the remaining searches
+    to the inline fallback (the post-mutation window), never an
+    error."""
+    eng = MemoriesEngine(spark, str(tmp_path / "idxload"))
+    rows = [{"text": f"corpus note {i}: service {i % 4} uses pattern {i % 3}",
+             "source": f"corp/s{i % 4}",
+             "embedding": mock_embed(f"corpus note {i}")} for i in range(60)]
+    eng.add(rows, NOW)
+    eng.build_vector_index(cells=4, nprobe=2)
+    eng.build_lexical_index()
+    rep = run_load(eng, scenario="search", concurrency=2, ops=8, now=NOW,
+                   indexed=True)
+    assert rep["errors"] == []
+    assert rep["operations"]["search"]["count"] == 8
