@@ -173,6 +173,10 @@ _COUNTER_FILES = ("next_id", "links_seq")
 #: ~ 100 MB — comfortably under broadcast limits.
 SMART_BROADCAST_CAP = 65_536
 
+#: Swaps a RETIRED serving snapshot survives waiting for readers that
+#: never call release (leaked refs) before the engine reclaims it.
+_SNAP_MAX_AGE = 8
+
 
 class MemoriesEngine:
     """Parquet-backed memory store with reference mutation semantics."""
@@ -181,11 +185,13 @@ class MemoriesEngine:
         self.spark = spark
         self.path = path
         os.makedirs(path, exist_ok=True)
-        # version-keyed serving cache (one cached corpus scan shared by
-        # every concurrent search; see serving_memories) + the
-        # displaced snapshot, retained one swap for in-flight readers
-        self._serving_mem: tuple[int, DataFrame] | None = None
-        self._serving_prev: DataFrame | None = None
+        # version-keyed serving snapshots (one cached corpus scan per
+        # table version, shared by every concurrent search; see
+        # serving_snapshot). _snap_cur is the active one; displaced
+        # snapshots retire into _snap_retired until their readers
+        # release them (refcount) or an age backstop reclaims them.
+        self._snap_cur: dict | None = None  # {version, df, refs, age}
+        self._snap_retired: list[dict] = []
         self._serving_lock = threading.Lock()
 
     # -- storage ------------------------------------------------------
@@ -375,9 +381,16 @@ class MemoriesEngine:
           reads the version's data even if a mutation lands while the
           query executes — a lazily-cached scan would list parquet
           files at execution time and could mix two corpus states
-          inside one query (or hit files a delete removed). The
-          displaced snapshot is retained for one swap, mirroring the
-          index generations, so in-flight readers keep their blocks.
+          inside one query (or hit files a delete removed). Displaced
+          snapshots are REFERENCE-COUNTED: they stay materialized
+          until every in-flight reader releases them
+          (``search.release_caches`` → :meth:`_release_snapshot`),
+          with an age backstop reclaiming leaked refs after
+          ``_SNAP_MAX_AGE`` further swaps. A fixed one-swap grace was
+          not enough — under rapid mutations a still-executing search
+          outlived two swaps, lost its blocks, recomputed from files
+          a delete had removed, and died with FILE_NOT_EXIST (caught
+          by the mixed load scenario).
 
         Query-specific intermediates stay per-call (unique plans) and
         are freed by ``search.release_caches``. The returned version
@@ -390,9 +403,9 @@ class MemoriesEngine:
         """
         with self._serving_lock:
             cur = self.table_version()
-            if self._serving_mem is not None and self._serving_mem[0] == cur:
-                return self._serving_mem
-            displaced = self._serving_mem
+            if self._snap_cur is not None and self._snap_cur["version"] == cur:
+                self._snap_cur["refs"] += 1
+                return cur, self._snap_cur["df"]
             # Materialization RACES writers: a delete/update rewrites
             # its partition dir (old files vanish), so the count can
             # hit FAILED_READ.FILE_NOT_EXIST; and a write landing
@@ -418,29 +431,56 @@ class MemoriesEngine:
                 if self.table_version() != v and attempt < 4:
                     df.unpersist(False)
                     continue
-                if displaced is not None:
-                    if self._serving_prev is not None:
-                        self._serving_prev.unpersist(False)
-                    # one-swap grace for in-flight readers
-                    self._serving_prev = displaced[1]
-                self._serving_mem = (v, df)
+                # retire the displaced snapshot; reclaim what's free
+                if self._snap_cur is not None:
+                    self._snap_retired.append(self._snap_cur)
+                still_held = []
+                for s in self._snap_retired:
+                    s["age"] += 1
+                    if s["refs"] <= 0 or s["age"] > _SNAP_MAX_AGE:
+                        s["df"].unpersist(False)
+                    else:
+                        still_held.append(s)
+                self._snap_retired = still_held
+                self._snap_cur = {"version": v, "df": df, "refs": 1, "age": 0}
                 return v, df
             raise last_exc
 
+    def _release_snapshot(self, version: int) -> None:
+        """A reader is done with its snapshot (``release_caches``).
+        The ACTIVE snapshot stays cached regardless of refs (it
+        serves the next search); a RETIRED one is unpersisted the
+        moment its last reader lets go."""
+        with self._serving_lock:
+            if self._snap_cur is not None and self._snap_cur["version"] == version:
+                self._snap_cur["refs"] = max(0, self._snap_cur["refs"] - 1)
+                return
+            for s in list(self._snap_retired):
+                if s["version"] == version:
+                    s["refs"] -= 1
+                    if s["refs"] <= 0:
+                        s["df"].unpersist(False)
+                        self._snap_retired.remove(s)
+                    return
+
     def serving_memories(self) -> DataFrame:
-        """The snapshot scan alone (see :meth:`serving_snapshot`)."""
-        return self.serving_snapshot()[1]
+        """The snapshot scan alone, untracked (see
+        :meth:`serving_snapshot`; callers that need the scan pinned
+        across mutations must hold a tracked snapshot instead)."""
+        v, df = self.serving_snapshot()
+        self._release_snapshot(v)
+        return df
 
     def release_serving_caches(self, blocking: bool = True) -> None:
         """Free the engine-scoped serving caches (session shutdown /
         idle eviction); the next search simply re-caches."""
         with self._serving_lock:
-            if self._serving_mem is not None:
-                self._serving_mem[1].unpersist(blocking)
-                self._serving_mem = None
-            if self._serving_prev is not None:
-                self._serving_prev.unpersist(blocking)
-                self._serving_prev = None
+            if self._snap_cur is not None:
+                self._snap_cur["df"].unpersist(blocking)
+                self._snap_cur = None
+            for s in self._snap_retired:
+                s["df"].unpersist(blocking)
+            self._snap_retired = []
 
     def _append(self, df: DataFrame, name: str) -> None:
         d = self._dir(name)

@@ -53,9 +53,12 @@ def release_caches(df: DataFrame, blocking: bool = True) -> None:
     long-lived serving session accumulates storage blocks per query —
     LRU eviction keeps results correct but evicts genuinely hot data
     under pressure. Call this once the result is materialized
-    (``collect``/``toPandas``); a released plan stays CORRECT if
-    re-executed (Spark recomputes evicted blocks), just uncached.
-    No-op on DataFrames that did not come from ``hybrid_search``.
+    (``collect``/``toPandas``). It also releases the call's
+    reference on the engine's corpus snapshot — after release,
+    re-executing the plan is only guaranteed against an unmutated
+    store (the snapshot may have been reclaimed; re-run the search
+    instead of re-collecting a released result). No-op on DataFrames
+    that did not come from ``hybrid_search``.
     """
     for cached in getattr(df, "_ms_caches", ()):
         cached.unpersist(blocking)
@@ -64,6 +67,11 @@ def release_caches(df: DataFrame, blocking: bool = True) -> None:
             jrdd.unpersist(blocking)
         except Exception:
             pass  # JVM handle gone (session stopped) — nothing to free
+    snap = getattr(df, "_ms_snap", None)
+    if snap is not None:
+        df._ms_snap = None  # idempotent: release the ref exactly once
+        engine, version = snap
+        engine._release_snapshot(version)
 
 
 def _effective_weights(
@@ -161,6 +169,8 @@ def hybrid_search(
     def _finish(df: DataFrame) -> DataFrame:
         df._ms_caches = tuple(_caches)
         df._ms_ckpt_rdds = tuple(_ckpt_rdds)
+        # the snapshot ref this call holds; release_caches lets it go
+        df._ms_snap = (engine, mem_version) if mem_version is not None else None
         return df
 
     # Corpus scan: the unprefixed serving path reads the ENGINE-scoped
