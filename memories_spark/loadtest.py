@@ -29,8 +29,9 @@ from __future__ import annotations
 import random
 import threading
 import time
+import traceback
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 SAMPLE_QUERIES = [
     "how do we rotate session credentials",
@@ -62,7 +63,22 @@ class OpResult:
     op: str
     latency_ms: float
     ok: bool
-    error: str = ""
+    error: dict = field(default_factory=dict)
+
+
+def format_errors(rep: dict) -> str:
+    """Render a load report's error payloads for assertion messages /
+    logs: one block per failed op with kind, index, query, and the
+    full traceback — so a concurrency failure that reproduces once in
+    a 35-minute suite run names its cause instead of printing a bare
+    ``AssertionError``."""
+    blocks = []
+    for e in rep.get("errors", []):
+        head = f"[{e.get('op')}#{e.get('index')}]"
+        if e.get("query"):
+            head += f" query={e['query']!r}"
+        blocks.append(f"{head} {e.get('error')}\n{e.get('traceback', '')}")
+    return "\n".join(blocks)
 
 
 def _percentile(sorted_vals: list[float], q: float) -> float:
@@ -158,8 +174,19 @@ def run_load(
             kinds[op](idx, qidx)
             r = OpResult(op, (time.perf_counter() - t0) * 1000.0, True)
         except Exception as e:  # keep the run going; errors land in the report
-            r = OpResult(op, (time.perf_counter() - t0) * 1000.0, False,
-                         f"{type(e).__name__}: {e}")
+            # Full diagnosability: a failed op must NAME itself in the
+            # report — operation kind, op index, the exact query text
+            # (search ops), and the complete traceback. The round-5
+            # loadtest failures were undiagnosable post-hoc precisely
+            # because only `type: message` survived into the report
+            # and the assertion messages showed nothing at all.
+            r = OpResult(op, (time.perf_counter() - t0) * 1000.0, False, {
+                "op": op,
+                "index": idx,
+                "query": SAMPLE_QUERIES[qidx] if op == "search" else None,
+                "error": f"{type(e).__name__}: {e}",
+                "traceback": traceback.format_exc(),
+            })
         with res_lock:
             results.append(r)
 

@@ -181,9 +181,9 @@ def build_ivf(
     # publish order: complete generation first, meta swap second — a
     # crash in between leaves an orphan gen (GC'd next publish) and
     # the previous index fully intact
+    keep = retain_generations(meta, prev)
     os.rename(tmp, os.path.join(index_dir, gen))
     publish_meta(index_dir, meta)
-    keep = {gen} | ({prev["gen"]} if prev and prev.get("gen") else set())
     legacy = ("assign", "centroids") if prev and prev.get("gen") else ()
     gc_generations(index_dir, keep, legacy)
     return meta
@@ -241,6 +241,7 @@ def refresh_ivf(
         e.startswith("cell=") for e in os.listdir(cur_assign)
     ) if os.path.isdir(cur_assign) else False
     prev_gen = meta.get("gen")
+    prev_gens_before = list(meta.get("prev_gens", []))
     touched = sorted(set(changed) | set(removed))
     if touched or legacy_layout or not prev_gen:
         gen = new_gen_name()
@@ -278,8 +279,10 @@ def refresh_ivf(
         meta["gen"] = gen
     meta["version"] = int(version)
     meta["folder_sigs"] = dict(folder_sigs)
+    keep = retain_generations(
+        meta, {"gen": prev_gen, "prev_gens": prev_gens_before}
+    )
     publish_meta(index_dir, meta)
-    keep = {meta["gen"]} | ({prev_gen} if prev_gen else set())
     legacy = ("assign", "centroids") if prev_gen else ()
     gc_generations(index_dir, keep, legacy)
     return meta
@@ -313,6 +316,39 @@ def read_meta(index_dir: str) -> dict | None:
 # scores).
 
 GEN_PREFIX = "g-"
+
+#: displaced generations retained per index. One-publish retention
+#: re-created the FILE_NOT_EXIST class one publish further out (the
+#: round-5 advice finding): a lazy search plan bound via table_root()
+#: to generation g0 survives ONE refresh, but a second refresh before
+#: the caller collects would rmtree g0 and kill the scan. Retain the
+#: last GEN_RETAIN displaced generations — the same age backstop the
+#: corpus snapshot uses (_SNAP_MAX_AGE swaps) for the identical
+#: failure class. Generations are hardlink-shared, so the disk cost of
+#: retention is one directory of links per publish, not data copies.
+GEN_RETAIN = 8
+
+
+def retain_generations(meta: dict, prev_meta: dict | None) -> set[str]:
+    """Record the displaced-generation retention list on ``meta``
+    (``prev_gens``, newest first, capped at :data:`GEN_RETAIN`) and
+    return the full keep-set for :func:`gc_generations`. Call BEFORE
+    ``publish_meta`` so the retention list is persisted with the
+    publish."""
+    cur = meta.get("gen")
+    displaced: list[str] = []
+    if prev_meta:
+        pg = prev_meta.get("gen")
+        if pg and pg != cur:
+            displaced.append(pg)
+        for g in prev_meta.get("prev_gens", []):
+            if g and g != cur and g not in displaced:
+                displaced.append(g)
+    meta["prev_gens"] = displaced[:GEN_RETAIN]
+    keep = set(meta["prev_gens"])
+    if cur:
+        keep.add(cur)
+    return keep
 
 
 def table_root(index_dir: str, meta: dict | None = None) -> str:
@@ -387,31 +423,46 @@ def file_identity(d: str) -> tuple:
     )
 
 
-#: probe-time centroid memo: index_dir -> (centroid-files identity,
-#: {cid: {d: c}}): a rebuild (which rewrites the files) invalidates
-#: the memo and a refresh (which never touches centroids) keeps it
-#: warm. Bounded: dead stores' entries are pruned on insert, and the
-#: memo hard-resets past _MEMO_CAP live stores (each entry is a few
-#: KB; a long-lived driver serving many stores must not grow it
+#: probe-time centroid memo: index ROOT -> (centroid-files identity,
+#: {cid: {d: c}}). Callers pass the GENERATION dir (table_root), but
+#: the memo keys on the parent index root: a refresh carries the
+#: centroid files into the new generation as HARDLINKS (same size,
+#: same mtime), so file_identity matches and the memo stays warm
+#: across refreshes with zero re-collects — keying on the generation
+#: dir (the round-5 advice finding) cost one centroid re-collect per
+#: refresh and left dead-generation entries behind. A rebuild writes
+#: NEW centroid files, so the identity changes and invalidates the
+#: memo for free. Bounded: dead stores' entries are pruned on insert,
+#: and the memo hard-resets past _MEMO_CAP live stores (each entry is
+#: a few KB; a long-lived driver serving many stores must not grow it
 #: forever).
 _CENTROID_MEMO: dict[str, tuple[tuple, dict[int, dict[int, float]]]] = {}
 _MEMO_CAP = 64
 
 
+def _memo_key(index_dir: str) -> str:
+    """Generation-stable memo key: the index root that owns the
+    passed table root (generation dirs key to their parent)."""
+    if os.path.basename(index_dir).startswith(GEN_PREFIX):
+        return os.path.dirname(index_dir)
+    return index_dir
+
+
 def _centroids(spark: SparkSession, index_dir: str) -> dict[int, dict[int, float]]:
     ident = file_identity(os.path.join(index_dir, "centroids"))
-    memo = _CENTROID_MEMO.get(index_dir)
+    key = _memo_key(index_dir)
+    memo = _CENTROID_MEMO.get(key)
     if memo is not None and memo[0] == ident:
         return memo[1]
     cents: dict[int, dict[int, float]] = {}
     for r in spark.read.parquet(os.path.join(index_dir, "centroids")).collect():
         cents.setdefault(int(r.cid), {})[int(r.sd)] = float(r.c)
-    if index_dir not in _CENTROID_MEMO:
+    if key not in _CENTROID_MEMO:
         for stale in [k for k in _CENTROID_MEMO if not os.path.isdir(k)]:
             del _CENTROID_MEMO[stale]
         if len(_CENTROID_MEMO) >= _MEMO_CAP:
             _CENTROID_MEMO.clear()
-    _CENTROID_MEMO[index_dir] = (ident, cents)
+    _CENTROID_MEMO[key] = (ident, cents)
     return cents
 
 

@@ -68,7 +68,8 @@ from memories_spark.operators import bm25 as bm25_op
 # the meta.json + generation-publishing contract is shared by every
 # persisted index (corrupt/missing meta reads as "no index" -> inline
 # fallback; see the generation note in ann_index.py)
-from memories_spark.operators.ann_index import (  # noqa: F401
+from memories_spark.operators.ann_index import (
+    retain_generations,  # noqa: F401
     gc_generations,
     link_tree,
     new_gen_name,
@@ -188,9 +189,9 @@ def build_lexical(
         "folder_sigs": folder_sigs or {},
         "gen": gen,
     }
+    keep = retain_generations(meta, prev)
     os.rename(tmp, os.path.join(index_dir, gen))
     publish_meta(index_dir, meta)
-    keep = {gen} | ({prev["gen"]} if prev and prev.get("gen") else set())
     legacy = _TABLES if prev and prev.get("gen") else ()
     gc_generations(index_dir, keep, legacy)
     return meta
@@ -236,6 +237,7 @@ def refresh_lexical(
 
     cur_root = table_root(index_dir, meta)
     prev_gen = meta.get("gen")
+    prev_gens_before = list(meta.get("prev_gens", []))
     touched = sorted(set(changed) | set(removed))
     if touched or not prev_gen:
         gen = new_gen_name()
@@ -268,8 +270,10 @@ def refresh_lexical(
         meta["gen"] = gen
     meta["version"] = int(version)
     meta["folder_sigs"] = dict(folder_sigs)
+    keep = retain_generations(
+        meta, {"gen": prev_gen, "prev_gens": prev_gens_before}
+    )
     publish_meta(index_dir, meta)
-    keep = {meta["gen"]} | ({prev_gen} if prev_gen else set())
     legacy = _TABLES if prev_gen else ()
     gc_generations(index_dir, keep, legacy)
     return meta

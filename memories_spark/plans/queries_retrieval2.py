@@ -961,3 +961,158 @@ def feedback_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("feedback_net"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------
+# memory_timeline twin (reference mcp-server/index.js:262-330)
+# ---------------------------------------------------------------------
+
+#: the timeline's two variant term-bags over the synthetic corpus: the
+#: "original query" terms, and the dated-event-biased variant's extras
+#: (reference timelineQueryVariants appends bias terms to the query,
+#: index.js:177-182)
+_TL_BASE_TERMS = ["spark", "join", "filter"]
+_TL_BIAS_TERMS = ["window", "group"]
+_TL_UNKNOWN_US = -(1 << 62)  # chronologicalValue's -Infinity (index.js:163-167)
+
+
+def _tl_hits_sql(variant_col: str) -> str:
+    base = " + ".join(
+        f"(CASE WHEN text LIKE '%{t}%' THEN 1 ELSE 0 END)" for t in _TL_BASE_TERMS
+    )
+    bias = " + ".join(
+        f"(CASE WHEN text LIKE '%{t}%' THEN 1 ELSE 0 END)" for t in _TL_BIAS_TERMS
+    )
+    return f"({base}) + (CASE WHEN {variant_col} = 1 THEN {bias} ELSE 0 END)"
+
+
+_TIMELINE_ORACLE = f"""
+WITH anchors AS (
+  SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id
+),
+base AS (
+  SELECT d.doc_id, d.source, d.text,
+         CASE WHEN d.doc_id % 11 = 3 THEN 'assistant: ' || d.text
+              WHEN d.doc_id % 11 = 5 THEN 'user: ' || d.text
+              ELSE d.text END AS role_text,
+         CASE WHEN d.doc_id % 5 = 4 THEN NULL ELSE a.last_ts END AS anchor_ts
+  FROM documents d LEFT JOIN anchors a ON d.doc_id % 15 = a.user_id
+),
+scored AS (
+  SELECT b.*, v.variant, {_tl_hits_sql('v.variant')} AS hits
+  FROM base b CROSS JOIN (VALUES (0), (1)) v(variant)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY variant ORDER BY hits DESC, doc_id ASC) AS vrank
+  FROM scored WHERE hits > 0
+),
+kept AS (SELECT * FROM ranked WHERE vrank <= 20),
+facts AS (
+  SELECT * FROM kept
+  WHERE CASE
+    WHEN trim(role_text) = '' THEN FALSE
+    WHEN regexp_matches(role_text, '(?im)^\\s*user\\s*:') THEN TRUE
+    WHEN regexp_matches(role_text, '(?im)^\\s*assistant\\s*:') THEN FALSE
+    ELSE TRUE END
+),
+merged AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id, source, anchor_ts ORDER BY variant, vrank) AS dd
+  FROM facts
+)
+SELECT
+  row_number() OVER (ORDER BY
+    coalesce(epoch_us(anchor_ts), {_TL_UNKNOWN_US}) ASC,
+    variant ASC, vrank ASC, doc_id ASC) AS ord,
+  doc_id, source,
+  strftime(anchor_ts, '%Y-%m-%d %H:%M:%S') AS anchor_date,
+  variant, vrank
+FROM merged WHERE dd = 1
+ORDER BY ord
+"""
+
+
+@register(
+    "timeline_evidence",
+    oracle=_TIMELINE_ORACLE,
+    doc="memory_timeline twin (reference mcp-server/index.js:262-330, "
+    "the 5.4 chronological-evidence operator): two query VARIANTS "
+    "(original terms; dated-event-biased terms, timelineQueryVariants "
+    ":177-188) each rank the corpus and keep top-20; the union is "
+    "filtered by the hasUserFact transcript rule (:169-175 — blank "
+    "never, a 'user:' line anywhere yes, a leading 'assistant:' line "
+    "no, plain prose yes; roles derived deterministically from "
+    "doc_id), deduped on (id, source, anchor date) keeping the FIRST "
+    "variant's hit (the reference's insertion-order Set, :305-309), "
+    "and sorted chronologically with unknown-date rows FIRST "
+    "(chronologicalValue maps unparseable dates to -Infinity, "
+    ":163-167). Anchor dates reuse the evidence-packet convention "
+    "(events max-ts per user_id = doc_id % 15; every 5th doc "
+    "undated). ONE plan: both variants rank in one window pass over "
+    "a shared scan — no per-variant corpus re-read.",
+    tags=("retrieval", "temporal"),
+)
+def timeline_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    docs, events = t["documents"], t["events"]
+    anchors = events.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    base = (
+        docs.join(anchors, docs.doc_id % 15 == anchors.user_id, "left")
+        .select(
+            "doc_id", "source", "text",
+            F.when(F.col("doc_id") % 11 == 3,
+                   F.concat(F.lit("assistant: "), F.col("text")))
+            .when(F.col("doc_id") % 11 == 5,
+                  F.concat(F.lit("user: "), F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("role_text"),
+            F.when(F.col("doc_id") % 5 == 4, F.lit(None).cast("timestamp"))
+            .otherwise(F.col("last_ts"))
+            .alias("anchor_ts"),
+        )
+    )
+    # both variants fan out of ONE scan: cross join with the 2-row
+    # variant table, per-variant window rank (the reference runs the
+    # variant searches concurrently against one live index)
+    variants = spark.createDataFrame([(0,), (1,)], "variant int")
+    hits = sum(
+        (F.when(F.col("text").contains(term), 1).otherwise(0)
+         for term in _TL_BASE_TERMS),
+        F.lit(0),
+    ) + F.when(
+        F.col("variant") == 1,
+        sum((F.when(F.col("text").contains(term), 1).otherwise(0)
+             for term in _TL_BIAS_TERMS), F.lit(0)),
+    ).otherwise(0)
+    wv = Window.partitionBy("variant").orderBy(
+        F.desc("hits"), F.asc("doc_id")
+    )
+    kept = (
+        base.crossJoin(F.broadcast(variants))
+        .withColumn("hits", hits)
+        .filter(F.col("hits") > 0)
+        .withColumn("vrank", F.row_number().over(wv))
+        .filter(F.col("vrank") <= 20)
+    )
+    # hasUserFact transcript filter, then first-seen dedup
+    from memories_spark.search import user_fact_expr
+
+    facts = kept.filter(user_fact_expr(F.col("role_text")))
+    wd = Window.partitionBy("doc_id", "source", "anchor_ts").orderBy(
+        "variant", "vrank"
+    )
+    merged = (
+        facts.withColumn("dd", F.row_number().over(wd))
+        .filter(F.col("dd") == 1)
+    )
+    chrono = F.coalesce(F.unix_micros("anchor_ts"), F.lit(_TL_UNKNOWN_US))
+    wo = Window.orderBy(chrono.asc(), F.asc("variant"), F.asc("vrank"),
+                        F.asc("doc_id"))
+    return merged.select(
+        F.row_number().over(wo).cast("long").alias("ord"),
+        "doc_id", "source",
+        F.date_format("anchor_ts", "yyyy-MM-dd HH:mm:ss").alias("anchor_date"),
+        F.col("variant").cast("int").alias("variant"),
+        F.col("vrank").cast("long").alias("vrank"),
+    ).orderBy("ord")

@@ -442,3 +442,39 @@ def test_refresh_never_disturbs_inflight_readers(spark, tmp_path):
     idx = eng._dir("_ann_index")
     gens = [e for e in os.listdir(idx) if e.startswith("g-")]
     assert len(gens) == 2  # active + one retained for in-flight readers
+
+
+def test_reader_survives_multiple_refreshes(spark, tmp_path):
+    """Round-5 advice (medium): one-publish retention pushed the
+    FILE_NOT_EXIST crash one refresh further out — a lazy plan bound
+    to generation g0 survived one refresh, then a SECOND refresh
+    rmtree'd g0 and the scan died. Displaced generations are now
+    retained GEN_RETAIN publishes (hardlink dirs, not copies), so a
+    reader survives a burst of refreshes; only generations older than
+    the backstop are reclaimed."""
+    from memories_spark.operators.ann_index import GEN_RETAIN
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(_corpus(60), NOW)
+    eng.build_vector_index(cells=4, nprobe=2)
+    meta = eng.vector_index_meta()
+    qvec = mock_embed("cache subsystem policy")
+
+    cand = eng.vector_candidates(qvec, meta)  # plan bound to g0
+    expected = sorted(int(r.id) for r in cand.collect())
+    assert expected
+
+    for i in range(4):  # four mutation+refresh publishes, reader idle
+        eng.add([{"text": f"burst cache fact {i}", "source": "corp/cache",
+                  "embedding": mock_embed(f"burst cache fact {i}")}], LATER)
+        eng.refresh_vector_index()
+
+    got = sorted(int(r.id) for r in cand.collect())
+    assert got == expected  # g0 still fully readable after 4 publishes
+
+    idx = eng._dir("_ann_index")
+    meta_now = eng.vector_index_meta()
+    gens = {e for e in os.listdir(idx) if e.startswith("g-")}
+    assert meta["gen"] in gens  # the bound generation was retained
+    assert set(meta_now.get("prev_gens", [])) | {meta_now["gen"]} == gens
+    assert len(gens) <= GEN_RETAIN + 1

@@ -332,12 +332,14 @@ def test_import_smart_never_collects_record_payloads(tmp_path, spark, monkeypatc
     DataFrame = type(dst.table("memories"))
     orig_collect = DataFrame.collect
     MAX_WIDTH = 6  # decision scalars / borderline (rid, text, category)
+    collected_rows = [0]
 
     def narrow_only(df):
         rows = orig_collect(df)
         assert not rows or len(rows[0]) <= MAX_WIDTH, (
             f"smart import collected record-width rows: {df.columns}"
         )
+        collected_rows[0] += len(rows)
         return rows
 
     monkeypatch.setattr(DataFrame, "collect", narrow_only)
@@ -347,6 +349,14 @@ def test_import_smart_never_collects_record_payloads(tmp_path, spark, monkeypatc
     )
     monkeypatch.undo()
     assert result["errors"] == []
+    # Round-6 gate: with no provider there are no borderline rows, so
+    # the whole 10^4-record import may collect only O(1) driver rows —
+    # the <=4-row decision-count aggregate plus scalar probes. The old
+    # path collected one (narrow) decision row per record, capping the
+    # import batch at driver heap.
+    assert collected_rows[0] <= 16, (
+        f"smart import collected {collected_rows[0]} rows for {n} records"
+    )
     # the exact seed restatement is skipped as a duplicate; everything
     # else is novel
     assert result["skipped"] >= 1

@@ -8,7 +8,8 @@ import pytest
 
 from memories_spark.engine import MemoriesEngine
 from memories_spark.extraction import mock_embed
-from memories_spark.loadtest import MIXED_WEIGHTS, _percentile, run_load
+from memories_spark.loadtest import (MIXED_WEIGHTS, _percentile,
+                                     format_errors, run_load)
 
 NOW = "2026-04-01 12:00:00"
 
@@ -34,7 +35,8 @@ def test_percentile_nearest_rank():
 
 def test_search_scenario_report_shape(store):
     rep = run_load(store, scenario="search", concurrency=4, ops=12, now=NOW)
-    assert rep["ops"] == 12 and rep["errors"] == []
+    assert rep["errors"] == [], format_errors(rep)
+    assert rep["ops"] == 12
     s = rep["operations"]["search"]
     assert s["count"] == 12 and s["errors"] == 0
     assert 0 < s["p50_ms"] <= s["p95_ms"] <= s["p99_ms"] <= s["max_ms"]
@@ -47,7 +49,7 @@ def test_mixed_scenario_mutates_and_searches(store):
     consistent (adds minus deletes of added rows)."""
     before = store.count()
     rep = run_load(store, scenario="mixed", concurrency=4, ops=30, now=NOW, seed=7)
-    assert rep["errors"] == []
+    assert rep["errors"] == [], format_errors(rep)
     ops = rep["operations"]
     assert set(ops) <= {name for name, _ in MIXED_WEIGHTS}
     assert ops["search"]["count"] > ops.get("add", {}).get("count", 0)
@@ -65,7 +67,7 @@ def test_extract_scenario_runs_pipeline(spark, tmp_path):
     eng.add([{"text": "seed fact", "source": "corp/a",
               "embedding": mock_embed("seed fact")}], NOW)
     rep = run_load(eng, scenario="extract", concurrency=2, ops=4, now=NOW)
-    assert rep["errors"] == []
+    assert rep["errors"] == [], format_errors(rep)
     assert rep["operations"]["extract"]["count"] == 4
     # each extraction adds its two facts once; re-extractions NOOP as
     # duplicates, so the store grew by exactly the distinct fact count
@@ -116,7 +118,7 @@ def test_storage_stays_flat_across_sequential_searches(store):
     run_load(store, scenario="search", concurrency=1, ops=1, now=NOW)
     before = cached_ids()
     rep = run_load(store, scenario="search", concurrency=1, ops=50, now=NOW)
-    assert rep["errors"] == []
+    assert rep["errors"] == [], format_errors(rep)
     leaked = cached_ids() - before
     assert not leaked, f"{len(leaked)} storage blocks leaked: {sorted(leaked)}"
 
@@ -145,7 +147,7 @@ def test_concurrent_searches_share_engine_corpus_cache(spark, tmp_path):
     eng_blocks = cached_ids() - pre
     assert eng_blocks, "serving_memories did not materialize a cache"
     rep = run_load(eng, scenario="burst", concurrency=4, ops=16, now=NOW)
-    assert rep["errors"] == []
+    assert rep["errors"] == [], format_errors(rep)
     after = cached_ids()
     assert eng_blocks <= after, "engine corpus cache was evicted mid-run"
     leaked = after - pre - eng_blocks
@@ -208,5 +210,48 @@ def test_indexed_serving_scenario(spark, tmp_path):
     eng.build_lexical_index()
     rep = run_load(eng, scenario="search", concurrency=2, ops=8, now=NOW,
                    indexed=True)
-    assert rep["errors"] == []
+    assert rep["errors"] == [], format_errors(rep)
     assert rep["operations"]["search"]["count"] == 8
+
+
+def test_mixed_scenario_stress_soak(spark, tmp_path):
+    """Stress variant of the two round-5 full-suite-only failures
+    (test_mixed_scenario_mutates_and_searches /
+    test_indexed_serving_scenario, which passed in isolation): higher
+    op count, higher concurrency, TWO engines driven in parallel from
+    one Spark session — the suite-level load shape. Zero errors, with
+    the full per-op traceback payload in the assertion message if one
+    ever reproduces."""
+    import threading
+
+    eng_a = MemoriesEngine(spark, str(tmp_path / "stress_a"))
+    eng_b = MemoriesEngine(spark, str(tmp_path / "stress_b"))
+    for eng in (eng_a, eng_b):
+        rows = [{"text": f"corpus note {i}: service {i % 5} uses pattern {i % 3}",
+                 "source": f"corp/s{i % 5}",
+                 "embedding": mock_embed(f"corpus note {i}")} for i in range(60)]
+        eng.add(rows, NOW)
+    eng_b.build_vector_index(cells=4, nprobe=2)
+    eng_b.build_lexical_index()
+
+    reports: dict[str, dict] = {}
+
+    def run_mixed():
+        reports["mixed"] = run_load(eng_a, scenario="mixed", concurrency=6,
+                                    ops=48, now=NOW, seed=11)
+
+    def run_indexed():
+        reports["indexed"] = run_load(eng_b, scenario="search", concurrency=4,
+                                      ops=16, now=NOW, indexed=True)
+
+    threads = [threading.Thread(target=run_mixed),
+               threading.Thread(target=run_indexed)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for name, rep in sorted(reports.items()):
+        assert rep["errors"] == [], f"{name}:\n{format_errors(rep)}"
+    assert reports["mixed"]["ops"] == 48
+    assert reports["indexed"]["operations"]["search"]["count"] == 16

@@ -174,3 +174,109 @@ def test_graph_search_driver_actions_bounded(engine, monkeypatch):
     # and the plan still answers correctly
     rows = out.collect()
     assert len(rows) == 3
+
+
+# --- memory_timeline (reference mcp-server/index.js:262-330) -----------
+
+
+def test_timeline_query_variants():
+    from memories_spark.search import timeline_query_variants
+
+    vs = timeline_query_variants("when did the migration finish")
+    assert vs[0] == "when did the migration finish"
+    assert len(vs) == 2 and "dated event" in vs[1]
+    # trip-shaped queries add the travel-vocab variant (index.js:183-185)
+    vt = timeline_query_variants("what trips did I take")
+    assert len(vt) == 3 and "vacation" in vt[2]
+    # empty query: the dated-event hint alone survives dedup
+    assert timeline_query_variants("")
+
+
+def test_timeline_chronological_with_unknown_dates_first(spark, tmp_path):
+    """Timeline semantics (index.js:300-318): variant fan-out results
+    are unioned, deduped on (id, source, anchor date), and sorted
+    chronologically with UNKNOWN-date rows first (chronologicalValue
+    maps an unparseable date to -Infinity, :163-167)."""
+    from memories_spark.search import memory_timeline, release_caches
+
+    eng = MemoriesEngine(spark, str(tmp_path / "tstore"))
+    eng.add(
+        [
+            _rec("release shipped to production", "proj/log",
+                 document_at="2024-03-10 09:00:00"),
+            _rec("release postmortem written and completed", "proj/log",
+                 document_at="2024-01-05 09:00:00"),
+            _rec("release checklist drafted", "proj/log"),  # no document_at
+            _rec("unrelated grocery notes", "home/misc",
+                 document_at="2024-02-01 09:00:00"),
+        ],
+        NOW,
+    )
+    df = memory_timeline(eng, "release", k=10, auto_intent=False, now=NOW)
+    rows = df.collect()
+    release_caches(df)
+    ids = [r.id for r in rows]
+    assert set(ids) >= {0, 1, 2}
+    assert len(ids) == len(set(ids))  # dedup across variants
+    # chronological: the undated row (anchor = created_at NOW, which is
+    # LATER than both document_at anchors) sorts after; among dated
+    # rows the older document_at comes first
+    pos = {r.id: i for i, r in enumerate(rows)}
+    assert pos[1] < pos[0] < pos[2]
+    assert [r.ord for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_timeline_user_facts_only_filter(spark, tmp_path):
+    """hasUserFact twin (index.js:169-175): a leading assistant: line
+    excludes the row, a user: line anywhere includes it, plain prose
+    passes — applied only when user_facts_only=True."""
+    from memories_spark.search import memory_timeline, release_caches
+
+    eng = MemoriesEngine(spark, str(tmp_path / "ustore"))
+    eng.add(
+        [
+            _rec("user: the deploy pipeline finished friday", "chat/a"),
+            _rec("assistant: you could consider a deploy pipeline",
+                 "chat/a"),
+            _rec("the deploy pipeline uses three stages", "docs/a"),
+        ],
+        NOW,
+    )
+    df_all = memory_timeline(eng, "deploy pipeline", k=10,
+                             auto_intent=False, now=NOW)
+    all_rows = df_all.collect()
+    release_caches(df_all)
+    assert {r.id for r in all_rows} == {0, 1, 2}
+    facts = {r.id: r.user_fact for r in all_rows}
+    assert facts == {0: True, 1: False, 2: True}
+
+    df = memory_timeline(eng, "deploy pipeline", k=10, user_facts_only=True,
+                         auto_intent=False, now=NOW)
+    rows = df.collect()
+    release_caches(df)
+    assert {r.id for r in rows} == {0, 2}
+
+
+def test_timeline_releases_all_variant_caches(spark, tmp_path):
+    """memory_timeline runs one hybrid_search PER VARIANT; a single
+    release_caches on the merged result must free every variant's
+    per-call caches and snapshot refs (storage stays flat, snapshot
+    refcount returns to zero)."""
+    from memories_spark.search import memory_timeline, release_caches
+
+    eng = MemoriesEngine(spark, str(tmp_path / "rstore"))
+    eng.add([_rec(f"note {i} about deploys", "proj/a") for i in range(6)], NOW)
+    eng.serving_memories().count()  # warm the engine-scoped snapshot
+    sc = spark.sparkContext
+
+    def cached_ids():
+        return {int(i.id()) for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_ids()
+    df = memory_timeline(eng, "deploys", k=5, auto_intent=False, now=NOW)
+    df.collect()
+    assert getattr(df, "_ms_snaps", None)
+    release_caches(df)
+    leaked = cached_ids() - before
+    assert not leaked, f"timeline leaked storage blocks: {sorted(leaked)}"
+    assert eng._snap_cur["refs"] == 0
