@@ -110,6 +110,23 @@ def main() -> None:
             # queries pay eviction/GC churn instead of their own cost.
             spark.catalog.clearCache()
 
+    # Work-volume labels (round-5 verdict bench hygiene): the slowest
+    # bench query is a blocked exact set-similarity join whose cost IS
+    # its candidate volume — record that volume so a corpus shift that
+    # doubles candidates reads as more verified work, not a regression.
+    work_stats: dict = {}
+    if timings.get("rareterm_jaccard_join", -1.0) >= 0:
+        try:
+            from memories_spark.plans.queries_advanced4 import (
+                rareterm_work_stats,
+            )
+
+            work_stats.update(rareterm_work_stats(spark, sf_dir))
+        except Exception as exc:
+            print(f"bench work stats failed: {exc}", file=sys.stderr)
+        finally:
+            spark.catalog.clearCache()
+
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     anchors = _load_anchors(sf)
     ratios = {
@@ -145,6 +162,7 @@ def main() -> None:
                 "canary_ratio": canary_ratio,
                 "anchor_ratios": ratios,
                 "drift_warnings": drifted,
+                "work_stats": work_stats,
             }
         )
     )

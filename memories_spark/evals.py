@@ -256,3 +256,167 @@ def aggregate(results: list[dict]) -> dict:
         "avg_without": avg_without,
         "delta": avg_with - avg_without,
     }
+
+
+# ---------------------------------------------------------------------
+# Active memory-search behavior eval
+# (reference eval/active_search_eval.py:1-196, a 5.4.0 headline)
+# ---------------------------------------------------------------------
+
+#: tool names that count as a memory search (reference
+#: MEMORY_SEARCH_TOOL_NAMES + the ``endswith("__memory_search")``
+#: MCP-prefix rule, active_search_eval.py:14-17, 41-42)
+MEMORY_SEARCH_TOOL_NAMES = {"memory_search", "mcp__memories__memory_search"}
+
+
+@dataclass(frozen=True)
+class ActiveSearchCase:
+    """A user turn with the expected active-search behavior
+    (reference ActiveSearchCase, active_search_eval.py:21-31)."""
+
+    case_id: str
+    user_prompt: str
+    should_search: bool
+    expected_source_prefixes: tuple = ()
+    expected_answer_terms: tuple = ()
+    agent: str = "unknown"
+
+
+def is_memory_search_tool_name(name: str) -> bool:
+    return name in MEMORY_SEARCH_TOOL_NAMES or name.endswith("__memory_search")
+
+
+def _as_tool_calls(trace) -> list[dict]:
+    if not isinstance(trace, dict):
+        return []
+    calls = trace.get("tool_calls", [])
+    if not isinstance(calls, list):
+        return []
+    return [c for c in calls if isinstance(c, dict)]
+
+
+def _source_matches(searched: str, expected: tuple) -> bool:
+    """Exact-prefix credit (active_search_eval.py:49-56): the searched
+    prefix must equal an expected one or live under it."""
+    if not searched:
+        return False
+    return any(
+        searched == e or searched.startswith(f"{e}/") for e in expected
+    )
+
+
+def score_active_search_turn(
+    case: ActiveSearchCase, agent_response: str, agent_trace
+) -> dict:
+    """Deterministic scoring of one tool-call trace (reference
+    score_turn, active_search_eval.py:72-154): did the agent search
+    when a turn depended on prior context (0.5 credit), with the right
+    source prefix (+0.25), and did the answer use the expected memory
+    (+0.25)? Control cases (should_search=False) score 1.0 unless an
+    unnecessary search fired. ``memory_get`` never substitutes for a
+    search (the bypass non-compliance the reference hook warns about).
+    ``passive_hook_only_failure`` flags answers that contain expected
+    terms WITHOUT a search — memory that arrived via a passive hook
+    injection, the behavior gap this eval exists to catch."""
+    calls = _as_tool_calls(agent_trace)
+    search_calls = [
+        c for c in calls if is_memory_search_tool_name(str(c.get("name", "")))
+    ]
+    searched_prefixes = [
+        str(c.get("source_prefix", ""))
+        for c in search_calls
+        if str(c.get("source_prefix", ""))
+    ]
+    called = bool(search_calls)
+
+    if not case.expected_source_prefixes:
+        prefix_score = 1.0 if called else 0.0
+    else:
+        prefix_score = 1.0 if any(
+            _source_matches(p, case.expected_source_prefixes)
+            for p in searched_prefixes
+        ) else 0.0
+
+    folded = (agent_response or "").lower()
+    terms = case.expected_answer_terms
+    answer_used = all(t.lower() in folded for t in terms) if terms else True
+    answer_any = any(t.lower() in folded for t in terms) if terms else False
+    passive_failure = bool(case.should_search and not called and answer_any)
+
+    issues: list[str] = []
+    if case.should_search and not called:
+        issues.append("missing_memory_search")
+    if case.should_search and called and prefix_score == 0.0:
+        issues.append("wrong_source_prefix")
+    if case.should_search and called and not answer_used and terms:
+        issues.append("answer_did_not_use_expected_memory")
+    if passive_failure:
+        issues.append("passive_hook_only_failure")
+
+    if case.should_search:
+        if not called:
+            score = 0.0
+        else:
+            score = 0.5 + 0.25 * prefix_score
+            score += 0.25 if answer_used or not terms else 0.0
+    else:
+        score = 1.0
+        if called:
+            issues.append("unnecessary_memory_search")
+            score = 0.0
+
+    return {
+        "case_id": case.case_id,
+        "agent": case.agent,
+        "should_search": case.should_search,
+        "memory_search_called": called,
+        "searched_source_prefixes": searched_prefixes,
+        "expected_source_prefixes": list(case.expected_source_prefixes),
+        "source_prefix_score": prefix_score,
+        "answer_used_memory": answer_used,
+        "answer_matched_any_expected_term": answer_any,
+        "passive_hook_only_failure": passive_failure,
+        "active_search_score": round(score, 4),
+        "issues": issues,
+    }
+
+
+def summarize_active_search(results: list[dict]) -> dict:
+    """Audit-friendly aggregate (reference summarize_results,
+    active_search_eval.py:157-196)."""
+    total = len(results)
+    if not total:
+        return {
+            "cases": 0, "required_cases": 0, "active_search_rate": 0.0,
+            "passive_hook_only_failures": 0,
+            "wrong_source_prefix_failures": 0, "answer_use_rate": 0.0,
+            "unnecessary_memory_searches": 0,
+            "overall_active_search_score": 0.0,
+        }
+    required = [r for r in results if r.get("should_search", True)]
+    n_req = len(required)
+    return {
+        "cases": total,
+        "required_cases": n_req,
+        "active_search_rate": (
+            sum(1 for r in required if r.get("memory_search_called")) / n_req
+            if n_req else 1.0
+        ),
+        "passive_hook_only_failures": sum(
+            1 for r in results if r.get("passive_hook_only_failure")
+        ),
+        "wrong_source_prefix_failures": sum(
+            1 for r in results if "wrong_source_prefix" in r.get("issues", [])
+        ),
+        "answer_use_rate": sum(
+            1 for r in results if r.get("answer_used_memory")
+        ) / total,
+        "unnecessary_memory_searches": sum(
+            1 for r in results
+            if not r.get("should_search", True) and r.get("memory_search_called")
+        ),
+        "overall_active_search_score": round(
+            sum(float(r.get("active_search_score", 0.0)) for r in results) / total,
+            4,
+        ),
+    }

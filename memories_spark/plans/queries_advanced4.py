@@ -803,3 +803,49 @@ def user_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def rareterm_work_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Self-labeling work volume for the bench JSON (round-5 verdict
+    bench-hygiene item): rareterm_jaccard_join is the slowest bench
+    query BECAUSE it verifies exact Jaccard over every blocked
+    candidate pair — without the candidate count in the bench record,
+    a corpus shift that doubles candidate volume reads as a code
+    regression. Reports the blocked candidate-pair count and the
+    corpus size so the cost is attributable to verified-work volume.
+    Runs only the blocking prefix of the plan (tokenize + shingle +
+    df + blocking join), not the exact-verify stage."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toked = docs.select("doc_id", tokens_expr("text").alias("toks"))
+    idx = bounded_seq(F.size("toks") - 2)
+    shingle_strs = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice("toks", i, 3))
+    )
+    sh = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingle_strs,
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                    .cast("long"),
+                )
+            )
+        ).alias("s"),
+    )
+    f = sh.groupBy("s").agg(F.count("*").alias("df"))
+    rare = sh.join(
+        f.filter((F.col("df") >= 2) & (F.col("df") <= 8)).select("s"), "s"
+    )
+    n_cand = (
+        rare.alias("a")
+        .join(rare.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    return {
+        "rareterm_jaccard_candidate_pairs": int(n_cand),
+        "rareterm_jaccard_docs": int(docs.count()),
+    }

@@ -479,3 +479,198 @@ def efficacy_rubric_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scenario_id")
     )
+
+
+# ---------------------------------------------------------------------
+# Active-search behavior scoring
+# (reference eval/active_search_eval.py:72-154, a 5.4.0 headline)
+# ---------------------------------------------------------------------
+
+#: Deterministic trace panel, LONG format: one row per (case, tool
+#: call); a case with no tool calls carries one row with call_name=''.
+#: Columns: case_id, should_search, expected prefixes e1/e2 ('' =
+#: absent), expected answer terms t1/t2 ('' = absent), call_name,
+#: call_prefix, answer.
+_AS_PANEL = [
+    ("c01", True, "proj/alpha", "", "port 7443", "",
+     "memory_search", "proj/alpha", "the api listens on port 7443 for tls"),
+    ("c02", True, "proj/alpha", "", "port 7443", "",
+     "mcp__memories__memory_search", "proj/beta", "the api listens on port 7443"),
+    ("c03", True, "proj/alpha", "", "port 7443", "",
+     "", "", "use port 7443 as before"),
+    ("c04", False, "", "", "", "", "", "", "hello there"),
+    ("c05", False, "", "", "", "", "memory_search", "", "checked the notes"),
+    ("c06", True, "proj/alpha", "", "port 7443", "",
+     "memory_get", "proj/alpha", "fetched one memory directly"),
+    ("c07", True, "", "", "", "", "custom__memory_search", "", "done"),
+    ("c08", True, "proj/alpha", "", "port 7443", "tls",
+     "memory_search", "proj/alpha", "we terminate tls at the gateway"),
+    ("c09", True, "proj/alpha", "", "", "",
+     "memory_search", "proj/alpha/svc", "scoped answer"),
+    ("c10", True, "proj/alpha", "", "", "",
+     "memory_search", "other/place", "first of two calls"),
+    ("c10", True, "proj/alpha", "", "", "",
+     "memory_search", "proj/alpha", "first of two calls"),
+]
+
+
+def _active_search_oracle() -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    values = ",\n    ".join(
+        f"({q(cid)}, {sh}, {q(e1)}, {q(e2)}, {q(t1)}, {q(t2)}, "
+        f"{q(cn)}, {q(cp)}, {q(ans)})"
+        for cid, sh, e1, e2, t1, t2, cn, cp, ans in _AS_PANEL
+    )
+    return f"""
+WITH panel(case_id, should_search, e1, e2, t1, t2, call_name, call_prefix, answer) AS (
+  VALUES
+    {values}
+),
+per_call AS (
+  SELECT *,
+    (call_name = 'memory_search'
+     OR (length(call_name) >= 15
+         AND right(call_name, 15) = '__memory_search')) AS is_search,
+    (call_prefix <> '' AND (
+       (e1 <> '' AND (call_prefix = e1 OR call_prefix LIKE e1 || '/%'))
+       OR (e2 <> '' AND (call_prefix = e2 OR call_prefix LIKE e2 || '/%'))
+    )) AS prefix_hit
+  FROM panel
+),
+per_case AS (
+  SELECT case_id, should_search, e1, e2, t1, t2, answer,
+    bool_or(is_search) AS called,
+    bool_or(is_search AND prefix_hit) AS any_prefix_hit
+  FROM per_call
+  GROUP BY case_id, should_search, e1, e2, t1, t2, answer
+),
+scored AS (
+  SELECT case_id, should_search, called,
+    CASE WHEN e1 = '' AND e2 = ''
+         THEN CASE WHEN called THEN 1.0 ELSE 0.0 END
+         ELSE CASE WHEN any_prefix_hit THEN 1.0 ELSE 0.0 END
+    END AS source_prefix_score,
+    ((t1 = '' OR strpos(lower(answer), lower(t1)) > 0)
+     AND (t2 = '' OR strpos(lower(answer), lower(t2)) > 0)) AS answer_used,
+    (t1 <> '' OR t2 <> '') AS has_terms,
+    ((t1 <> '' AND strpos(lower(answer), lower(t1)) > 0)
+     OR (t2 <> '' AND strpos(lower(answer), lower(t2)) > 0)) AS answer_any
+  FROM per_case
+)
+SELECT case_id, should_search, called AS memory_search_called,
+  round(source_prefix_score, 4) AS source_prefix_score,
+  answer_used AS answer_used_memory,
+  (should_search AND NOT called AND answer_any) AS passive_hook_only_failure,
+  round(CASE
+    WHEN should_search AND NOT called THEN 0.0
+    WHEN should_search THEN 0.5 + 0.25 * source_prefix_score
+      + CASE WHEN answer_used OR NOT has_terms THEN 0.25 ELSE 0.0 END
+    WHEN called THEN 0.0
+    ELSE 1.0
+  END, 4) AS active_search_score
+FROM scored
+ORDER BY case_id
+"""
+
+
+@register(
+    "active_search_scores",
+    oracle=_active_search_oracle(),
+    doc="Active memory-search behavior scoring (reference "
+    "eval/active_search_eval.py:72-154, 5.4.0): per synthetic "
+    "tool-call trace, did the agent actively search when the turn "
+    "required prior context (0.5), with the exact or nested source "
+    "prefix (+0.25, :49-56), and did the answer use the expected "
+    "memory terms (+0.25)? Control cases score 1.0 unless an "
+    "unnecessary search fired; memory_get never substitutes for a "
+    "search; passive_hook_only_failure flags answers containing "
+    "expected terms WITHOUT a search (memory injected by a passive "
+    "hook — the behavior gap the eval exists to catch, :103-108). "
+    "The Python twin (evals.score_active_search_turn) is pinned to "
+    "identical outputs on this panel in tests/test_active_search.py.",
+    tags=("eval",),
+)
+def active_search_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    panel = spark.createDataFrame(
+        _AS_PANEL,
+        "case_id string, should_search boolean, e1 string, e2 string, "
+        "t1 string, t2 string, call_name string, call_prefix string, "
+        "answer string",
+    )
+    is_search = (F.col("call_name") == "memory_search") | (
+        (F.length("call_name") >= 15)
+        & (F.col("call_name").substr(-15, 15) == "__memory_search")
+    )
+    prefix_hit = (F.col("call_prefix") != "") & (
+        (
+            (F.col("e1") != "")
+            & (
+                (F.col("call_prefix") == F.col("e1"))
+                | F.col("call_prefix").startswith(F.concat(F.col("e1"), F.lit("/")))
+            )
+        )
+        | (
+            (F.col("e2") != "")
+            & (
+                (F.col("call_prefix") == F.col("e2"))
+                | F.col("call_prefix").startswith(F.concat(F.col("e2"), F.lit("/")))
+            )
+        )
+    )
+    per_case = (
+        panel.withColumn("is_search", is_search)
+        .withColumn("prefix_hit", prefix_hit)
+        .groupBy("case_id", "should_search", "e1", "e2", "t1", "t2", "answer")
+        .agg(
+            F.max(F.col("is_search")).alias("called"),
+            F.max(F.col("is_search") & F.col("prefix_hit")).alias("any_prefix_hit"),
+        )
+    )
+
+    def contains(term_col: str) -> F.Column:
+        return F.instr(F.lower("answer"), F.lower(F.col(term_col))) > 0
+
+    scored = per_case.select(
+        "case_id", "should_search", "called",
+        F.round(
+            F.when(
+                (F.col("e1") == "") & (F.col("e2") == ""),
+                F.when(F.col("called"), 1.0).otherwise(0.0),
+            ).otherwise(F.when(F.col("any_prefix_hit"), 1.0).otherwise(0.0)),
+            4,
+        ).alias("source_prefix_score"),
+        (
+            ((F.col("t1") == "") | contains("t1"))
+            & ((F.col("t2") == "") | contains("t2"))
+        ).alias("answer_used"),
+        ((F.col("t1") != "") | (F.col("t2") != "")).alias("has_terms"),
+        (
+            ((F.col("t1") != "") & contains("t1"))
+            | ((F.col("t2") != "") & contains("t2"))
+        ).alias("answer_any"),
+    )
+    return scored.select(
+        "case_id", "should_search",
+        F.col("called").alias("memory_search_called"),
+        "source_prefix_score",
+        F.col("answer_used").alias("answer_used_memory"),
+        (F.col("should_search") & ~F.col("called") & F.col("answer_any")).alias(
+            "passive_hook_only_failure"
+        ),
+        F.round(
+            F.when(F.col("should_search") & ~F.col("called"), 0.0)
+            .when(
+                F.col("should_search"),
+                F.lit(0.5)
+                + 0.25 * F.col("source_prefix_score")
+                + F.when(
+                    F.col("answer_used") | ~F.col("has_terms"), 0.25
+                ).otherwise(0.0),
+            )
+            .when(F.col("called"), 0.0)
+            .otherwise(1.0),
+            4,
+        ).alias("active_search_score"),
+    ).orderBy("case_id")

@@ -582,3 +582,115 @@ def memory_timeline(
         for c in caches:
             c.unpersist(False)
         raise
+
+
+# --- dual-strategy enriched search (reference 5.3.0) --------------------
+
+
+def dual_strategy_search(
+    engine: MemoriesEngine,
+    prompt: str,
+    project: str = "",
+    scoped_prefixes: tuple[str, ...] = (),
+    k_unscoped: int = 6,
+    k_scoped: int = 3,
+    threshold: float = 0.30,
+    cap: int = 6,
+    **search_kwargs,
+) -> DataFrame:
+    """Keyword-bag dual search (reference 5.3.0, the UserPromptSubmit
+    hook's search-entry strategy, plugin/hooks/memory-query.sh:151-245):
+    the prompt is enriched into a keyword bag
+    (:func:`memories_spark.functions.keywords.enrich_query`), then
+
+    - Strategy A: enriched UNSCOPED search, k=6, threshold 0.30
+      (cross-project semantic recall, :209-210);
+    - Strategy B: enriched PREFIX-SCOPED search per caller prefix,
+      k=3 (project-specific precision, :212-219);
+
+    results merge unique-by-id (first strategy wins the payload),
+    sorted by ``coalesce(similarity, rrf_score, 0)`` descending,
+    capped at 6 (:237-245). If the dual strategy yields nothing, one
+    fallback search runs with the ORIGINAL verbose prompt unscoped
+    (:247-250). Returns (id, text, source, rrf_score, similarity,
+    match_type, strategy); release with :func:`release_caches`.
+    """
+    from memories_spark.functions.keywords import enrich_query
+
+    enriched = enrich_query(prompt, project)
+    branches: list[tuple[str, dict]] = [
+        ("unscoped", {"k": k_unscoped, "threshold": threshold}),
+    ]
+    for p in scoped_prefixes:
+        if p:
+            branches.append(
+                (f"scoped:{p}",
+                 {"k": k_scoped, "threshold": threshold, "source_prefix": p})
+            )
+
+    caches: list = []
+    ckpts: list = []
+    snaps: list = []
+
+    def _run(query: str, opts: dict, strategy: str, sidx: int) -> DataFrame:
+        df = hybrid_search(engine, query, **opts, **search_kwargs)
+        caches.extend(getattr(df, "_ms_caches", ()))
+        ckpts.extend(getattr(df, "_ms_ckpt_rdds", ()))
+        snap = getattr(df, "_ms_snap", None)
+        if snap is not None:
+            df._ms_snap = None  # ref transferred to the merged result
+            snaps.append(snap)
+        wr = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+        return df.select(
+            "id", "text", "source", "rrf_score", "similarity", "match_type"
+        ).withColumn("strategy", F.lit(strategy)).withColumn(
+            "sidx", F.lit(sidx)
+        ).withColumn("srank", F.row_number().over(wr))
+
+    try:
+        frames = [
+            _run(enriched, opts, strategy, i)
+            for i, (strategy, opts) in enumerate(branches)
+        ]
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f)
+        # unique by id: the FIRST strategy's hit carries the payload
+        wid = Window.partitionBy("id").orderBy("sidx", "srank")
+        dedup = (
+            merged.withColumn("_dd", F.row_number().over(wid))
+            .filter(F.col("_dd") == 1)
+            .drop("_dd")
+        )
+        score = F.coalesce(F.col("similarity"), F.col("rrf_score"), F.lit(0.0))
+        wtop = Window.orderBy(score.desc(), F.asc("id"))
+        out = (
+            dedup.withColumn("_rn", F.row_number().over(wtop))
+            .filter(F.col("_rn") <= cap)
+            .drop("_rn", "sidx", "srank")
+            .orderBy(score.desc(), F.asc("id"))
+        )
+        # dual-strategy empty -> ONE fallback with the original prompt
+        if not out.limit(1).count():
+            fb = hybrid_search(engine, prompt, k=k_unscoped, **search_kwargs)
+            caches.extend(getattr(fb, "_ms_caches", ()))
+            ckpts.extend(getattr(fb, "_ms_ckpt_rdds", ()))
+            snap = getattr(fb, "_ms_snap", None)
+            if snap is not None:
+                fb._ms_snap = None
+                snaps.append(snap)
+            out = fb.select(
+                "id", "text", "source", "rrf_score", "similarity",
+                "match_type",
+            ).withColumn("strategy", F.lit("fallback"))
+        out._ms_caches = tuple(caches)
+        out._ms_ckpt_rdds = tuple(ckpts)
+        out._ms_snaps = tuple(snaps)
+        out._ms_snap = None
+        return out
+    except BaseException:
+        for eng, version in snaps:
+            eng._release_snapshot(version)
+        for c in caches:
+            c.unpersist(False)
+        raise
