@@ -387,21 +387,34 @@ def test_refresh_never_disturbs_inflight_readers(spark, tmp_path):
 
 
 def test_generations_are_garbage_collected(spark, tmp_path):
-    """Exactly the active + previous generations survive a publish;
-    older ones and crashed tmp dirs are pruned."""
+    """The active generation plus the last GEN_RETAIN displaced ones
+    survive a publish (round-6: one-publish retention re-created the
+    FILE_NOT_EXIST class one refresh further out — see
+    test_reader_survives_multiple_refreshes in test_ann_serving.py);
+    generations older than the backstop and crashed tmp dirs are
+    pruned, so a refresh burst never grows the index dir unboundedly."""
+    from memories_spark.operators.ann_index import GEN_RETAIN
+    from memories_spark.operators.lexical_index import read_meta
+
     eng = MemoriesEngine(spark, str(tmp_path / "store"))
     eng.add(_corpus(24), NOW)
     eng.build_lexical_index()
     idx = eng._dir("_lexical_index")
-    for i in range(3):
+    seen: list[str] = [read_meta(idx)["gen"]]
+    for i in range(GEN_RETAIN + 3):
         eng.add([{"text": f"gc probe {i}", "source": "corp/cache",
                   "embedding": mock_embed(f"gc probe {i}")}], LATER)
         eng.refresh_lexical_index()
+        seen.append(read_meta(idx)["gen"])
         gens = [e for e in os.listdir(idx) if e.startswith("g-")]
-        assert len(gens) <= 2, gens
-    from memories_spark.operators.lexical_index import read_meta
-
-    assert read_meta(idx)["gen"] in os.listdir(idx)
+        assert len(gens) <= GEN_RETAIN + 1, gens
+    gens = {e for e in os.listdir(idx) if e.startswith("g-")}
+    assert read_meta(idx)["gen"] in gens
+    # the earliest generations fell past the backstop and were pruned
+    assert seen[0] not in gens and seen[1] not in gens
+    # retention is exactly meta: active + recorded prev_gens
+    meta = read_meta(idx)
+    assert gens == {meta["gen"], *meta["prev_gens"]}
     assert not [e for e in os.listdir(idx) if ".tmp-" in e]
 
 
