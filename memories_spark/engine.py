@@ -178,6 +178,23 @@ SMART_BROADCAST_CAP = 65_536
 _SNAP_MAX_AGE = 8
 
 
+def _unpersist_snap(s: dict, blocking: bool = False) -> None:
+    """Free one serving snapshot's storage. The snapshot is an eager
+    localCheckpoint, so its blocks live OUTSIDE the cache manager —
+    the captured RDD handle is the real release; the DataFrame-level
+    unpersist is kept for any legacy cache-backed snapshot dict."""
+    jrdd = s.get("rdd")
+    if jrdd is not None:
+        try:
+            jrdd.unpersist(blocking)
+        except Exception:
+            pass  # JVM handle gone (session stopped) — nothing to free
+    try:
+        s["df"].unpersist(blocking)
+    except Exception:
+        pass
+
+
 class MemoriesEngine:
     """Parquet-backed memory store with reference mutation semantics."""
 
@@ -365,9 +382,8 @@ class MemoriesEngine:
             f.write(str(nxt))
 
     def serving_snapshot(self) -> tuple[int, DataFrame]:
-        """(version, corpus scan) — the scan is cached ONCE per table
-        version, EAGERLY materialized, and shared by every search on
-        this engine.
+        """(version, corpus snapshot) — ONE eager localCheckpoint per
+        table version, shared by every search on this engine.
 
         Three serving problems this solves at once:
 
@@ -375,26 +391,32 @@ class MemoriesEngine:
           wrong under concurrency — Spark's CacheManager dedups
           identical plans, so one search's post-materialization
           ``unpersist`` evicts the block out from under its in-flight
-          siblings. The engine-scoped cache gives concurrent searches
-          one stable block set.
+          siblings. The engine-scoped snapshot gives concurrent
+          searches one stable block set.
         - Staleness: any mutation bumps :meth:`table_version`, so the
-          next search atomically swaps in a fresh scan — a cached
+          next search atomically swaps in a fresh snapshot — a cached
           listing never serves stale files.
-        - Snapshot consistency: the scan is materialized (counted)
-          BEFORE being handed out, so a query plan built against it
-          reads the version's data even if a mutation lands while the
-          query executes — a lazily-cached scan would list parquet
-          files at execution time and could mix two corpus states
-          inside one query (or hit files a delete removed). Displaced
-          snapshots are REFERENCE-COUNTED: they stay materialized
+        - Snapshot consistency: the pin is an eager
+          ``localCheckpoint``, NOT a materialized cache. A cached
+          scan is no pin at all: every mutation's ``refreshByPath``
+          drops the cached blocks of any plan over the memories dir,
+          after which the "pinned" snapshot silently re-reads the
+          post-mutation corpus under its old version label, or dies
+          with FILE_NOT_EXIST when the re-read races a partition
+          rewrite (the round-5 full-suite flake class, reproduced
+          empirically round 6). The checkpointed snapshot is a
+          LogicalRDD with zero file references — immune to
+          invalidation and to file removal; its blocks are freed
+          explicitly through the captured RDD handle. Trade-off: a
+          lost executor loses checkpoint blocks without lineage to
+          rebuild (a search then fails and is retried) — irrelevant
+          on local[*], acceptable for serving, and the production
+          mapping is a table format's native version read anyway.
+          Displaced snapshots are REFERENCE-COUNTED: they stay pinned
           until every in-flight reader releases them
           (``search.release_caches`` → :meth:`_release_snapshot`),
           with an age backstop reclaiming leaked refs after
-          ``_SNAP_MAX_AGE`` further swaps. A fixed one-swap grace was
-          not enough — under rapid mutations a still-executing search
-          outlived two swaps, lost its blocks, recomputed from files
-          a delete had removed, and died with FILE_NOT_EXIST (caught
-          by the mixed load scenario).
+          ``_SNAP_MAX_AGE`` further swaps.
 
         Query-specific intermediates stay per-call (unique plans) and
         are freed by ``search.release_caches``. The returned version
@@ -437,22 +459,40 @@ class MemoriesEngine:
         # stale anyway, so consumers take the inline path over
         # this (internally consistent) snapshot regardless of its
         # label.
+        # The pin is an EAGER localCheckpoint, not a cache. A cached
+        # scan is NOT a pin: every mutation calls refreshByPath on the
+        # memories dir, which drops the cached blocks of ANY plan over
+        # that path — the "materialized" snapshot then silently
+        # re-reads the POST-mutation corpus under the old version
+        # label (verified empirically round 6: count flipped 10 -> 11
+        # after an add), and a racing partition rewrite turns the
+        # re-read into FILE_NOT_EXIST — the round-5 full-suite flake
+        # class. The checkpointed snapshot's plan is a LogicalRDD with
+        # ZERO file references: refreshByPath cannot invalidate it,
+        # deletes cannot pull files out from under it, and its blocks
+        # live outside the cache manager (freed explicitly via the
+        # captured RDD handle when the last reader releases).
         try:
             last_exc: Exception | None = None
             df = None
+            jrdd = None
             for attempt in range(5):
                 v = self.table_version()
                 self.spark.catalog.refreshByPath(self._dir("memories"))
-                df = self.table("memories").cache()
                 try:
-                    df.count()  # materialize: pin THIS version's data
+                    # eager: materializes (and pins) THIS version now
+                    df = self.table("memories").localCheckpoint(eager=True)
                 except Exception as e:  # racing partition rewrite
-                    df.unpersist(False)
                     df = None
                     last_exc = e
                     continue
+                try:
+                    jrdd = df._jdf.queryExecution().analyzed().rdd()
+                except Exception:
+                    jrdd = None  # plan-shape drift: blocks live to session end
                 if self.table_version() != v and attempt < 4:
-                    df.unpersist(False)
+                    if jrdd is not None:
+                        jrdd.unpersist(False)
                     df = None
                     continue
                 break
@@ -466,11 +506,13 @@ class MemoriesEngine:
                 for s in self._snap_retired:
                     s["age"] += 1
                     if s["refs"] <= 0 or s["age"] > _SNAP_MAX_AGE:
-                        s["df"].unpersist(False)
+                        _unpersist_snap(s, blocking=False)
                     else:
                         still_held.append(s)
                 self._snap_retired = still_held
-                self._snap_cur = {"version": v, "df": df, "refs": 1, "age": 0}
+                self._snap_cur = {
+                    "version": v, "df": df, "rdd": jrdd, "refs": 1, "age": 0,
+                }
             return v, df
         finally:
             # wake waiters whether we published or raised; a waiter
@@ -494,7 +536,7 @@ class MemoriesEngine:
                 if s["version"] == version:
                     s["refs"] -= 1
                     if s["refs"] <= 0:
-                        s["df"].unpersist(False)
+                        _unpersist_snap(s, blocking=False)
                         self._snap_retired.remove(s)
                     return
 
@@ -511,10 +553,10 @@ class MemoriesEngine:
         idle eviction); the next search simply re-caches."""
         with self._serving_lock:
             if self._snap_cur is not None:
-                self._snap_cur["df"].unpersist(blocking)
+                _unpersist_snap(self._snap_cur, blocking=blocking)
                 self._snap_cur = None
             for s in self._snap_retired:
-                s["df"].unpersist(blocking)
+                _unpersist_snap(s, blocking=blocking)
             self._snap_retired = []
 
     def _append(self, df: DataFrame, name: str) -> None:

@@ -138,9 +138,10 @@ def hybrid_search(
     inline build by construction (same postings, same fixed-point
     math).
 
-    Serving discipline: the corpus scan is cached ONCE on the engine
-    (version-keyed, shared by concurrent searches — see
-    ``engine.serving_memories``); each call additionally caches its
+    Serving discipline: the corpus snapshot is pinned ONCE on the
+    engine (version-keyed eager localCheckpoint, shared by concurrent
+    searches and immune to mutation-side cache invalidation — see
+    ``engine.serving_snapshot``); each call additionally caches its
     query-specific intermediates (plus an eager checkpoint on the
     graph path), all tracked on the returned DataFrame — call
     :func:`release_caches` after materializing so a long-lived
@@ -670,8 +671,13 @@ def dual_strategy_search(
             .drop("_rn", "sidx", "srank")
             .orderBy(score.desc(), F.asc("id"))
         )
+        # the merged result is <=cap rows; cache it so the emptiness
+        # probe below and the caller's collect share ONE execution of
+        # the multi-branch plan (released with everything else)
+        out = out.cache()
+        caches.append(out)
         # dual-strategy empty -> ONE fallback with the original prompt
-        if not out.limit(1).count():
+        if not out.count():
             fb = hybrid_search(engine, prompt, k=k_unscoped, **search_kwargs)
             caches.extend(getattr(fb, "_ms_caches", ()))
             ckpts.extend(getattr(fb, "_ms_ckpt_rdds", ()))

@@ -54,8 +54,30 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # 128 MB input splits: good default for wide parquet scans.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # Long-lived-driver heap hygiene. A serving driver (and the
+        # 46-minute test session) runs tens of thousands of SQL
+        # executions in one JVM; the status store retains the last
+        # 1000 of them INCLUDING each one's full physical-plan string
+        # — this engine's hybrid plans render to ~100 KB-1 MB each, so
+        # the default retention alone can pin gigabytes. Round 6
+        # reproduced the round-5 "unreproduced" full-suite flake as
+        # exactly this: java.lang.OutOfMemoryError storing a broadcast
+        # ~33k jobs in, with every test passing in isolation. Cap the
+        # retained history (it exists only for post-hoc UI/REST
+        # inspection, which headless runs never read) and bound plan
+        # stringification.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "1000")
+        .config("spark.sql.maxPlanStringLength", str(1024 * 1024))
+        # ContextCleaner reclaims broadcast/RDD blocks only after the
+        # driver GC enqueues their weak refs; 30 min (the default) is
+        # longer than most serving sessions stay under pressure —
+        # tighten so a long session's dead broadcasts actually free.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.sql.parquet.filterPushdown", "true")
         # FAIR scheduling: this engine runs mixed workloads in one
         # session (serving queries, maintenance jobs, streaming
