@@ -175,7 +175,15 @@ SMART_BROADCAST_CAP = 65_536
 
 #: Swaps a RETIRED serving snapshot survives waiting for readers that
 #: never call release (leaked refs) before the engine reclaims it.
-_SNAP_MAX_AGE = 8
+#: This is a LEAK backstop only, never a liveness bound: a retired
+#: snapshot whose readers still hold refs must NOT be reclaimed —
+#: snapshots are lineage-truncated checkpoints, so freeing blocks
+#: under a live reader is a hard "checkpoint block not found", not a
+#: recompute. Every serving path releases its ref even on exception
+#: (hybrid_search / memory_timeline / dual_strategy_search), so a ref
+#: that survives 64 swaps is a genuine leak; until then the cost of
+#: waiting is one pinned corpus snapshot, which is the correct trade.
+_SNAP_MAX_AGE = 64
 
 
 def _unpersist_snap(s: dict, blocking: bool = False) -> None:
