@@ -41,6 +41,7 @@ import hashlib
 import json
 import os
 import shutil
+import threading
 import uuid
 from urllib.parse import unquote
 
@@ -438,6 +439,14 @@ def file_identity(d: str) -> tuple:
 #: forever).
 _CENTROID_MEMO: dict[str, tuple[tuple, dict[int, dict[int, float]]]] = {}
 _MEMO_CAP = 64
+#: The memo is module-global and probes run on SERVING threads — an
+#: unguarded prune iterating the dict while a concurrent probe inserts
+#: raises "dictionary changed size during iteration". This WAS the
+#: long-unreproduced indexed-serving full-suite flake (rounds 5-6),
+#: finally named by the loadtest error payloads. All memo access goes
+#: through this lock; the guarded sections are dict ops plus a few
+#: os.stat calls, never a Spark job.
+_MEMO_LOCK = threading.Lock()
 
 
 def _memo_key(index_dir: str) -> str:
@@ -451,18 +460,20 @@ def _memo_key(index_dir: str) -> str:
 def _centroids(spark: SparkSession, index_dir: str) -> dict[int, dict[int, float]]:
     ident = file_identity(os.path.join(index_dir, "centroids"))
     key = _memo_key(index_dir)
-    memo = _CENTROID_MEMO.get(key)
+    with _MEMO_LOCK:
+        memo = _CENTROID_MEMO.get(key)
     if memo is not None and memo[0] == ident:
         return memo[1]
     cents: dict[int, dict[int, float]] = {}
     for r in spark.read.parquet(os.path.join(index_dir, "centroids")).collect():
         cents.setdefault(int(r.cid), {})[int(r.sd)] = float(r.c)
-    if key not in _CENTROID_MEMO:
-        for stale in [k for k in _CENTROID_MEMO if not os.path.isdir(k)]:
-            del _CENTROID_MEMO[stale]
-        if len(_CENTROID_MEMO) >= _MEMO_CAP:
-            _CENTROID_MEMO.clear()
-    _CENTROID_MEMO[key] = (ident, cents)
+    with _MEMO_LOCK:
+        if key not in _CENTROID_MEMO:
+            for stale in [k for k in list(_CENTROID_MEMO) if not os.path.isdir(k)]:
+                del _CENTROID_MEMO[stale]
+            if len(_CENTROID_MEMO) >= _MEMO_CAP:
+                _CENTROID_MEMO.clear()
+        _CENTROID_MEMO[key] = (ident, cents)
     return cents
 
 

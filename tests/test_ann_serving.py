@@ -478,3 +478,53 @@ def test_reader_survives_multiple_refreshes(spark, tmp_path):
     assert meta["gen"] in gens  # the bound generation was retained
     assert set(meta_now.get("prev_gens", [])) | {meta_now["gen"]} == gens
     assert len(gens) <= GEN_RETAIN + 1
+
+
+def test_centroid_probe_memo_thread_safe(spark, tmp_path):
+    """Regression for the rounds-5/6 indexed-serving full-suite flake,
+    finally NAMED by the loadtest error payloads: concurrent probes
+    insert into the module-global centroid memo while its stale-prune
+    loop iterates it — 'RuntimeError: dictionary changed size during
+    iteration'. Two engines' probes hammer the memo from parallel
+    threads while each iteration forces a re-insert (popping its own
+    key) and seeds a fresh stale key for the prune loop to walk."""
+    import threading
+
+    from memories_spark.operators import ann_index as ai
+
+    engines = []
+    for name in ("a", "b"):
+        eng = MemoriesEngine(spark, str(tmp_path / name))
+        eng.add([{"text": f"{name} note {i}", "source": f"corp/{name}",
+                  "embedding": mock_embed(f"{name} note {i}")}
+                 for i in range(8)], NOW)
+        eng.build_vector_index(cells=2, nprobe=1)
+        engines.append(eng)
+    qvec = [float(x) for x in mock_embed("probe text")]
+    metas = [e.vector_index_meta() for e in engines]
+    keys = [
+        ai._memo_key(ai.table_root(e._dir("_ann_index"), m))
+        for e, m in zip(engines, metas)
+    ]
+
+    errors: list[str] = []
+    barrier = threading.Barrier(2)
+
+    def worker(i: int) -> None:
+        eng, meta, key = engines[i], metas[i], keys[i]
+        barrier.wait()
+        try:
+            for j in range(20):
+                ai._CENTROID_MEMO.pop(key, None)  # force a re-insert
+                # a dead key for the prune loop to walk mid-iteration
+                ai._CENTROID_MEMO.setdefault(f"/nonexistent/{i}/{j}", ((), {}))
+                eng.vector_candidates(qvec, meta).count()
+        except Exception as e:  # noqa: BLE001 — the soak records it
+            errors.append(f"{type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [], errors
