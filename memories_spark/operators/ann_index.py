@@ -182,7 +182,7 @@ def build_ivf(
     # publish order: complete generation first, meta swap second — a
     # crash in between leaves an orphan gen (GC'd next publish) and
     # the previous index fully intact
-    keep = retain_generations(meta, prev)
+    keep = retain_generations(meta, prev, rebuild=True)
     os.rename(tmp, os.path.join(index_dir, gen))
     publish_meta(index_dir, meta)
     legacy = ("assign", "centroids") if prev and prev.get("gen") else ()
@@ -325,17 +325,30 @@ GEN_PREFIX = "g-"
 #: the caller collects would rmtree g0 and kill the scan. Retain the
 #: last GEN_RETAIN displaced generations — the same age backstop the
 #: corpus snapshot uses (_SNAP_MAX_AGE swaps) for the identical
-#: failure class. Generations are hardlink-shared, so the disk cost of
-#: retention is one directory of links per publish, not data copies.
+#: failure class. REFRESH generations are hardlink-shared, so the
+#: disk cost of refresh retention is one directory of links per
+#: publish, not data copies. A REBUILD shares nothing with its
+#: predecessors (it writes all-new data files), so pre-rebuild
+#: generations are full independent copies — retaining 8 of those
+#: after repeated builds would cost up to ~9x index disk. Rebuilds
+#: therefore cap retention at :data:`GEN_RETAIN_REBUILD`: enough
+#: grace for the in-flight-reader class (a plan bound to the old
+#: generation survives the rebuild publish plus one further publish)
+#: without stockpiling full copies.
 GEN_RETAIN = 8
+GEN_RETAIN_REBUILD = 2
 
 
-def retain_generations(meta: dict, prev_meta: dict | None) -> set[str]:
+def retain_generations(
+    meta: dict, prev_meta: dict | None, rebuild: bool = False
+) -> set[str]:
     """Record the displaced-generation retention list on ``meta``
-    (``prev_gens``, newest first, capped at :data:`GEN_RETAIN`) and
-    return the full keep-set for :func:`gc_generations`. Call BEFORE
-    ``publish_meta`` so the retention list is persisted with the
-    publish."""
+    (``prev_gens``, newest first, capped at :data:`GEN_RETAIN` — or
+    :data:`GEN_RETAIN_REBUILD` when this publish is a full rebuild,
+    whose displaced generations are full data copies rather than
+    hardlink-shared refreshes) and return the full keep-set for
+    :func:`gc_generations`. Call BEFORE ``publish_meta`` so the
+    retention list is persisted with the publish."""
     cur = meta.get("gen")
     displaced: list[str] = []
     if prev_meta:
@@ -345,7 +358,8 @@ def retain_generations(meta: dict, prev_meta: dict | None) -> set[str]:
         for g in prev_meta.get("prev_gens", []):
             if g and g != cur and g not in displaced:
                 displaced.append(g)
-    meta["prev_gens"] = displaced[:GEN_RETAIN]
+    retain = GEN_RETAIN_REBUILD if rebuild else GEN_RETAIN
+    meta["prev_gens"] = displaced[:retain]
     keep = set(meta["prev_gens"])
     if cur:
         keep.add(cur)

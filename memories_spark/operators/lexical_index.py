@@ -189,7 +189,7 @@ def build_lexical(
         "folder_sigs": folder_sigs or {},
         "gen": gen,
     }
-    keep = retain_generations(meta, prev)
+    keep = retain_generations(meta, prev, rebuild=True)
     os.rename(tmp, os.path.join(index_dir, gen))
     publish_meta(index_dir, meta)
     legacy = _TABLES if prev and prev.get("gen") else ()

@@ -700,7 +700,7 @@ rel AS (
 conf AS (
   SELECT qid,
          CASE WHEN max(cur_dated) = 0 THEN 'low'
-              WHEN CAST(sum(CASE WHEN relation = 'older' THEN 1 ELSE 0 END) AS BIGINT) > 0 THEN 'medium'
+              WHEN CAST(sum(CASE WHEN relation IN ('older', 'archived', 'dated_unranked') THEN 1 ELSE 0 END) AS BIGINT) > 0 THEN 'medium'
               ELSE 'high' END AS confidence_level
   FROM rel GROUP BY qid
 )
@@ -725,8 +725,11 @@ ORDER BY r.qid, r.rank
     "(current answer undated but this hit dated — qid 2 "
     "deterministically exercises the class by blanking the top "
     "hit's anchor), else supporting (:116-127); packet confidence "
-    "is low when the current answer is undated, medium when older "
-    "evidence exists, else high (:139-144). One shared top-20 "
+    "is low when the current answer is undated, medium when the "
+    "older-evidence LIST is non-empty (the reference appends "
+    "archived and dated_unranked entries to the same list, so any "
+    "of the three relations triggers medium — :116-127,139-144), "
+    "else high. One shared top-20 "
     "candidate set, per-query window rank — the whole panel "
     "classifies in one plan, no per-query loop.",
     tags=("retrieval", "temporal"),
@@ -805,7 +808,15 @@ def evidence_packet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     conf = rel.groupBy("qid").agg(
         F.when(F.max("cur_dated") == 0, "low")
-        .when(F.sum((F.col("relation") == "older").cast("long")) > 0, "medium")
+        .when(
+            F.sum(
+                F.col("relation")
+                .isin("older", "archived", "dated_unranked")
+                .cast("long")
+            )
+            > 0,
+            "medium",
+        )
         .otherwise("high")
         .alias("confidence_level")
     )

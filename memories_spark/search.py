@@ -511,6 +511,14 @@ def memory_timeline(
     ckpts: list = []
     snaps: list = []
     frames: list[DataFrame] = []
+    # Pin the anchor-date snapshot BEFORE the variant loop: taking a
+    # second serving_snapshot() after the searches would let a mutation
+    # landing mid-timeline join anchors from a NEWER corpus than the
+    # variants searched (and a row deleted in between would get a null
+    # anchor_ts and silently sort first as unknown-date). The ref held
+    # here keeps this version's blocks pinned for the whole call.
+    mem_version, mem = engine.serving_snapshot()
+    snaps.append((engine, mem_version))
     try:
         for vi, variant in enumerate(variants):
             df = hybrid_search(engine, variant, k=k, **search_kwargs)
@@ -534,9 +542,7 @@ def memory_timeline(
             merged = merged.unionByName(f)
 
         # anchor date (memoryDate): document_at ?? created_at off the
-        # SAME snapshot the searches used
-        mem_version, mem = engine.serving_snapshot()
-        snaps.append((engine, mem_version))
+        # snapshot pinned at timeline start (before the variant loop)
         dated = merged.join(
             mem.select(
                 "id",
@@ -582,6 +588,272 @@ def memory_timeline(
             eng._release_snapshot(version)
         for c in caches:
             c.unpersist(False)
+        for jrdd in ckpts:
+            try:
+                jrdd.unpersist(False)
+            except Exception:
+                pass  # JVM handle gone (session stopped) — nothing to free
+        raise
+
+
+# --- evidence packet serving (reference 5.4.0 memory_evidence) ---------
+
+#: reference evidence_packet.py:53-56 — these query words flip the
+#: rank key from score-first to date-first
+_EVIDENCE_PREFER_RE = re.compile(
+    r"\b(latest|current|now|recent|changed|newest|today|yesterday)\b", re.I
+)
+
+
+def evidence_follow_ups(query: str) -> list[str]:
+    """Follow-up query suggestions for an evidence packet (reference
+    evidence_packet.py:67-88): whitespace-collapse the query, emit it
+    plus ``latest …`` / ``current …`` / ``what changed about …``
+    variants — each skipped when the query already starts with that
+    prefix (case-insensitive) — deduped keeping first position. Pure
+    string grammar (the reference's algebra IS the spec); the
+    distributed form over a query log is the ``evidence_followups``
+    registry query."""
+    clean = " ".join(str(query or "").split())
+    if not clean:
+        return []
+    lowered = clean.lower()
+    candidates = [clean]
+    if not lowered.startswith("latest "):
+        candidates.append(f"latest {clean}")
+    if not lowered.startswith("current "):
+        candidates.append(f"current {clean}")
+    if not lowered.startswith("what changed"):
+        candidates.append(f"what changed about {clean}")
+    out: list[str] = []
+    seen: set[str] = set()
+    for c in candidates:
+        key = c.lower()
+        if key not in seen:
+            seen.add(key)
+            out.append(c)
+    return out
+
+
+def memory_evidence(
+    engine: MemoriesEngine,
+    query_text: str,
+    k: int = 8,
+    feedback_weight: float = 0.1,
+    confidence_weight: float = 0.0,
+    graph_weight: float = 0.1,
+    **search_kwargs,
+) -> DataFrame:
+    """Evidence-packet search (reference ``memory_evidence``,
+    mcp-server/index.js:352-420 → POST /search/evidence
+    app.py:2084-2160 → evidence_packet.build_evidence_packet
+    evidence_packet.py:92-161) — with ``memory_timeline`` and
+    reference-date threading, the 5.4 serving surface credited for
+    the +43.3 pp temporal-reasoning gain (reference CHANGELOG.md,
+    5.4.0 Validated table).
+
+    Runs ONE :func:`hybrid_search` with the MCP tool's defaults
+    (k=8, feedback 0.1, graph 0.1, confidence sent only when > 0 —
+    index.js:357-366) and classifies the hits into the reference's
+    deterministic packet:
+
+    - the rank key is score-first ``(score, dated, date, is_latest)``
+      unless the query prefers recency
+      (latest/current/now/recent/changed/newest/today/yesterday →
+      date-first ``(dated, date, score, is_latest)``, :53-64), ties
+      broken by the search result order (Python's stable sort);
+    - rank 1 is the ``current`` answer; every other hit classifies
+      against its date: ``older`` (dated before current),
+      ``archived``, ``dated_unranked`` (current undated but this hit
+      dated), else ``supporting`` (:116-127);
+    - confidence is ``low`` when the current answer is undated,
+      ``medium`` when the older-evidence list is non-empty (archived
+      and dated_unranked entries live in that list too), else
+      ``high`` (:129-144); the three reference reasons are exposed
+      as the ``confidence_reasons`` array;
+    - packet caps: ``supporting_memories[:5]``,
+      ``older_evidence[:5]`` (``packet_rank`` is null past the cap),
+      and the source/date trail is current + supporting + older
+      capped at 10 (``trail_rank``, :146-149).
+
+    Dates use the packet convention ``document_at ?? updated_at ??
+    created_at`` (:11-17) off the snapshot pinned BEFORE the search
+    (same discipline as :func:`memory_timeline`). Returns one row per
+    hit ordered by ``rank``; zero rows mean the reference's
+    ``confidence: missing`` packet — follow-up suggestions are query-
+    only either way: :func:`evidence_follow_ups`. Release with
+    :func:`release_caches`."""
+    caches: list = []
+    ckpts: list = []
+    snaps: list = []
+    mem_version, mem = engine.serving_snapshot()
+    snaps.append((engine, mem_version))
+    try:
+        df = hybrid_search(
+            engine, query_text, k=k,
+            feedback_weight=feedback_weight,
+            confidence_weight=confidence_weight,
+            graph_weight=graph_weight,
+            **search_kwargs,
+        )
+        caches.extend(getattr(df, "_ms_caches", ()))
+        ckpts.extend(getattr(df, "_ms_ckpt_rdds", ()))
+        snap = getattr(df, "_ms_snap", None)
+        if snap is not None:
+            df._ms_snap = None  # ref transferred to the packet result
+            snaps.append(snap)
+
+        # search result order = the reference's input list order (the
+        # stable-sort tiebreak)
+        wsr = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
+        hits = df.select(
+            "id", "text", "source", "rrf_score", "similarity", "match_type"
+        ).withColumn("srank", F.row_number().over(wsr))
+
+        dated = hits.join(
+            mem.select(
+                "id",
+                F.coalesce(
+                    F.col("document_at"), F.col("updated_at"),
+                    F.col("created_at"),
+                ).alias("anchor_ts"),
+                F.coalesce(F.col("is_latest"), F.lit(False)).alias("is_latest"),
+                F.coalesce(F.col("archived"), F.lit(False)).alias("archived"),
+            ),
+            "id",
+            "left",
+        )
+        score = F.coalesce(F.col("similarity"), F.col("rrf_score"), F.lit(0.0))
+        dated = dated.withColumn("score", score).withColumn(
+            "dated_i", F.col("anchor_ts").isNotNull().cast("int")
+        ).withColumn(
+            "date_us", F.coalesce(F.unix_micros("anchor_ts"), F.lit(-(1 << 62)))
+        ).withColumn("latest_i", F.col("is_latest").cast("int"))
+
+        prefer = bool(_EVIDENCE_PREFER_RE.search(query_text or ""))
+        if prefer:
+            order = [F.col("dated_i").desc(), F.col("date_us").desc(),
+                     F.col("score").desc()]
+        else:
+            order = [F.col("score").desc(), F.col("dated_i").desc(),
+                     F.col("date_us").desc()]
+        order += [F.col("latest_i").desc(), F.col("srank").asc()]
+        ranked = dated.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+
+        cur = ranked.filter(F.col("rank") == 1).select(
+            F.col("dated_i").alias("cur_dated"),
+            F.col("date_us").alias("cur_date_us"),
+            F.col("latest_i").alias("cur_latest"),
+        )
+        rel = ranked.crossJoin(F.broadcast(cur)).withColumn(
+            "relation",
+            F.when(F.col("rank") == 1, "current")
+            .when(
+                (F.col("cur_dated") == 1)
+                & (F.col("dated_i") == 1)
+                & (F.col("date_us") < F.col("cur_date_us")),
+                "older",
+            )
+            .when(F.col("archived"), "archived")
+            .when(
+                (F.col("cur_dated") == 0) & (F.col("dated_i") == 1),
+                "dated_unranked",
+            )
+            .otherwise("supporting"),
+        )
+
+        # packet caps: per-list row numbers (supporting / the older
+        # LIST); trail = current + supporting + older, capped 10
+        grp = (
+            F.when(F.col("relation") == "current", "current")
+            .when(F.col("relation") == "supporting", "supporting")
+            .otherwise("older_list")
+        )
+        wg = Window.partitionBy(grp).orderBy("rank")
+        wall = Window.partitionBy(F.lit(1))
+        out = (
+            rel.withColumn("_grp_rn", F.row_number().over(wg))
+            .withColumn(
+                "_n_sup",
+                F.sum((F.col("relation") == "supporting").cast("long")).over(wall),
+            )
+            .withColumn(
+                "_has_older",
+                F.max(
+                    F.col("relation")
+                    .isin("older", "archived", "dated_unranked")
+                    .cast("int")
+                ).over(wall),
+            )
+            .withColumn(
+                "packet_rank",
+                F.when(F.col("relation") == "current", F.lit(1))
+                .when(F.col("_grp_rn") <= 5, F.col("_grp_rn"))
+                .otherwise(F.lit(None).cast("int")),
+            )
+            .withColumn(
+                "_trail_pos",
+                F.when(F.col("relation") == "current", F.lit(1))
+                .when(
+                    F.col("relation") == "supporting", 1 + F.col("_grp_rn")
+                )
+                .otherwise(1 + F.col("_n_sup") + F.col("_grp_rn")),
+            )
+            .withColumn(
+                "trail_rank",
+                F.when(F.col("_trail_pos") <= 10, F.col("_trail_pos").cast("int")),
+            )
+        )
+        # cur_dated / cur_latest are the broadcast rank-1 scalars —
+        # identical on every row, so the packet-level confidence is a
+        # plain column expression (evidence_packet.py:139-144)
+        out = out.withColumn(
+            "confidence_level",
+            F.when(F.col("cur_dated") == 0, "low")
+            .when(F.col("_has_older") == 1, "medium")
+            .otherwise("high"),
+        ).withColumn(
+            "confidence_reasons",
+            F.filter(
+                F.array(
+                    F.when(
+                        F.col("cur_dated") == 1,
+                        "Current candidate has a source date.",
+                    ).otherwise("Current candidate has no source date."),
+                    F.when(
+                        F.col("_has_older") == 1,
+                        "Packet includes older evidence or separately "
+                        "dated evidence that may be superseded.",
+                    ),
+                    F.when(
+                        F.col("cur_latest") == 1,
+                        "Current candidate is explicitly marked is_latest.",
+                    ),
+                ),
+                lambda r: r.isNotNull(),
+            ),
+        )
+        result = out.select(
+            "rank", "id", "text", "source", "anchor_ts", "score",
+            "similarity", "rrf_score", "match_type", "is_latest",
+            "archived", "relation", "packet_rank", "trail_rank",
+            "confidence_level", "confidence_reasons",
+        ).orderBy("rank")
+        result._ms_caches = tuple(caches)
+        result._ms_ckpt_rdds = tuple(ckpts)
+        result._ms_snaps = tuple(snaps)
+        result._ms_snap = None
+        return result
+    except BaseException:
+        for eng, version in snaps:
+            eng._release_snapshot(version)
+        for c in caches:
+            c.unpersist(False)
+        for jrdd in ckpts:
+            try:
+                jrdd.unpersist(False)
+            except Exception:
+                pass  # JVM handle gone (session stopped) — nothing to free
         raise
 
 
@@ -596,6 +868,9 @@ def dual_strategy_search(
     k_unscoped: int = 6,
     k_scoped: int = 3,
     threshold: float = 0.30,
+    scoped_threshold: float = 0.35,
+    fallback_k: int = 5,
+    fallback_threshold: float = 0.55,
     cap: int = 6,
     **search_kwargs,
 ) -> DataFrame:
@@ -607,13 +882,17 @@ def dual_strategy_search(
     - Strategy A: enriched UNSCOPED search, k=6, threshold 0.30
       (cross-project semantic recall, :209-210);
     - Strategy B: enriched PREFIX-SCOPED search per caller prefix,
-      k=3 (project-specific precision, :212-219);
+      k=3, threshold 0.35 (project-specific precision, :212-219;
+      ``MEMORIES_QUERY_SCOPED_K/_THRESHOLD`` defaults, :31-34);
 
     results merge unique-by-id (first strategy wins the payload),
     sorted by ``coalesce(similarity, rrf_score, 0)`` descending,
     capped at 6 (:237-245). If the dual strategy yields nothing, one
-    fallback search runs with the ORIGINAL verbose prompt unscoped
-    (:247-250). Returns (id, text, source, rrf_score, similarity,
+    fallback search runs with the ORIGINAL verbose prompt unscoped at
+    k=5, threshold 0.55 (:247-250; ``MEMORIES_QUERY_FALLBACK_K/
+    _THRESHOLD`` defaults, :32-35) — the tight threshold keeps the
+    fallback from injecting low-similarity noise the dual pass
+    filtered out. Returns (id, text, source, rrf_score, similarity,
     match_type, strategy); release with :func:`release_caches`.
     """
     from memories_spark.functions.keywords import enrich_query
@@ -626,7 +905,8 @@ def dual_strategy_search(
         if p:
             branches.append(
                 (f"scoped:{p}",
-                 {"k": k_scoped, "threshold": threshold, "source_prefix": p})
+                 {"k": k_scoped, "threshold": scoped_threshold,
+                  "source_prefix": p})
             )
 
     caches: list = []
@@ -676,9 +956,13 @@ def dual_strategy_search(
         # the multi-branch plan (released with everything else)
         out = out.cache()
         caches.append(out)
-        # dual-strategy empty -> ONE fallback with the original prompt
+        # dual-strategy empty -> ONE fallback with the original prompt,
+        # k=5 / threshold=0.55 (memory-query.sh:32-35,248-250)
         if not out.count():
-            fb = hybrid_search(engine, prompt, k=k_unscoped, **search_kwargs)
+            fb = hybrid_search(
+                engine, prompt, k=fallback_k,
+                threshold=fallback_threshold, **search_kwargs,
+            )
             caches.extend(getattr(fb, "_ms_caches", ()))
             ckpts.extend(getattr(fb, "_ms_ckpt_rdds", ()))
             snap = getattr(fb, "_ms_snap", None)
@@ -699,4 +983,9 @@ def dual_strategy_search(
             eng._release_snapshot(version)
         for c in caches:
             c.unpersist(False)
+        for jrdd in ckpts:
+            try:
+                jrdd.unpersist(False)
+            except Exception:
+                pass  # JVM handle gone (session stopped) — nothing to free
         raise

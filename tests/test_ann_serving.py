@@ -480,6 +480,26 @@ def test_reader_survives_multiple_refreshes(spark, tmp_path):
     assert len(gens) <= GEN_RETAIN + 1
 
 
+def test_rebuild_caps_fullcopy_generation_retention(spark, tmp_path):
+    """Round-6 advice (low): refresh generations are hardlink-shared,
+    but a REBUILD writes all-new data files — retaining GEN_RETAIN of
+    those would stockpile up to ~9x the index in full copies. Repeated
+    builds must cap displaced generations at GEN_RETAIN_REBUILD."""
+    from memories_spark.operators.ann_index import GEN_RETAIN_REBUILD
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(_corpus(30), NOW)
+    idx = eng._dir("_ann_index")
+    for _ in range(GEN_RETAIN_REBUILD + 3):
+        eng.build_vector_index(cells=4, nprobe=2)
+        gens = [e for e in os.listdir(idx) if e.startswith("g-")]
+        assert len(gens) <= GEN_RETAIN_REBUILD + 1, gens
+    meta = eng.vector_index_meta()
+    assert len(meta.get("prev_gens", [])) <= GEN_RETAIN_REBUILD
+    # the active generation always survives its own publish
+    assert meta["gen"] in set(os.listdir(idx))
+
+
 def test_centroid_probe_memo_thread_safe(spark, tmp_path):
     """Regression for the rounds-5/6 indexed-serving full-suite flake,
     finally NAMED by the loadtest error payloads: concurrent probes

@@ -670,6 +670,56 @@ def test_import_smart_extract_llm_resolves_borderline(spark, tmp_path):
     assert "the api uses port 7443" not in texts  # replaced
 
 
+def test_import_smart_extract_outcomes_cap(spark, tmp_path):
+    """Round-6 advice (low): the smart+extract per-record outcomes
+    report is the one remaining O(records) driver collect — over
+    ``outcomes_cap`` it must degrade to borderline outcomes plus an
+    explicit ``outcomes_truncated`` count, never a silent full
+    collect (or a complete-looking partial list)."""
+    from memories_spark.extraction import MockProvider, mock_embed
+
+    src = MemoriesEngine(spark, str(tmp_path / "cap_src"))
+    src.add(
+        [{"text": f"novel cadence fact number {i} entirely", "source": "team/ops"}
+         for i in range(6)],
+        NOW,
+    )
+    out = str(tmp_path / "cap_exp")
+    src.export_ndjson(out)
+
+    dst = MemoriesEngine(spark, str(tmp_path / "cap_dst"))
+    result = dst.import_ndjson(
+        out, LATER, strategy="smart+extract", create_backup=False,
+        provider=MockProvider(), embed_fn=mock_embed, outcomes_cap=3,
+    )
+    assert result["imported"] == 6  # the import itself is unaffected
+    assert result["extraction"] == []  # 6 non-borderline rows > cap 3
+    # and the summary says so explicitly rather than looking complete
+    assert result["outcomes_truncated"] == 6
+    assert dst.count() == 6
+
+
+def test_zip_index_matches_zip_with_index(spark):
+    """_zip_index (Tungsten-native, round-6 verdict item 7) must
+    reproduce RDD.zipWithIndex numbering exactly: contiguous from the
+    offset, in row order, across multiple partitions."""
+    from memories_spark.engine import _zip_index
+
+    df = spark.range(0, 97, 1, 7).select(
+        F.concat(F.lit("row-"), F.col("id")).alias("payload")
+    )
+    expected = [
+        (i + 1000, r.payload)
+        for r, i in df.rdd.zipWithIndex().collect()
+    ]
+    got = [
+        (int(r.idx), r.payload)
+        for r in _zip_index(df, "idx", offset=1000).orderBy("idx").collect()
+    ]
+    assert got == sorted(expected)
+    assert [g[0] for g in got] == list(range(1000, 1097))
+
+
 def test_snapshot_premigrates_legacy_links(spark, tmp_path):
     """A snapshot taken on an UNMIGRATED legacy store (links/ table,
     no link access yet) must still capture the edges — snapshot

@@ -130,11 +130,38 @@ def test_dual_strategy_fallback_on_empty(spark, tmp_path):
     df = dual_strategy_search(
         eng, "completely unrelated query", project="proj",
         scoped_prefixes=("proj/x",), threshold=0.999,
+        scoped_threshold=0.999, fallback_threshold=None,
         auto_intent=False, now=NOW,
     )
     rows = df.collect()
     release_caches(df)
     assert rows and all(r.strategy == "fallback" for r in rows)
+
+
+def test_dual_strategy_fallback_threshold_filters_noise(spark, tmp_path):
+    """Round-6 advice (medium): the reference fallback is k=5 with
+    threshold 0.55 (memory-query.sh:32-35) — a low-similarity corpus
+    must NOT leak through the fallback at the defaults. The reference
+    hook emits no context in that case; our twin returns zero rows."""
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add([_rec("alpha beta gamma", "proj/x")], NOW)
+    df = dual_strategy_search(
+        eng, "completely unrelated query", project="proj",
+        scoped_prefixes=("proj/x",), threshold=0.999,
+        scoped_threshold=0.999,
+        auto_intent=False, now=NOW,
+    )
+    rows = df.collect()
+    release_caches(df)
+    assert rows == []  # 0.55 fallback threshold filtered the noise
+
+    # and the reference's parameter defaults stay pinned to the hook's
+    import inspect
+
+    sig = inspect.signature(dual_strategy_search)
+    assert sig.parameters["scoped_threshold"].default == 0.35
+    assert sig.parameters["fallback_k"].default == 5
+    assert sig.parameters["fallback_threshold"].default == 0.55
 
 
 def test_dual_strategy_releases_everything(spark, tmp_path):

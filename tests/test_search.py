@@ -280,3 +280,172 @@ def test_timeline_releases_all_variant_caches(spark, tmp_path):
     leaked = cached_ids() - before
     assert not leaked, f"timeline leaked storage blocks: {sorted(leaked)}"
     assert eng._snap_cur["refs"] == 0
+
+
+# --- memory_evidence (reference mcp-server/index.js:352-420) ------------
+
+
+def test_evidence_follow_ups_grammar():
+    """Pure follow-up grammar (evidence_packet.py:67-88): the query
+    itself plus latest/current/what-changed variants, prefix-skips,
+    case-insensitive dedupe keeping first position, empty -> []."""
+    from memories_spark.search import evidence_follow_ups
+
+    assert evidence_follow_ups("postgres settings") == [
+        "postgres settings",
+        "latest postgres settings",
+        "current postgres settings",
+        "what changed about postgres settings",
+    ]
+    # prefix skip + whitespace collapse
+    assert evidence_follow_ups("  Latest   pricing ") == [
+        "Latest pricing",
+        "current Latest pricing",
+        "what changed about Latest pricing",
+    ]
+    assert evidence_follow_ups("what changed in the api")[0] == (
+        "what changed in the api"
+    )
+    assert "what changed about what changed in the api" not in (
+        evidence_follow_ups("what changed in the api")
+    )
+    assert evidence_follow_ups("") == []
+    assert evidence_follow_ups("   ") == []
+
+
+def test_evidence_packet_score_first_classification(spark, tmp_path):
+    """Score-first rank key (no recency word): the top-score hit is
+    the current answer; hits dated BEFORE it are older, AFTER it are
+    supporting; older evidence -> medium confidence; reference
+    reasons land in confidence_reasons (evidence_packet.py:92-161)."""
+    from memories_spark.search import memory_evidence, release_caches
+
+    eng = MemoriesEngine(spark, str(tmp_path / "estore"))
+    eng.add(
+        [
+            _rec("alpha beta gamma delta", "proj/a",
+                 document_at="2024-03-01 09:00:00"),   # top score
+            _rec("alpha beta gamma", "proj/a",
+                 document_at="2024-05-01 09:00:00"),   # dated AFTER current
+            _rec("alpha beta", "proj/a",
+                 document_at="2024-01-01 09:00:00"),   # dated BEFORE current
+        ],
+        NOW,
+    )
+    df = memory_evidence(eng, "alpha beta gamma delta", k=5,
+                         auto_intent=False, now=NOW)
+    rows = df.collect()
+    release_caches(df)
+    by_id = {r.id: r for r in rows}
+    assert by_id[0].relation == "current" and by_id[0].rank == 1
+    assert by_id[1].relation == "supporting"  # dated after current
+    assert by_id[2].relation == "older"
+    assert all(r.confidence_level == "medium" for r in rows)
+    reasons = rows[0].confidence_reasons
+    assert "Current candidate has a source date." in reasons
+    assert any("older evidence" in x for x in reasons)
+    assert any("is_latest" in x for x in reasons)
+    # trail: current(1) + supporting(2) + older(3)
+    assert by_id[0].trail_rank == 1
+    assert by_id[1].trail_rank == 2
+    assert by_id[2].trail_rank == 3
+    assert [r.rank for r in rows] == [1, 2, 3]
+
+
+def test_evidence_prefer_recency_flips_rank_key(spark, tmp_path):
+    """A latest/current/... query ranks date-first (dated, date,
+    score, is_latest): the newest dated hit beats a higher-similarity
+    older one (evidence_packet.py:53-64)."""
+    from memories_spark.search import memory_evidence, release_caches
+
+    eng = MemoriesEngine(spark, str(tmp_path / "rstore"))
+    eng.add(
+        [
+            _rec("alpha beta gamma delta", "proj/a",
+                 document_at="2024-03-01 09:00:00"),   # higher score, older
+            _rec("alpha beta gamma", "proj/a",
+                 document_at="2024-05-01 09:00:00"),   # newest
+        ],
+        NOW,
+    )
+    df = memory_evidence(eng, "latest alpha beta gamma delta", k=5,
+                         auto_intent=False, now=NOW)
+    rows = df.collect()
+    release_caches(df)
+    by_rank = {r.rank: r for r in rows}
+    assert by_rank[1].id == 1  # newest wins under prefer-recency
+    assert by_rank[2].id == 0 and by_rank[2].relation == "older"
+    assert all(r.confidence_level == "medium" for r in rows)
+
+
+def test_evidence_archived_joins_older_list(spark, tmp_path):
+    """An archived hit (include_archived=True) lands in the older
+    LIST with relation 'archived' — and that list being non-empty is
+    what makes confidence medium (evidence_packet.py:119-121,139-144)."""
+    from memories_spark.search import memory_evidence, release_caches
+
+    eng = MemoriesEngine(spark, str(tmp_path / "astore"))
+    eng.add(
+        [
+            _rec("alpha beta gamma delta", "proj/a",
+                 document_at="2024-03-01 09:00:00"),
+            # same date as current: not 'older', classified archived
+            _rec("alpha beta gamma", "proj/a", archived=True,
+                 document_at="2024-03-01 09:00:00"),
+        ],
+        NOW,
+    )
+    df = memory_evidence(eng, "alpha beta gamma delta", k=5,
+                         include_archived=True, auto_intent=False, now=NOW)
+    rows = df.collect()
+    release_caches(df)
+    by_id = {r.id: r for r in rows}
+    assert by_id[1].relation == "archived"
+    assert all(r.confidence_level == "medium" for r in rows)
+
+
+def test_evidence_packet_caps(spark, tmp_path):
+    """supporting_memories caps at 5 (packet_rank null past the cap);
+    the source/date trail caps at 10 (evidence_packet.py:146-157)."""
+    from memories_spark.search import memory_evidence, release_caches
+
+    eng = MemoriesEngine(spark, str(tmp_path / "cstore"))
+    eng.add(
+        [_rec(f"alpha beta note {i}", "proj/a",
+              document_at="2024-03-01 09:00:00") for i in range(9)],
+        NOW,
+    )
+    df = memory_evidence(eng, "alpha beta", k=9, auto_intent=False, now=NOW)
+    rows = df.collect()
+    release_caches(df)
+    assert len(rows) == 9
+    sup = [r for r in rows if r.relation == "supporting"]
+    assert len(sup) == 8  # equal dates: never 'older' than current
+    assert sorted(r.packet_rank for r in sup if r.packet_rank) == [1, 2, 3, 4, 5]
+    assert sum(1 for r in sup if r.packet_rank is None) == 3
+    assert all(r.trail_rank is not None for r in rows)  # 9 <= 10
+    assert all(r.confidence_level == "high" for r in rows)  # no older list
+
+
+def test_evidence_releases_everything(spark, tmp_path):
+    """One release_caches on the packet result frees the search's
+    caches and BOTH snapshot refs (the pre-search pin + the search's
+    own)."""
+    from memories_spark.search import memory_evidence, release_caches
+
+    eng = MemoriesEngine(spark, str(tmp_path / "lstore"))
+    eng.add([_rec(f"note {i} about deploys", "proj/a") for i in range(6)], NOW)
+    eng.serving_memories().count()  # warm the engine-scoped snapshot
+    sc = spark.sparkContext
+
+    def cached_ids():
+        return {int(i.id()) for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_ids()
+    df = memory_evidence(eng, "deploys", k=5, auto_intent=False, now=NOW)
+    df.collect()
+    assert getattr(df, "_ms_snaps", None)
+    release_caches(df)
+    leaked = cached_ids() - before
+    assert not leaked, f"memory_evidence leaked storage blocks: {sorted(leaked)}"
+    assert eng._snap_cur["refs"] == 0
