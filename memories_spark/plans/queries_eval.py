@@ -514,6 +514,67 @@ _AS_PANEL = [
 ]
 
 
+def _as_generated_cases() -> list[tuple]:
+    """Systematic panel extension (round-7 verdict: >=50 cases): the
+    full cross of call kind x answer usage for required-prefixed,
+    required-unprefixed, and control turns, plus two-call traces —
+    every scorer branch (exact/nested/wrong/unscoped prefix,
+    memory_get non-compliance, name-suffix matching, fake-name
+    rejection, passive-hook-only failures, noisy controls) appears
+    with BOTH answer outcomes. Pure literals, no RNG."""
+    rows: list[tuple] = []
+    n = 10
+
+    def case(should, e1, e2, t1, calls, hit):
+        nonlocal n
+        n += 1
+        cid = f"c{n:02d}"
+        answer = (
+            f"per the notes the quota is {t1} per day" if (hit and t1)
+            else "went with the usual approach"
+        )
+        emitted = [c for c in calls if c[0]] or [("", "")]
+        for cname, cp in emitted:
+            rows.append((cid, should, e1, e2, t1, "", cname, cp, answer))
+
+    call_kinds = [
+        [("", "")],                                      # no tool call
+        [("memory_search", "proj/alpha")],               # exact prefix
+        [("memory_search", "proj/alpha/svc")],           # nested prefix
+        [("memory_search", "other/place")],              # wrong prefix
+        [("memory_search", "")],                         # unscoped
+        [("memory_get", "proj/alpha")],                  # non-compliant
+        [("mcp__memories__memory_search", "learning/alpha")],  # suffix + e2
+        [("memory_searcher", "proj/alpha")],             # fake name
+    ]
+    # A: required turns with expected prefixes (e2 on every other case)
+    for i, calls in enumerate(call_kinds):
+        e2 = "learning/alpha" if i % 2 else ""
+        for hit in (True, False):
+            case(True, "proj/alpha", e2, f"token{i}", calls, hit)
+    # B: required turns with NO expected prefix (any search scores 1.0)
+    for calls in (call_kinds[0], call_kinds[4], call_kinds[5], call_kinds[7]):
+        for hit in (True, False):
+            case(True, "", "", "rotate keys", calls, hit)
+    # C: control turns — quiet is 1.0, any search is 0.0
+    for calls in (call_kinds[0], call_kinds[4], call_kinds[5], call_kinds[7]):
+        for hit in (True, False):
+            case(False, "", "", "", calls, hit)
+    # D: two-call traces — a bad call must not erase a good one
+    for calls in (
+        [("memory_search", "other/place"), ("memory_search", "proj/alpha")],
+        [("memory_get", "proj/alpha"), ("memory_search", "proj/alpha/api")],
+        [("memory_searcher", "proj/alpha"), ("memory_search", "")],
+        [("memory_search", "proj/alpha"), ("memory_get", "other/x")],
+    ):
+        for hit in (True, False):
+            case(True, "proj/alpha", "", "cutover date", calls, hit)
+    return rows
+
+
+_AS_PANEL += _as_generated_cases()
+
+
 def _active_search_oracle() -> str:
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
@@ -674,3 +735,178 @@ def active_search_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("active_search_score"),
     ).orderBy("case_id")
+
+
+# ---------------------------------------------------------------------
+# Active-search hook telemetry summary (5.4.0 monitoring)
+# (reference scripts/active_search_metrics.py:1-185)
+# ---------------------------------------------------------------------
+#
+# Deterministic event mapping over the events table: a session is a
+# user; views with even event_id are required prompts; clicks are tool
+# calls whose name cycles memory_get / memory_search /
+# mcp__memories__memory_search / other_tool on event_id % 4 (the
+# is-memory-search predicate must accept both search spellings and
+# reject the others, :64-67) and whose source_prefix_quality cycles
+# exact_project / broad_or_unscoped / '' on event_id % 3. Timestamps
+# are floored to whole seconds and re-spread by event_id micros so
+# deltas are integer-exact and per-session-distinct on both engines.
+
+_AST_WINDOW_S = 21_600  # follow-up window (seconds) at this event density
+
+_AST_ORACLE = f"""
+WITH RECURSIVE base AS (
+  SELECT event_id, user_id AS session_id,
+         CAST(floor(epoch(ts)) AS BIGINT) * 1000000
+           + event_id % 1000000 AS us,
+         CASE user_id % 3 WHEN 0 THEN 'claude-code'
+              WHEN 1 THEN 'codex' ELSE 'opencode' END AS client,
+         event_type
+  FROM events
+),
+prompts AS (
+  SELECT session_id, client, event_id AS pid, us
+  FROM base WHERE event_type = 'view' AND event_id % 2 = 0
+),
+ms AS (
+  SELECT session_id, client, us,
+         CASE event_id % 3 WHEN 0 THEN 'exact_project'
+              WHEN 1 THEN 'broad_or_unscoped' ELSE '' END AS quality,
+         row_number() OVER (PARTITION BY session_id ORDER BY us) AS trank
+  FROM base WHERE event_type = 'click' AND event_id % 4 IN (1, 2)
+),
+nt AS (SELECT session_id, max(trank) AS n FROM ms GROUP BY session_id),
+-- the 5.4 consumption matcher: tool rank r matches (and removes) the
+-- latest still-unmatched prompt within the window; the recursion
+-- carries each session's matched-pid list one tool call at a time
+steps AS (
+  SELECT session_id, 0 AS step, []::BIGINT[] AS matched
+  FROM (SELECT DISTINCT session_id FROM ms)
+  UNION ALL
+  SELECT st.session_id, st.step + 1,
+    list_cat(st.matched, COALESCE((
+      SELECT list(pid) FROM (
+        SELECT p.pid FROM prompts p
+        WHERE p.session_id = st.session_id
+          AND NOT list_contains(st.matched, p.pid)
+          AND t.us - p.us BETWEEN 0 AND {_AST_WINDOW_S * 1_000_000}
+        ORDER BY p.us DESC LIMIT 1)), []::BIGINT[]))
+  FROM steps st
+  JOIN ms t ON t.session_id = st.session_id AND t.trank = st.step + 1
+),
+final AS (
+  SELECT s.session_id, s.matched
+  FROM steps s JOIN nt ON nt.session_id = s.session_id AND s.step = nt.n
+),
+pm AS (
+  SELECT p.client,
+         CASE WHEN f.matched IS NOT NULL
+                   AND list_contains(f.matched, p.pid)
+              THEN 1 ELSE 0 END AS m
+  FROM prompts p LEFT JOIN final f ON f.session_id = p.session_id
+),
+pc AS (
+  SELECT client, CAST(count(*) AS BIGINT) AS required_prompts,
+         CAST(sum(m) AS BIGINT) AS required_with_search
+  FROM pm GROUP BY client
+),
+tc AS (
+  SELECT client, CAST(count(*) AS BIGINT) AS memory_search_calls,
+         CAST(sum(CASE WHEN quality = 'exact_project' THEN 1 ELSE 0 END)
+              AS BIGINT) AS exact_project_searches,
+         CAST(sum(CASE WHEN quality = 'broad_or_unscoped' THEN 1 ELSE 0 END)
+              AS BIGINT) AS broad_or_unscoped_searches
+  FROM ms GROUP BY client
+),
+per_client AS (
+  SELECT COALESCE(pc.client, tc.client) AS client,
+         COALESCE(required_prompts, 0) AS required_prompts,
+         COALESCE(required_with_search, 0) AS required_with_search,
+         COALESCE(required_prompts, 0)
+           - COALESCE(required_with_search, 0) AS passive_risk_prompts,
+         COALESCE(memory_search_calls, 0) AS memory_search_calls,
+         COALESCE(exact_project_searches, 0) AS exact_project_searches,
+         COALESCE(broad_or_unscoped_searches, 0) AS broad_or_unscoped_searches
+  FROM pc FULL OUTER JOIN tc ON pc.client = tc.client
+),
+with_total AS (
+  SELECT * FROM per_client
+  UNION ALL
+  SELECT '(all)', sum(required_prompts), sum(required_with_search),
+         sum(passive_risk_prompts), sum(memory_search_calls),
+         sum(exact_project_searches), sum(broad_or_unscoped_searches)
+  FROM per_client
+)
+SELECT client,
+       CAST(required_prompts AS BIGINT) AS required_prompts,
+       CAST(required_with_search AS BIGINT) AS required_with_search,
+       CAST(passive_risk_prompts AS BIGINT) AS passive_risk_prompts,
+       CAST(memory_search_calls AS BIGINT) AS memory_search_calls,
+       CAST(exact_project_searches AS BIGINT) AS exact_project_searches,
+       CAST(broad_or_unscoped_searches AS BIGINT) AS broad_or_unscoped_searches,
+       CASE WHEN required_prompts = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(floor(required_with_search * 1000000
+                            / required_prompts) AS BIGINT)
+       END AS followup_rate_fp
+FROM with_total
+ORDER BY client
+"""
+
+
+@register(
+    "active_search_telemetry",
+    oracle=_AST_ORACLE,
+    doc="Active-search hook telemetry summary (reference "
+    "scripts/active_search_metrics.py:1-185, 5.4.0 monitoring): "
+    "per-client required-prompt counts, follow-up matches, "
+    "passive-risk prompts, memory-search call volume, and the "
+    "exact_project vs broad_or_unscoped scoped-search split, plus an "
+    "(all) total row with the fixed-point follow-up rate. The "
+    "load-bearing rule is the 5.4 over-crediting fix: each "
+    "memory_search (processed in ts order) consumes the LATEST "
+    "still-unmatched required prompt of its session within the "
+    "follow-up window — a per-session greedy the Spark side runs as "
+    "an Arrow-batched applyInPandas over groupBy(session_id) "
+    "(sessions are independent; a billion sessions fan out) and the "
+    "oracle replays with a recursive CTE carrying the matched-pid "
+    "list. Event mapping documented at the module constant.",
+    tags=("eval", "events", "streaming"),
+)
+def active_search_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from memories_spark.operators.telemetry import summarize_active_search
+    from memories_spark.sources.tables import load_tables as _lt
+
+    ev = _lt(spark, sf_dir)["events"].select(
+        "event_id",
+        F.expr(
+            "timestamp_micros((unix_micros(ts) DIV 1000000) * 1000000"
+            " + event_id % 1000000)"
+        ).alias("ts"),
+        F.col("user_id").alias("session_id"),
+        F.expr(
+            "CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'claude-code'"
+            " WHEN 1 THEN 'codex' ELSE 'opencode' END"
+        ).alias("client"),
+        "event_type",
+    )
+    prompts = ev.filter(
+        (F.col("event_type") == "view") & (F.col("event_id") % 2 == 0)
+    ).select("session_id", "client", "ts")
+    tools = ev.filter(F.col("event_type") == "click").select(
+        "session_id",
+        "client",
+        "ts",
+        F.expr(
+            "CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'memory_get'"
+            " WHEN 1 THEN 'memory_search'"
+            " WHEN 2 THEN 'mcp__memories__memory_search'"
+            " ELSE 'other_tool' END"
+        ).alias("tool_name"),
+        F.expr(
+            "CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'exact_project'"
+            " WHEN 1 THEN 'broad_or_unscoped' ELSE '' END"
+        ).alias("source_prefix_quality"),
+    )
+    return summarize_active_search(
+        prompts, tools, followup_window_seconds=float(_AST_WINDOW_S)
+    )
