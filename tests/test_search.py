@@ -449,3 +449,60 @@ def test_evidence_releases_everything(spark, tmp_path):
     leaked = cached_ids() - before
     assert not leaked, f"memory_evidence leaked storage blocks: {sorted(leaked)}"
     assert eng._snap_cur["refs"] == 0
+
+
+def test_evidence_races_mutations_soak(spark, tmp_path):
+    """memory_evidence pins its anchor snapshot BEFORE the search
+    (round-6 advice on memory_timeline, applied here from birth):
+    race packet builds against a partition-rewriting delete — every
+    call must complete, anchors and hits must come from one corpus
+    state (pre or post), never a torn mix with null anchors for rows
+    the search returned."""
+    import threading
+
+    from memories_spark.search import memory_evidence, release_caches
+
+    eng = MemoriesEngine(spark, str(tmp_path / "estore"))
+    eng.add(
+        [_rec(f"alpha beta note {i}", "proj/a",
+              document_at=f"2024-03-{i + 1:02d} 09:00:00") for i in range(12)],
+        NOW,
+    )
+    victim = 0
+
+    def run_packet():
+        df = memory_evidence(eng, "alpha beta", k=6, auto_intent=False,
+                             now=NOW)
+        rows = df.collect()
+        release_caches(df)
+        # torn-state detector: every returned hit must carry its anchor
+        assert all(r.anchor_ts is not None for r in rows), rows
+        return tuple((r.rank, r.id, r.relation) for r in rows)
+
+    pre = run_packet()
+    results: list = []
+    errors: list = []
+    start = threading.Barrier(4)
+
+    def worker():
+        start.wait()
+        for _ in range(3):
+            try:
+                results.append(run_packet())
+            except Exception as e:  # noqa: BLE001 — the soak records it
+                errors.append(f"{type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=worker) for _ in range(3)]
+    for t in threads:
+        t.start()
+    start.wait()  # delete rewrites proj/a's partition mid-race
+    eng.delete([victim], NOW)
+    for t in threads:
+        t.join()
+
+    post = run_packet()
+    assert errors == [], errors
+    allowed = {pre, post}
+    bad = [r for r in results if r not in allowed]
+    assert not bad, f"{len(bad)} torn packets: {bad[:2]} allowed={allowed}"
+    assert victim not in {i for _, i, _ in post}
