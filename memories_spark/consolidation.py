@@ -158,6 +158,27 @@ def find_clusters(
         if len(cluster) >= min_cluster_size:
             clusters.append(cluster)
             clustered.update(ids)
+
+    # reference hits carry full metadata including category
+    # (consolidator.py appends the hit dicts straight into the
+    # cluster, :109-112), and _dominant_category reads it — backfill
+    # the non-seed members' categories with ONE batched lookup so
+    # cluster labels reflect the members, not a detail default
+    # (round-7 review finding)
+    member_ids = sorted(
+        {int(m["id"]) for c in clusters for m in c if m["category"] is None}
+    )
+    if member_ids:
+        cats = {
+            int(r.id): r.category
+            for r in base.select("id", "category")
+            .filter(F.col("id").isin(member_ids))
+            .collect()
+        }
+        for c in clusters:
+            for m in c:
+                if m["category"] is None:
+                    m["category"] = cats.get(int(m["id"]))
     return clusters
 
 

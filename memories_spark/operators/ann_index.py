@@ -243,6 +243,14 @@ def refresh_ivf(
     ) if os.path.isdir(cur_assign) else False
     prev_gen = meta.get("gen")
     prev_gens_before = list(meta.get("prev_gens", []))
+    # capture the displaced generations' COST KINDS before the meta is
+    # mutated — retention caps build-produced full copies separately
+    prev_meta_before = {
+        "gen": prev_gen,
+        "prev_gens": prev_gens_before,
+        "gen_kind": meta.get("gen_kind", "refresh"),
+        "prev_gen_kinds": dict(meta.get("prev_gen_kinds", {}) or {}),
+    }
     touched = sorted(set(changed) | set(removed))
     if touched or legacy_layout or not prev_gen:
         gen = new_gen_name()
@@ -280,9 +288,7 @@ def refresh_ivf(
         meta["gen"] = gen
     meta["version"] = int(version)
     meta["folder_sigs"] = dict(folder_sigs)
-    keep = retain_generations(
-        meta, {"gen": prev_gen, "prev_gens": prev_gens_before}
-    )
+    keep = retain_generations(meta, prev_meta_before)
     publish_meta(index_dir, meta)
     legacy = ("assign", "centroids") if prev_gen else ()
     gc_generations(index_dir, keep, legacy)
@@ -328,13 +334,17 @@ GEN_PREFIX = "g-"
 #: failure class. REFRESH generations are hardlink-shared, so the
 #: disk cost of refresh retention is one directory of links per
 #: publish, not data copies. A REBUILD shares nothing with its
-#: predecessors (it writes all-new data files), so pre-rebuild
-#: generations are full independent copies — retaining 8 of those
-#: after repeated builds would cost up to ~9x index disk. Rebuilds
-#: therefore cap retention at :data:`GEN_RETAIN_REBUILD`: enough
-#: grace for the in-flight-reader class (a plan bound to the old
-#: generation survives the rebuild publish plus one further publish)
-#: without stockpiling full copies.
+#: predecessors (it writes all-new data files), so BUILD-produced
+#: displaced generations are full independent copies — retaining 8 of
+#: those after repeated builds would cost up to ~9x index disk. The
+#: cap is therefore per COST CLASS of each displaced generation (the
+#: publish records its kind in the meta): refresh-displaced
+#: generations keep the full GEN_RETAIN window (their chain shares
+#: inodes — total disk ~one copy regardless of count), while
+#: build-produced full copies cap at :data:`GEN_RETAIN_REBUILD` —
+#: enough grace for the in-flight-reader class (a plan bound to the
+#: displaced build survives its displacement plus one further
+#: publish) without stockpiling independent copies.
 GEN_RETAIN = 8
 GEN_RETAIN_REBUILD = 2
 
@@ -343,24 +353,43 @@ def retain_generations(
     meta: dict, prev_meta: dict | None, rebuild: bool = False
 ) -> set[str]:
     """Record the displaced-generation retention list on ``meta``
-    (``prev_gens``, newest first, capped at :data:`GEN_RETAIN` — or
-    :data:`GEN_RETAIN_REBUILD` when this publish is a full rebuild,
-    whose displaced generations are full data copies rather than
-    hardlink-shared refreshes) and return the full keep-set for
-    :func:`gc_generations`. Call BEFORE ``publish_meta`` so the
-    retention list is persisted with the publish."""
+    (``prev_gens``, newest first; refresh-kind generations capped at
+    :data:`GEN_RETAIN`, build-kind full copies capped at
+    :data:`GEN_RETAIN_REBUILD` — see the cost-class note above) and
+    return the full keep-set for :func:`gc_generations`. The publish
+    kind is persisted as ``gen_kind`` / per-retained-generation
+    ``prev_gen_kinds`` so later publishes cap each displaced
+    generation by what it COST, not by what displaced it (a rebuild
+    must not evict the hardlink-cheap refresh chain an in-flight
+    reader may still be bound to). Call BEFORE ``publish_meta`` so
+    the retention list is persisted with the publish."""
     cur = meta.get("gen")
     displaced: list[str] = []
+    kinds: dict[str, str] = {}
     if prev_meta:
         pg = prev_meta.get("gen")
         if pg and pg != cur:
             displaced.append(pg)
+            kinds[pg] = prev_meta.get("gen_kind", "refresh")
+        prev_kinds = prev_meta.get("prev_gen_kinds", {}) or {}
         for g in prev_meta.get("prev_gens", []):
             if g and g != cur and g not in displaced:
                 displaced.append(g)
-    retain = GEN_RETAIN_REBUILD if rebuild else GEN_RETAIN
-    meta["prev_gens"] = displaced[:retain]
-    keep = set(meta["prev_gens"])
+                kinds[g] = prev_kinds.get(g, "refresh")
+    kept: list[str] = []
+    full_copies = 0
+    for g in displaced:  # newest first
+        if len(kept) >= GEN_RETAIN:
+            break
+        if kinds.get(g) == "build":
+            if full_copies >= GEN_RETAIN_REBUILD:
+                continue  # stop stockpiling independent full copies
+            full_copies += 1
+        kept.append(g)
+    meta["prev_gens"] = kept
+    meta["prev_gen_kinds"] = {g: kinds.get(g, "refresh") for g in kept}
+    meta["gen_kind"] = "build" if rebuild else "refresh"
+    keep = set(kept)
     if cur:
         keep.add(cur)
     return keep

@@ -238,6 +238,14 @@ def refresh_lexical(
     cur_root = table_root(index_dir, meta)
     prev_gen = meta.get("gen")
     prev_gens_before = list(meta.get("prev_gens", []))
+    # capture displaced cost kinds before mutating the meta (see
+    # ann_index.retain_generations)
+    prev_meta_before = {
+        "gen": prev_gen,
+        "prev_gens": prev_gens_before,
+        "gen_kind": meta.get("gen_kind", "refresh"),
+        "prev_gen_kinds": dict(meta.get("prev_gen_kinds", {}) or {}),
+    }
     touched = sorted(set(changed) | set(removed))
     if touched or not prev_gen:
         gen = new_gen_name()
@@ -270,9 +278,7 @@ def refresh_lexical(
         meta["gen"] = gen
     meta["version"] = int(version)
     meta["folder_sigs"] = dict(folder_sigs)
-    keep = retain_generations(
-        meta, {"gen": prev_gen, "prev_gens": prev_gens_before}
-    )
+    keep = retain_generations(meta, prev_meta_before)
     publish_meta(index_dir, meta)
     legacy = _TABLES if prev_gen else ()
     gc_generations(index_dir, keep, legacy)

@@ -114,6 +114,7 @@ def hybrid_search(
     embed_fn=mock_embed,
     ann: bool = False,
     lexical: bool = False,
+    snapshot: tuple[int, DataFrame] | None = None,
 ) -> DataFrame:
     """Full hybrid retrieval; returns a top-k DataFrame of
     (id, text, source, rrf_score, similarity, match_type, ranks...).
@@ -174,8 +175,15 @@ def hybrid_search(
     def _finish(df: DataFrame) -> DataFrame:
         df._ms_caches = tuple(_caches)
         df._ms_ckpt_rdds = tuple(_ckpt_rdds)
-        # the snapshot ref this call holds; release_caches lets it go
-        df._ms_snap = (engine, mem_version) if mem_version is not None else None
+        # the snapshot ref this call holds; release_caches lets it go.
+        # A BORROWED snapshot belongs to the caller (compositions like
+        # memory_timeline pin one version for every sub-search) — this
+        # call neither holds nor releases a ref on it.
+        df._ms_snap = (
+            None
+            if _borrowed or mem_version is None
+            else (engine, mem_version)
+        )
         return df
 
     # Corpus scan: EVERY serving read — prefixed or not — comes off the
@@ -193,7 +201,16 @@ def hybrid_search(
     # over that pinned listing; locally the filter runs over cached
     # in-memory blocks. The batch/maintenance path (engine.memories)
     # keeps the physical folder pruning for unsnapshotted reads.
-    mem_version, mem = engine.serving_snapshot()
+    # Compositions (memory_timeline / memory_evidence) BORROW their
+    # one pre-pinned snapshot into every sub-search so hits, ranks,
+    # and anchor dates all come from a single corpus version — a
+    # mutation landing mid-composition can no longer hand a later
+    # sub-search a newer corpus than the anchor join (round-7 review).
+    _borrowed = snapshot is not None
+    if _borrowed:
+        mem_version, mem = snapshot
+    else:
+        mem_version, mem = engine.serving_snapshot()
     try:
         if source_prefix is not None:
             mem = mem.filter(F.col("source").startswith(source_prefix))
@@ -429,8 +446,10 @@ def hybrid_search(
         # any failure between snapshot acquisition and _finish would
         # otherwise LEAK this call's snapshot ref (pinning a retired
         # snapshot's blocks until the age backstop) — release before
-        # re-raising (round-5 advice item)
-        engine._release_snapshot(mem_version)
+        # re-raising (round-5 advice item); a borrowed snapshot's ref
+        # belongs to the caller
+        if not _borrowed:
+            engine._release_snapshot(mem_version)
         raise
 
 
@@ -481,6 +500,9 @@ def memory_timeline(
     query_text: str,
     k: int = 20,
     user_facts_only: bool = False,
+    feedback_weight: float = 0.1,
+    confidence_weight: float = 0.0,
+    graph_weight: float = 0.1,
     **search_kwargs,
 ) -> DataFrame:
     """Chronological evidence search (reference ``memory_timeline``,
@@ -497,6 +519,10 @@ def memory_timeline(
     ``user_facts_only`` applies the ``hasUserFact`` transcript filter
     (:func:`user_fact_expr`) BEFORE dedup, exactly where the
     reference applies it (index.js:305).
+
+    Weight defaults are the MCP tool's (index.js:268-274: feedback
+    0.1, graph 0.1, confidence sent only when > 0 — the same defaults
+    as ``memory_evidence``), not ``hybrid_search``'s raw signature.
 
     Returns (ord, id, text, source, anchor_ts, rrf_score, similarity,
     match_type, user_fact) — ``anchor_ts`` is
@@ -521,13 +547,21 @@ def memory_timeline(
     snaps.append((engine, mem_version))
     try:
         for vi, variant in enumerate(variants):
-            df = hybrid_search(engine, variant, k=k, **search_kwargs)
+            # every variant BORROWS the one pinned snapshot: hits and
+            # anchors all read a single corpus version (round-7 review
+            # closed the add/update direction of the race — a search
+            # taking its own snapshot could see a NEWER corpus than
+            # the anchor join)
+            df = hybrid_search(
+                engine, variant, k=k,
+                feedback_weight=feedback_weight,
+                confidence_weight=confidence_weight,
+                graph_weight=graph_weight,
+                snapshot=(mem_version, mem),
+                **search_kwargs,
+            )
             caches.extend(getattr(df, "_ms_caches", ()))
             ckpts.extend(getattr(df, "_ms_ckpt_rdds", ()))
-            snap = getattr(df, "_ms_snap", None)
-            if snap is not None:
-                df._ms_snap = None  # ref transferred to the merged result
-                snaps.append(snap)
             # per-variant rank = the reference's result-list order
             wv = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
             frames.append(
@@ -689,19 +723,18 @@ def memory_evidence(
     mem_version, mem = engine.serving_snapshot()
     snaps.append((engine, mem_version))
     try:
+        # the search BORROWS the pinned snapshot: hits, ranks, and the
+        # anchor/flags join below all read ONE corpus version
         df = hybrid_search(
             engine, query_text, k=k,
             feedback_weight=feedback_weight,
             confidence_weight=confidence_weight,
             graph_weight=graph_weight,
+            snapshot=(mem_version, mem),
             **search_kwargs,
         )
         caches.extend(getattr(df, "_ms_caches", ()))
         ckpts.extend(getattr(df, "_ms_ckpt_rdds", ()))
-        snap = getattr(df, "_ms_snap", None)
-        if snap is not None:
-            df._ms_snap = None  # ref transferred to the packet result
-            snaps.append(snap)
 
         # search result order = the reference's input list order (the
         # stable-sort tiebreak)
@@ -723,7 +756,14 @@ def memory_evidence(
             "id",
             "left",
         )
-        score = F.coalesce(F.col("similarity"), F.col("rrf_score"), F.lit(0.0))
+        # the reference's _score over HYBRID results is always the
+        # rrf_score: memory_engine.hybrid_search result dicts carry no
+        # 'similarity' key (the {**meta, "rrf_score"} build,
+        # memory_engine.py:1706-1721), so the .get("similarity", ...)
+        # fallback in evidence_packet.py:32-37 always takes rrf — a
+        # coalesce(similarity, rrf) here would let a vector-only hit
+        # outrank a both-branches hit and flip the current answer
+        score = F.coalesce(F.col("rrf_score"), F.lit(0.0))
         dated = dated.withColumn("score", score).withColumn(
             "dated_i", F.col("anchor_ts").isNotNull().cast("int")
         ).withColumn(

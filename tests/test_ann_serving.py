@@ -548,3 +548,39 @@ def test_centroid_probe_memo_thread_safe(spark, tmp_path):
     for t in threads:
         t.join()
     assert errors == [], errors
+
+
+def test_rebuild_keeps_refresh_chain_for_inflight_readers(spark, tmp_path):
+    """Round-7 review: the rebuild cap must apply per displaced
+    generation's COST CLASS, not per publish kind — a rebuild after a
+    refresh burst keeps the hardlink-cheap refresh chain (an in-flight
+    reader may be bound anywhere in it) and caps only build-produced
+    full copies."""
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(_corpus(60), NOW)
+    eng.build_vector_index(cells=4, nprobe=2)
+    qvec = mock_embed("cache subsystem policy")
+
+    # one refresh, then bind a reader to the refresh-produced gen
+    eng.add([{"text": "chain fact 0", "source": "corp/cache",
+              "embedding": mock_embed("chain fact 0")}], LATER)
+    eng.refresh_vector_index()
+    bound_meta = eng.vector_index_meta()
+    assert bound_meta.get("gen_kind") == "refresh"
+    cand = eng.vector_candidates(qvec, bound_meta)
+    expected = sorted(int(r.id) for r in cand.collect())
+    assert expected
+
+    for i in range(1, 3):  # push the bound gen deeper into prev_gens
+        eng.add([{"text": f"chain fact {i}", "source": "corp/cache",
+                  "embedding": mock_embed(f"chain fact {i}")}], LATER)
+        eng.refresh_vector_index()
+
+    eng.build_vector_index(cells=4, nprobe=2)  # the REBUILD
+
+    # the refresh-kind generation the reader is bound to survived
+    meta_now = eng.vector_index_meta()
+    assert bound_meta["gen"] in meta_now.get("prev_gens", [])
+    assert meta_now["gen_kind"] == "build"
+    got = sorted(int(r.id) for r in cand.collect())
+    assert got == expected  # reader unharmed by the rebuild

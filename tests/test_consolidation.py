@@ -28,9 +28,12 @@ def _seed(spark, tmp_path, name="cstore"):
     eng = MemoriesEngine(spark, str(tmp_path / name))
     eng.add(
         [
-            _rec("we chose postgres for the primary database", "proj/app"),   # 0
-            _rec("we chose postgres for the main database", "proj/app"),      # 1
-            _rec("postgres chosen for the primary database", "proj/app"),     # 2
+            _rec("we chose postgres for the primary database", "proj/app",
+                 category="decision"),                                         # 0
+            _rec("we chose postgres for the main database", "proj/app",
+                 category="decision"),                                         # 1
+            _rec("postgres chosen for the primary database", "proj/app",
+                 category="decision"),                                         # 2
             _rec("redis handles the cache eviction policy", "proj/app"),      # 3
             _rec("completely unrelated grocery run notes", "home/misc"),      # 4
         ],
@@ -71,6 +74,10 @@ def test_find_clusters_greedy_consumption(spark, tmp_path):
     by_id = {m["id"]: m for m in clusters[0]}
     assert by_id[0]["rrf_score"] is None
     assert all(by_id[i]["rrf_score"] >= _T for i in (1, 2))
+    # members carry their REAL categories (reference hits carry full
+    # metadata), so dominant_category labels the cluster honestly
+    assert [by_id[i]["category"] for i in (0, 1, 2)] == ["decision"] * 3
+    assert dominant_category(clusters[0]) == "decision"
 
 
 def test_find_clusters_reference_default_threshold_is_dormant(spark, tmp_path):
@@ -131,6 +138,7 @@ def test_consolidation_sweep_applies_merge(spark, tmp_path):
     assert rep["merged_count"] == 3 and rep["new_count"] == 1
     assert sorted(rep["old_ids"]) == [0, 1, 2]
     assert rep["project"] == "app" and rep["dry_run"] is False
+    assert rep["category"] == "decision"  # from the members, not default
     [new_id] = rep["new_ids"]
     rows = {r.id: r for r in eng.table("memories").collect()}
     assert rows[new_id].text == rep["new_texts"][0]

@@ -289,10 +289,16 @@ def test_import_add_never_collects_records(engine, tmp_path, spark, monkeypatch)
 
     def scalar_only(df):
         rows = orig_collect(df)
-        # the counter-file bootstrap (max(id), 1 row / 1 col) is a
-        # legitimate scalar; anything wider is record data on the driver
-        assert len(rows) <= 1 and (not rows or len(rows[0]) <= 1), (
+        # legitimate driver-side metadata: the counter-file bootstrap
+        # (max(id), 1x1) and _zip_index's per-PARTITION counts
+        # (#partitions x 2 — bounded by layout, not by records).
+        # Record data is anything payload-width or record-count.
+        assert "text" not in df.columns, (
             f"import_ndjson(add) collected record data: {df.columns}"
+        )
+        assert len(rows) <= 32 and (not rows or len(rows[0]) <= 2), (
+            f"import_ndjson(add) collected record-shaped rows: "
+            f"{len(rows)} x {df.columns}"
         )
         return rows
 

@@ -506,3 +506,31 @@ def test_evidence_races_mutations_soak(spark, tmp_path):
     bad = [r for r in results if r not in allowed]
     assert not bad, f"{len(bad)} torn packets: {bad[:2]} allowed={allowed}"
     assert victim not in {i for _, i, _ in post}
+
+
+def test_hybrid_search_borrows_pinned_snapshot(spark, tmp_path):
+    """A caller-pinned snapshot passed via snapshot= is BORROWED: the
+    search reads exactly that corpus version (a row added after the
+    pin is invisible), takes no ref of its own, and release_caches on
+    its result leaves the caller's ref intact."""
+    from memories_spark.search import release_caches
+
+    eng = MemoriesEngine(spark, str(tmp_path / "bstore"))
+    eng.add([_rec(f"alpha beta note {i}", "proj/a") for i in range(3)], NOW)
+    v, mem = eng.serving_snapshot()
+    try:
+        eng.add([_rec("alpha beta note late", "proj/a")], NOW)  # bumps version
+        df = hybrid_search(eng, "alpha beta", k=10, snapshot=(v, mem),
+                           auto_intent=False, now=NOW)
+        ids = {r.id for r in df.collect()}
+        assert ids == {0, 1, 2}  # the post-pin row never appears
+        assert getattr(df, "_ms_snap", "unset") is None  # no own ref
+        release_caches(df)  # must NOT release the borrowed ref
+        # and a fresh un-borrowed search sees the new corpus
+        df2 = hybrid_search(eng, "alpha beta", k=10, auto_intent=False,
+                            now=NOW)
+        ids2 = {r.id for r in df2.collect()}
+        release_caches(df2)
+        assert 3 in ids2
+    finally:
+        eng._release_snapshot(v)
