@@ -182,6 +182,50 @@ def find_clusters(
     return clusters
 
 
+def find_prune_candidates(
+    engine: MemoriesEngine,
+    now: str,
+    detail_days: int = 60,
+    decision_days: int = 120,
+) -> "object":
+    """Stale, never-retrieved memories eligible for pruning (reference
+    find_prune_candidates, consolidator.py:221-278): anti-join the
+    corpus against the retrieval log (never retrieved), then keep rows
+    older than their category's threshold — ``decision``/``learning``
+    get the longer ``decision_days`` (:26, :257-263), everything else
+    (including null category → ``detail``) ``detail_days``. Age is
+    whole elapsed days, ``floor((now - created_at) / 86400)`` — the
+    reference's ``timedelta.days``, NOT calendar-date diff (a
+    23-hour-old memory is 0 days old). Returns a DataFrame
+    (id, source, category, created_at, age_days) ordered by id — the
+    set-based form of the reference's driver loop; the synthetic-table
+    twin with a DuckDB oracle is the ``prune_candidates`` registry
+    query."""
+    mem = engine.serving_memories()
+    retrieved = (
+        engine.table("retrieval_log")
+        .select(F.col("memory_id").alias("id"))
+        .distinct()
+    )
+    now_col = F.lit(now).cast("timestamp")
+    age_days = F.floor(
+        (F.unix_timestamp(now_col) - F.unix_timestamp(F.col("created_at")))
+        / F.lit(86400)
+    )
+    long_lived = F.lower(F.coalesce(F.col("category"), F.lit("detail"))).isin(
+        *sorted(LONG_LIVED_CATEGORIES)
+    )
+    threshold = F.when(long_lived, decision_days).otherwise(detail_days)
+    return (
+        mem.join(retrieved, "id", "left_anti")
+        .filter(F.col("created_at").isNotNull())
+        .withColumn("age_days", age_days)
+        .filter(F.col("age_days") > threshold)
+        .select("id", "source", "category", "created_at", "age_days")
+        .orderBy("id")
+    )
+
+
 def consolidation_sweep(
     engine: MemoriesEngine,
     now: str,

@@ -162,3 +162,46 @@ def test_consolidation_sweep_dry_run_mutates_nothing(spark, tmp_path):
     assert reports and reports[0]["dry_run"] is True
     assert reports[0]["new_ids"] == []
     assert eng.count() == before
+
+
+def test_find_prune_candidates_thresholds(spark, tmp_path):
+    """Never-retrieved memories past their category threshold
+    (consolidator.py:221-278): decision/learning get decision_days,
+    everything else detail_days; a retrieved row never prunes; age is
+    whole elapsed days (timedelta.days), not calendar-date diff."""
+    from memories_spark.consolidation import find_prune_candidates
+
+    eng = MemoriesEngine(spark, str(tmp_path / "pstore"))
+    eng.add(
+        [
+            # 0: detail, 70 days old -> prune (70 > 60)
+            _rec("old detail", "proj/a"),
+            # 1: decision, 70 days old -> keep (70 < 120)
+            _rec("old decision", "proj/a", category="decision"),
+            # 2: learning, 130 days old -> prune
+            _rec("ancient learning", "proj/a", category="learning"),
+            # 3: detail, 70 days old but RETRIEVED -> keep
+            _rec("old but used", "proj/a"),
+        ],
+        "2024-01-01 00:00:00",
+    )
+    # every row's created_at is 2024-01-01; ages derive from `now`
+    eng.log_retrieval([(3, 1)], "2024-01-02 00:00:00", "q")
+
+    now = "2024-05-10 00:00:00"  # 130 days after creation
+    out = find_prune_candidates(eng, now, detail_days=60, decision_days=120)
+    ids = [int(r.id) for r in out.collect()]
+    # at 130 days: detail 0 prunes (>60), decision 1 and learning 2
+    # prune (>120); retrieved row 3 never prunes
+    assert ids == [0, 1, 2]
+
+    # tighter window: only detail rows pass (decision threshold not met)
+    out2 = find_prune_candidates(eng, "2024-03-11 00:00:00",
+                                 detail_days=60, decision_days=120)
+    ids2 = [int(r.id) for r in out2.collect()]
+    assert ids2 == [0]  # 70 days: detail prunes, decision/learning keep
+
+    # sub-day ages floor to 0 days (timedelta.days semantics)
+    out3 = find_prune_candidates(eng, "2024-01-01 23:00:00",
+                                 detail_days=0, decision_days=120)
+    assert [int(r.id) for r in out3.collect()] == []
