@@ -905,3 +905,16 @@ def test_hybrid_indexed_never_tokenizes_corpus(spark, sf_dir):
     # the inline flagship DOES tokenize — the gate discriminates
     p_inline = plan(QUERIES["hybrid_rrf_search"].fn(spark, sf_dir))
     assert "split(lower(trim(text" in p_inline, p_inline
+
+
+def test_telemetry_prunes_events_and_groups_in_pandas(spark, sf_dir):
+    """active_search_telemetry: every events scan must prune to the 4
+    columns the summary needs (value/props never leave parquet), and
+    the consumption matcher runs as ONE Arrow-batched
+    FlatMapGroupsInPandas over session groups — sessions fan out, no
+    driver loop."""
+    p = plan(QUERIES["active_search_telemetry"].fn(spark, sf_dir))
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", p):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"event_id", "ts", "user_id", "event_type"}, cols
+    assert "FlatMapGroupsInPandas" in p, p
