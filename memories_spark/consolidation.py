@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from memories_spark.engine import MemoriesEngine
@@ -187,7 +188,7 @@ def find_prune_candidates(
     now: str,
     detail_days: int = 60,
     decision_days: int = 120,
-) -> "object":
+) -> DataFrame:
     """Stale, never-retrieved memories eligible for pruning (reference
     find_prune_candidates, consolidator.py:221-278): anti-join the
     corpus against the retrieval log (never retrieved), then keep rows
