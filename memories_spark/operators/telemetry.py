@@ -53,6 +53,8 @@ def _greedy_matcher(window_seconds: float):
     Emits one row per required prompt with its matched flag."""
 
     def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         prompts = (
             pdf[pdf["kind"] == 0]
             .sort_values("ts", kind="stable")
@@ -63,21 +65,23 @@ def _greedy_matcher(window_seconds: float):
                 {"client": str, "matched": bool}
             )
         tools = pdf[pdf["kind"] == 1].sort_values("ts", kind="stable")
-        matched = [False] * len(prompts)
-        pts = prompts["ts"]
-        for t in tools["ts"]:
-            best = -1
-            for i in range(len(prompts)):
-                if matched[i]:
-                    continue
-                delta = (t - pts.iloc[i]).total_seconds()
-                if 0 <= delta <= window_seconds:
-                    # latest prompt wins; ties keep the FIRST seen
-                    # (Python max semantics in the reference, :133)
-                    if best < 0 or pts.iloc[i] > pts.iloc[best]:
-                        best = i
-            if best >= 0:
-                matched[best] = True
+        matched = np.zeros(len(prompts), dtype=bool)
+        pts = prompts["ts"].to_numpy()  # sorted datetime64
+        window = np.timedelta64(int(window_seconds * 1_000_000), "us")
+        valid = ~pd.isna(pts)
+        for t in tools["ts"].to_numpy():
+            if np.isnat(t):
+                continue  # unparseable tool ts never matches (:118-120)
+            # prompts with 0 <= t - p <= window form a contiguous ts
+            # range; the LATEST unmatched one is the first live slot
+            # scanning backwards from the upper bound (both boundaries
+            # inclusive, matching the reference's BETWEEN, :130-131)
+            lo = int(np.searchsorted(pts, t - window, side="left"))
+            hi = int(np.searchsorted(pts, t, side="right"))
+            for i in range(hi - 1, lo - 1, -1):
+                if not matched[i] and valid[i]:
+                    matched[i] = True
+                    break
         return pd.DataFrame(
             {"client": prompts["client"].astype(str), "matched": matched}
         )
