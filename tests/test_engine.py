@@ -833,3 +833,19 @@ def test_import_smart_tolerates_declining_embedder(spark, tmp_path):
     assert result["skipped"] == 1 and result["imported"] == 1
     texts = {r.text for r in dst.table("memories").collect()}
     assert "SKIPME opaque blob" in texts
+
+
+def test_zip_index_empty_and_single_partition(spark):
+    """_zip_index degenerate shapes: empty input yields zero rows (the
+    offsets frame is empty, the join vacuous); a single partition is
+    pure within-partition numbering."""
+    from memories_spark.engine import _zip_index
+
+    empty = spark.range(0).select(F.col("id").alias("payload"))
+    out = _zip_index(empty, "idx", offset=7)
+    assert out.count() == 0 and "idx" in out.columns
+
+    one = spark.range(0, 5, 1, 1).select(F.col("id").alias("payload"))
+    got = [(int(r.idx), int(r.payload))
+           for r in _zip_index(one, "idx").orderBy("idx").collect()]
+    assert got == [(i, i) for i in range(5)]
