@@ -130,3 +130,63 @@ def test_total_row_and_vacuous_rate(spark):
     assert out["(all)"]["required_prompts"] == 1
     assert out["(all)"]["memory_search_calls"] == 2
     assert out["(all)"]["followup_rate_fp"] == 1_000_000
+
+
+# --- property: the vectorized matcher == the reference algorithm -------
+
+
+def _reference_match(prompt_ts, tool_ts, window):
+    """Straight port of active_search_metrics.py:108-137: tools in ts
+    order each consume the latest unmatched prompt within the window."""
+    records = [{"ts": p, "matched": False} for p in sorted(prompt_ts)]
+    for t in sorted(tool_ts):
+        cands = [
+            (r["ts"], i)
+            for i, r in enumerate(records)
+            if not r["matched"] and 0 <= t - r["ts"] <= window
+        ]
+        if cands:
+            _, idx = max(cands, key=lambda c: c[0])
+            records[idx]["matched"] = True
+    return sum(r["matched"] for r in records)
+
+
+def test_matcher_matches_reference_on_random_sessions():
+    """The binary-search + reverse-scan matcher must agree with the
+    reference's O(T*P) greedy on randomized single-session event sets
+    (distinct prompt timestamps, the documented determinism domain)."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from memories_spark.operators.telemetry import _greedy_matcher
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        prompts=st.lists(
+            st.integers(min_value=0, max_value=3000), min_size=0,
+            max_size=25, unique=True,
+        ),
+        tools=st.lists(
+            st.integers(min_value=0, max_value=3000), min_size=0,
+            max_size=25,
+        ),
+        window=st.integers(min_value=0, max_value=1500),
+    )
+    def check(prompts, tools, window):
+        base = pd.Timestamp("2024-01-01")
+        rows = [
+            {"client": "c", "ts": base + pd.Timedelta(seconds=p), "kind": 0}
+            for p in prompts
+        ] + [
+            {"client": "c", "ts": base + pd.Timedelta(seconds=t), "kind": 1}
+            for t in tools
+        ]
+        pdf = pd.DataFrame(rows, columns=["client", "ts", "kind"])
+        out = _greedy_matcher(float(window))(pdf)
+        got = int(out["matched"].sum())
+        want = _reference_match(prompts, tools, window)
+        assert got == want, (prompts, tools, window, got, want)
+        assert len(out) == len(prompts)
+
+    check()
