@@ -29,12 +29,24 @@ SCORE_SCALE = 12  # 1/(rank+60) needs more fixed-point digits
 
 
 def rank_signal(df: DataFrame, id_col: str, score_col: str, limit: int | None = None) -> DataFrame:
-    """Turn a scored DataFrame into (id, rank) with deterministic ties."""
-    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
-    ranked = df.select(F.col(id_col).alias("id"), F.row_number().over(w).alias("rank"))
+    """Turn a scored DataFrame into (id, rank) with deterministic ties.
+
+    With a ``limit``, the top-N is taken FIRST via ``orderBy().limit()``
+    — Catalyst plans that as TakeOrderedAndProject, a per-partition
+    top-N merge — and only the surviving ≤limit rows go through the
+    row_number window. Ranking the full scored set in the window and
+    filtering afterwards would funnel the corpus-sized score table
+    through ONE task (an unpartitioned window is a single-partition
+    sort) — the exact shuffle that dies at 100 TB. Same rows, same
+    ranks: the truncated total order (score desc, id asc) is identical
+    either way."""
+    order = [F.desc(score_col), F.asc(id_col)]
     if limit is not None:
-        ranked = ranked.filter(F.col("rank") <= limit)
-    return ranked
+        df = df.orderBy(*order).limit(limit)
+    w = Window.orderBy(*order)
+    return df.select(
+        F.col(id_col).alias("id"), F.row_number().over(w).alias("rank")
+    )
 
 
 def rrf_fuse(
