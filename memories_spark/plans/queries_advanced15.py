@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from memories_spark.functions.vectors import cosine_expr, cosine_sql
+from memories_spark.functions.topk import ranked_topk
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
@@ -106,12 +107,9 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel_fp"),
         )
     )
-    w = Window.orderBy(F.desc("rel_fp"), F.asc("vec_id"))
-    cand = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _SHORT)
-        .select("vec_id", "embedding", "rel_fp")
-    )
+    cand = ranked_topk(
+        scored, [F.desc("rel_fp"), F.asc("vec_id")], _SHORT, rank_col="rn"
+    ).select("vec_id", "embedding", "rel_fp")
     x = cand.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     y = cand.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
     sims = (

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from memories_spark.functions.texttools import bounded_seq, tokens_sql, tokens_expr
+from memories_spark.functions.topk import ranked_topk
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
@@ -86,18 +87,14 @@ def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
     )
-    wa = Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey").asc())
-    wb = Window.orderBy(F.col("qty").desc(), F.col("l_partkey").asc())
-    ra = (
-        agg.withColumn("r_a", F.row_number().over(wa))
-        .filter(F.col("r_a") <= _RBO_DEPTH)
-        .select("l_partkey", "r_a")
-    )
-    rb = (
-        agg.withColumn("r_b", F.row_number().over(wb))
-        .filter(F.col("r_b") <= _RBO_DEPTH)
-        .select("l_partkey", "r_b")
-    )
+    ra = ranked_topk(
+        agg, [F.col("rev_cents").desc(), F.col("l_partkey").asc()],
+        _RBO_DEPTH, rank_col="r_a",
+    ).select("l_partkey", "r_a")
+    rb = ranked_topk(
+        agg, [F.col("qty").desc(), F.col("l_partkey").asc()],
+        _RBO_DEPTH, rank_col="r_b",
+    ).select("l_partkey", "r_b")
     pairs = ra.join(rb, "l_partkey")
     depths = spark.range(1, _RBO_DEPTH + 1).select(
         F.col("id").cast("long").alias("d")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from memories_spark.functions.hashing import fixed_point, fixed_point_sql
+from memories_spark.functions.topk import ranked_topk
 from memories_spark.functions.vectors import cosine_expr, cosine_sql
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
@@ -286,12 +287,9 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(q))
         .select("vec_id", F.round(cosine_expr("embedding", "qv"), 6).alias("sim"))
     )
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .orderBy(F.desc("sim"), F.asc("vec_id"))
-    )
+    return ranked_topk(
+        scored, [F.desc("sim"), F.asc("vec_id")], 10
+    ).orderBy(F.desc("sim"), F.asc("vec_id"))
 
 
 # ---------------------------------------------------------------------
@@ -416,10 +414,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("v_fp").cast("long").alias("adc_fp"))
     )
-    w = Window.orderBy(F.desc("adc_fp"), F.asc("vec_id"))
-    top = adc.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= 10
-    )
+    top = ranked_topk(adc, [F.desc("adc_fp"), F.asc("vec_id")], 10)
     return (
         top.join(emb.select("vec_id", "embedding"), "vec_id")
         .crossJoin(F.broadcast(q))
@@ -611,16 +606,15 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v_fp"),
     )
-    sw = Window.orderBy(F.desc("adc_fp"), F.asc("vec_id"))
-    shortlist = (
+    shortlist = ranked_topk(
         codes.join(members, "vec_id", "left_semi")
         .join(F.broadcast(lut), ["m", "cid"])
         .groupBy("vec_id")
-        .agg(F.sum("v_fp").cast("long").alias("adc_fp"))
-        .withColumn("rn", F.row_number().over(sw))
-        .filter(F.col("rn") <= _SHORTLIST)
-        .select("vec_id")
-    )
+        .agg(F.sum("v_fp").cast("long").alias("adc_fp")),
+        [F.desc("adc_fp"), F.asc("vec_id")],
+        _SHORTLIST,
+        rank_col="rn",
+    ).select("vec_id")
 
     # (3) exact re-rank of the shortlist only
     rw = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -736,12 +730,10 @@ def ann_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_ip"),
         )
     )
-    sw = Window.orderBy(F.desc("approx_ip"), F.asc("vec_id"))
-    short = (
-        scored.withColumn("rn", F.row_number().over(sw))
-        .filter(F.col("rn") <= _SQ_SHORTLIST)
-        .select("vec_id", "approx_ip")
-    )
+    short = ranked_topk(
+        scored, [F.desc("approx_ip"), F.asc("vec_id")], _SQ_SHORTLIST,
+        rank_col="rn",
+    ).select("vec_id", "approx_ip")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     rw = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -876,15 +868,14 @@ def ann_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
 
     # exact top-10 (the ground truth): one brute-force scan
-    ew = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    exact10 = (
+    exact10 = ranked_topk(
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
-        .select("vec_id", F.round(cosine_expr("embedding", "qv"), 6).alias("sim"))
-        .withColumn("rk", F.row_number().over(ew))
-        .filter(F.col("rk") <= 10)
-        .select("vec_id")
-    )
+        .select("vec_id", F.round(cosine_expr("embedding", "qv"), 6).alias("sim")),
+        [F.desc("sim"), F.asc("vec_id")],
+        10,
+        rank_col="rk",
+    ).select("vec_id")
 
     grid = spark.range(1, _SWEEP_MAX_NPROBE + 1).select(
         F.col("id").cast("int").alias("nprobe")

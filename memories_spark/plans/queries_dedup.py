@@ -13,6 +13,7 @@ from memories_spark.functions.vectors import cosine_expr, cosine_sql
 from memories_spark.operators import dedup as dedup_op
 from memories_spark.operators import graph as graph_op
 from memories_spark.operators import similarity as sim_op
+from memories_spark.functions.topk import ranked_topk
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
@@ -260,12 +261,9 @@ def ann_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.round(cosine_expr("embedding", "qv"), 6).alias("sim")
         )
     )
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .orderBy(F.desc("sim"), F.asc("vec_id"))
-    )
+    return ranked_topk(
+        scored, [F.desc("sim"), F.asc("vec_id")], 10
+    ).orderBy(F.desc("sim"), F.asc("vec_id"))
 
 
 _MP_BUCKET = sim_op.lsh_bucket_sql("embedding", _EMB_DIM, _N_PLANES)
@@ -321,12 +319,9 @@ def ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != 0)
         .select("vec_id", F.round(cosine_expr("embedding", "qv"), 6).alias("sim"))
     )
-    w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-        .orderBy(F.desc("sim"), F.asc("vec_id"))
-    )
+    return ranked_topk(
+        scored, [F.desc("sim"), F.asc("vec_id")], 10
+    ).orderBy(F.desc("sim"), F.asc("vec_id"))
 
 
 # ---------------------------------------------------------------------

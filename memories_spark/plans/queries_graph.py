@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from memories_spark.functions.vectors import cosine_expr, cosine_sql
 from memories_spark.operators import graph as graph_op
+from memories_spark.functions.topk import ranked_topk
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
@@ -79,10 +80,8 @@ def ppr_graph_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_expr("embedding", "qv"), 6).alias("sim"),
         )
     )
-    w = Window.orderBy(F.desc("sim"), F.asc("id"))
     seeds = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        ranked_topk(scored, [F.desc("sim"), F.asc("id")], 10)
         .select(
             "id",
             F.round((F.lit(1.0) / (F.col("rank") + 60)) * 1e12).cast("long").alias("sw_fp"),

@@ -21,6 +21,7 @@ from memories_spark.operators import bm25 as bm25_op
 from memories_spark.operators import graph as graph_op
 from memories_spark.operators import rrf as rrf_op
 from memories_spark.plans.queries_graph import _doc_edges, _EDGES_CTE, _SEEDS_CTE
+from memories_spark.functions.topk import ranked_topk
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
@@ -746,9 +747,8 @@ def evidence_packet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_expr("embedding", "qv"), 6).alias("sim"),
         )
     )
-    ws = Window.orderBy(F.desc("sim"), F.asc("doc_id"))
-    top20 = scored.withColumn("srank", F.row_number().over(ws)).filter(
-        F.col("srank") <= 20
+    top20 = ranked_topk(
+        scored, [F.desc("sim"), F.asc("doc_id")], 20, rank_col="srank"
     )
     anchors = t["events"].groupBy("user_id").agg(F.max("ts").alias("last_ts0"))
     panel = spark.createDataFrame(_EP_PANEL, "qid long, query string").select(
