@@ -918,3 +918,13 @@ def test_telemetry_prunes_events_and_groups_in_pandas(spark, sf_dir):
         cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
         assert cols <= {"event_id", "ts", "user_id", "event_type"}, cols
     assert "FlatMapGroupsInPandas" in p, p
+
+
+def test_signal_rankings_take_ordered_topn(spark, sf_dir):
+    """Round-7 scale fix: signal rankings must pre-truncate via
+    TakeOrderedAndProject (distributed per-partition top-N) instead of
+    pushing the corpus-sized score table through one unpartitioned
+    rank window. The remaining windows run over <= N rows."""
+    for name in ("hybrid_rrf_5signal", "ann_ivf_trained", "ppr_graph_expand"):
+        p = plan(QUERIES[name].fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in p, name
