@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from memories_spark.functions.topk import global_rank, ntile_from_rank
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
@@ -242,10 +243,12 @@ ORDER BY bucket
     "samples from (start training on bucket 1, anneal toward 5). "
     "The rank key is the fixed-point integer s*1e6/n_tokens (no "
     "float division inside the sort), ties broken by doc_id, so "
-    "bucket boundaries are engine-independent. The ntile runs "
-    "over per-doc rows (corpus-count rows, not token rows); "
-    "everything upstream is the surprisal machinery shared with "
-    "unigram_surprisal_score.",
+    "bucket boundaries are engine-independent. Bucket assignment "
+    "is the two-phase distributed rank + closed-form ntile "
+    "arithmetic (functions/topk.global_rank) over per-doc rows — "
+    "no single-partition window even when the per-doc table is "
+    "corpus-sized; everything upstream is the surprisal machinery "
+    "shared with unigram_surprisal_score.",
     tags=("training", "text"),
 )
 def curriculum_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,11 +273,15 @@ def curriculum_difficulty_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     # exact BIGINT integer division on both engines (s*1e6 can exceed
     # the double-exact range, so float division would drift)
-    w = Window.orderBy(
-        F.expr("s * 1000000 DIV n_tokens").asc(), F.col("doc_id").asc()
+    keyed = per_doc.withColumn("_diff", F.expr("s * 1000000 DIV n_tokens"))
+    ranked = global_rank(
+        keyed,
+        [F.asc("_diff"), F.asc("doc_id")],
+        rank_col="rn",
+        total_col="n_tot",
     )
-    bucketed = per_doc.select(
-        "n_tokens", "s", F.ntile(5).over(w).cast("long").alias("bucket")
+    bucketed = ranked.select(
+        "n_tokens", "s", ntile_from_rank("rn", "n_tot", 5).alias("bucket")
     )
     return (
         bucketed.groupBy("bucket")

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from memories_spark.functions.topk import global_rank, ntile_from_rank
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
@@ -81,19 +82,26 @@ FROM tiled GROUP BY decile ORDER BY decile
     "customer_revenue_deciles",
     oracle=_DECILE_ORACLE,
     doc="Revenue deciles: per-customer revenue (one shuffle over "
-    "orders with map-side partial agg), then ntile(10) over the "
-    "aggregate — the window input is |customers| rows so the "
-    "global sort is cheap; tie-break on custkey keeps tile "
-    "assignment deterministic. The summary collapses each decile "
-    "to one row (exact cents).",
+    "orders with map-side partial agg), then decile assignment via "
+    "the two-phase distributed rank (range-repartition + "
+    "per-partition offsets, functions/topk.global_rank) and "
+    "closed-form ntile arithmetic — NO single-partition window over "
+    "the |customers|-sized aggregate, so the plan survives a corpus "
+    "where the per-customer table itself is billions of rows. "
+    "Tie-break on custkey keeps tile assignment deterministic. The "
+    "summary collapses each decile to one row (exact cents).",
     tags=("window", "ntile", "agg"),
 )
 def customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir)["orders"]
     cents = F.round(F.col("o_totalprice") * 100.0).cast("long")
     rev = orders.groupBy("o_custkey").agg(F.sum(cents).alias("rev_c"))
-    w = Window.orderBy(F.desc("rev_c"), F.asc("o_custkey"))
-    tiled = rev.select("o_custkey", "rev_c", F.ntile(10).over(w).alias("decile"))
+    ranked = global_rank(
+        rev, [F.desc("rev_c"), F.asc("o_custkey")], rank_col="rn", total_col="n_tot"
+    )
+    tiled = ranked.select(
+        "o_custkey", "rev_c", ntile_from_rank("rn", "n_tot", 10).alias("decile")
+    )
     return (
         tiled.groupBy(F.col("decile").cast("long").alias("decile"))
         .agg(
@@ -282,9 +290,10 @@ ORDER BY decile
     "and cumulative share; the classic inequality diagnostic (the "
     "grouped-data Gini is 1 - 2*mean(cum_share) + mean(share), "
     "computable from these ten rows). Plan: one per-customer "
-    "aggregate, one ntile window over that (already-small) table, "
-    "and exact cents shares — the ranked sort never touches the "
-    "orders fact after the first aggregate.",
+    "aggregate, then the two-phase distributed rank + closed-form "
+    "ntile arithmetic (functions/topk.global_rank) instead of a "
+    "single-partition ntile window, and exact cents shares — the "
+    "only remaining window runs over the ten decile rows.",
     tags=("stats", "distribution", "window"),
 )
 def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,8 +303,13 @@ def revenue_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_c")
     )
-    w = Window.orderBy(F.asc("rev_c"), F.asc("o_custkey"))
-    ranked = per_cust.select("rev_c", F.ntile(10).over(w).alias("decile"))
+    gr = global_rank(
+        per_cust,
+        [F.asc("rev_c"), F.asc("o_custkey")],
+        rank_col="rn",
+        total_col="n_tot",
+    )
+    ranked = gr.select("rev_c", ntile_from_rank("rn", "n_tot", 10).alias("decile"))
     dec = ranked.groupBy("decile").agg(
         F.count("*").alias("n_custs"), F.sum("rev_c").cast("long").alias("dec_rev_c")
     )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from memories_spark.functions.decay import decay_sql, half_life_decay
 from memories_spark.functions.hashing import fixed_point, unfix
+from memories_spark.functions.topk import ranked_topk
 from memories_spark.functions.vectors import cosine_expr, cosine_sql
 from memories_spark.operators import bm25 as bm25_op
 from memories_spark.operators import rrf as rrf_op
@@ -344,16 +345,24 @@ SELECT doc_id, source, n_chars FROM (
 @register(
     "paginate_documents",
     oracle=_PAGINATE_ORACLE,
-    doc="Offset/limit pagination via row_number (reference T3, "
-    "memory_engine.py:2371-2390).",
+    doc="Offset/limit pagination (reference T3, "
+    "memory_engine.py:2371-2390). Page k of size m only needs the "
+    "first offset+limit rows of the order, so the plan is "
+    "TakeOrderedAndProject(offset+limit) — per-partition top-N, "
+    "merged — then a rank window over those <=120 rows; the naive "
+    "row_number over the whole corpus is a single-partition sort.",
     tags=("window",),
 )
 def paginate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    w = Window.orderBy("doc_id")
     return (
-        docs.select("doc_id", "source", "n_chars", F.row_number().over(w).alias("rn"))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 120))
+        ranked_topk(
+            docs.select("doc_id", "source", "n_chars"),
+            [F.asc("doc_id")],
+            120,
+            rank_col="rn",
+        )
+        .filter(F.col("rn") > 100)
         .drop("rn")
         .orderBy("doc_id")
     )

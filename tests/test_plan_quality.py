@@ -920,11 +920,162 @@ def test_telemetry_prunes_events_and_groups_in_pandas(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in p, p
 
 
-def test_signal_rankings_take_ordered_topn(spark, sf_dir):
-    """Round-7 scale fix: signal rankings must pre-truncate via
-    TakeOrderedAndProject (distributed per-partition top-N) instead of
-    pushing the corpus-sized score table through one unpartitioned
-    rank window. The remaining windows run over <= N rows."""
-    for name in ("hybrid_rrf_5signal", "ann_ivf_trained", "ppr_graph_expand"):
-        p = plan(QUERIES[name].fn(spark, sf_dir))
-        assert "TakeOrderedAndProject" in p, name
+def _tree_lines(tree: str) -> list[tuple[int, str]]:
+    """(depth, node_text) per operator line of a Spark plan tree
+    string; depth = column of the first operator character (the tree
+    prefix is drawn with ' ', ':', '+', '-')."""
+    out = []
+    for raw in tree.splitlines():
+        body = raw
+        i = 0
+        while i < len(body) and body[i] in " :+-":
+            i += 1
+        if i >= len(body):
+            continue
+        out.append((i, body[i:]))
+    return out
+
+
+def _window_partition_groups(node: str) -> int:
+    """Number of top-level bracket groups on a Window line. Two
+    groups = [exprs], [order] = UNPARTITIONED; three = [exprs],
+    [partition keys], [order] = distributed per key."""
+    depth, groups = 0, 0
+    for ch in node:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+    return groups
+
+
+_PASS_THROUGH = (
+    "Sort ",
+    "Exchange ",
+    "ReusedExchange",
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+    "BroadcastQueryStage",
+    "Project ",
+    "Filter ",
+    "Window ",
+    "WindowGroupLimit",
+    "WholeStageCodegen",
+    "InputAdapter",
+    "ColumnarToRow",
+    "BroadcastHashJoin",
+    "BroadcastNestedLoopJoin",
+    "BroadcastExchange",
+    "Coalesce",
+    "Union",
+    "Generate ",
+    "Expand ",
+)
+
+_BOUNDED = ("TakeOrderedAndProject", "GlobalLimit", "LocalLimit", "CollectLimit")
+
+
+def corpus_window_violations(tree: str, bounded_agg_keys: tuple[str, ...]) -> list[str]:
+    """Every UNPARTITIONED Window in ``tree`` whose direct input chain
+    (first child at each step — the streamed side of broadcast joins)
+    reaches a scan or an aggregate on non-allowlisted keys before any
+    limit: the single-partition-sort-of-the-corpus shape that dies
+    first at 100 TB. Bounded inputs — TakeOrderedAndProject /
+    Limit (top-N pre-truncation) or an aggregate whose group keys are
+    known-bounded (``_gr_pid`` partition counts, decile/bucket ids) —
+    are the allowed shapes."""
+    lines = _tree_lines(tree)
+    bad = []
+    for idx, (depth, node) in enumerate(lines):
+        if not node.startswith("Window ") or _window_partition_groups(node) != 2:
+            continue
+        # descend the first-child chain until a bounding node
+        cur_depth, j = depth, idx
+        verdict = f"fell off plan: {node[:80]}"
+        while True:
+            j += 1
+            if j >= len(lines):
+                break
+            d, n = lines[j]
+            if d <= cur_depth:
+                continue  # detail/sibling line; first child is deeper
+            cur_depth = d
+            if any(n.startswith(p) for p in _PASS_THROUGH):
+                continue
+            if any(n.startswith(b) for b in _BOUNDED):
+                verdict = ""
+            elif "Aggregate" in n.split("(")[0]:
+                m = re.search(r"keys=\[([^\]]*)\]", n)
+                keys = m.group(1) if m else ""
+                if keys and all(
+                    any(a in k for a in bounded_agg_keys)
+                    for k in keys.split(", ")
+                ):
+                    verdict = ""
+                else:
+                    verdict = f"window over unbounded aggregate: {n[:100]}"
+            else:
+                verdict = f"window over unbounded input: {n[:100]}"
+            break
+        if verdict:
+            bad.append(verdict)
+    return bad
+
+
+# Group keys whose cardinality is bounded by construction, not by the
+# corpus: global_rank's per-partition counts (<= shuffle partitions;
+# the shifted pid compiles to a _groupingexpression alias) and the
+# closed-form ntile outputs (<= k tiles).
+_BOUNDED_AGG_KEYS = ("_gr_pid", "_groupingexpression", "decile#", "bucket#")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "hybrid_rrf_5signal",
+        "ann_ivf_trained",
+        "ppr_graph_expand",
+        "customer_revenue_deciles",
+        "revenue_lorenz_deciles",
+        "curriculum_difficulty_buckets",
+        "paginate_documents",
+    ],
+)
+def test_no_corpus_sized_unpartitioned_windows(spark, sf_dir, name):
+    """Rounds 7-8 scale fix, absence-asserted: these plans must
+    contain NO unpartitioned Window over an unbounded input. Signal
+    rankings pre-truncate via TakeOrderedAndProject (round 7); the
+    ntile/pagination family uses the two-phase range-partitioned rank
+    (functions/topk.global_rank) whose only windows run over
+    per-partition count metadata (round 8). The gate fails if any
+    call site regresses to rank-the-whole-corpus-then-filter."""
+    df = QUERIES[name].fn(spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    bad = corpus_window_violations(tree, _BOUNDED_AGG_KEYS)
+    assert not bad, (name, bad)
+    if name in ("hybrid_rrf_5signal", "ann_ivf_trained", "ppr_graph_expand"):
+        assert "TakeOrderedAndProject" in tree, name
+
+
+def test_corpus_window_gate_detects_bad_shapes(spark, sf_dir):
+    """The gate itself must flag the shapes it exists to ban: an
+    unpartitioned ntile over a corpus-keyed aggregate (the pre-round-8
+    decile shape — Catalyst cannot rewrite ntile the way it rewrites
+    row_number-then-filter into TakeOrderedAndProject), and must pass
+    a per-key partitioned window (distributed by construction)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    agg = docs.groupBy("source").agg(F.sum("n_chars").alias("s"))
+    bad = agg.withColumn("d", F.ntile(10).over(Window.orderBy(F.desc("s"))))
+    tree = bad._jdf.queryExecution().executedPlan().toString()
+    assert corpus_window_violations(tree, _BOUNDED_AGG_KEYS), tree
+
+    good = docs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    )
+    t2 = good._jdf.queryExecution().executedPlan().toString()
+    assert not corpus_window_violations(t2, _BOUNDED_AGG_KEYS), t2
