@@ -85,3 +85,142 @@ def enrich_query(prompt: str, project: str = "") -> str:
     ORIGINAL prompt instead (memory-query.sh:160-162)."""
     bag = build_keyword_bag(prompt, project)
     return bag if len(bag) >= MIN_ENRICHED_LEN else (prompt or "")
+
+
+# ---------------------------------------------------------------------
+# Intent-based prefix biasing + context enrichment
+# (memory-query.sh:142-149, :157-160, :211-227)
+# ---------------------------------------------------------------------
+
+#: Strategy-B scoped-prefix templates — the hook's
+#: ``MEMORIES_SOURCE_PREFIXES`` default (``_default_source_prefixes``,
+#: memory-query.sh:20,27-30): per-client-family project scopes.
+DEFAULT_SOURCE_PREFIX_TEMPLATES = (
+    "claude-code/{project}",
+    "codex/{project}",
+    "learning/{project}",
+    "wip/{project}",
+)
+
+#: The intent case table (memory-query.sh:142-149) — a shell ``case``
+#: over the LOWERCASED prompt, ``pattern*`` = starts-with, first
+#: match wins in written order. "fixture" matches ``fix*`` and
+#: "however" matches ``how*`` exactly as in the hook — the prefix
+#: match, not a word match, IS the grammar.
+INTENT_PREFIX_RULES: tuple[tuple[tuple[str, ...], tuple[str, ...]], ...] = (
+    (
+        ("fix", "debug", "error", "bug", "broken", "crash"),
+        ("learning/{project}", "bug-fix/{project}"),
+    ),
+    (
+        ("how", "setup", "configure", "install"),
+        ("decision/{project}", "learning/{project}"),
+    ),
+)
+
+#: conversation-context identifiers: CamelCase / snake_case ONLY —
+#: unlike the prompt pass, NO SCREAMING_SNAKE alternative
+#: (memory-query.sh:157: grep -oE '[A-Z][a-z]+([A-Z][a-z]+)+|
+#: [a-z]+_[a-z_]+'), sort -u, head -5
+CONTEXT_IDENTIFIER_RE = re.compile(r"[A-Z][a-z]+(?:[A-Z][a-z]+)+|[a-z]+_[a-z_]+")
+MAX_CONTEXT_TERMS = 5
+
+
+def intent_prefixes(prompt: str, project: str) -> tuple[str, ...]:
+    """Extra prefix-scoped searches derived from prompt intent
+    (memory-query.sh:142-149, queued :221-226): debugging prompts
+    bias toward ``learning/`` and ``bug-fix/`` scopes, procedural
+    prompts toward ``decision/`` and ``learning/``. Empty without a
+    project — the hook guards the queue loop on ``-n "$PROJECT"``."""
+    if not project:
+        return ()
+    low = (prompt or "").lower()
+    for starts, templates in INTENT_PREFIX_RULES:
+        if any(low.startswith(s) for s in starts):
+            return tuple(t.replace("{project}", project) for t in templates)
+    return ()
+
+
+def scoped_search_prefixes(
+    project: str,
+    prompt: str = "",
+    templates: tuple[str, ...] = DEFAULT_SOURCE_PREFIX_TEMPLATES,
+) -> tuple[str, ...]:
+    """The hook's full Strategy-B queue order (memory-query.sh:
+    211-227): the per-client-family ``{project}``-substituted scopes,
+    then the intent-biased extras. Empty without a project."""
+    if not project:
+        return ()
+    base = tuple(
+        t.replace("{project}", project).strip() for t in templates if t.strip()
+    )
+    return base + intent_prefixes(prompt, project)
+
+
+def extract_context_identifiers(context: str) -> list[str]:
+    """Sorted-unique CamelCase/snake_case identifiers from recent
+    conversation context, capped at 5 (memory-query.sh:157-158)."""
+    return sorted(set(CONTEXT_IDENTIFIER_RE.findall(context or "")))[
+        :MAX_CONTEXT_TERMS
+    ]
+
+
+def enrich_query_with_context(
+    prompt: str, project: str = "", context: str = ""
+) -> str:
+    """:func:`enrich_query` plus conversation-context identifier
+    enrichment (memory-query.sh:153-167): with context present, up to
+    5 CamelCase/snake_case identifiers from it are appended to the
+    keyword bag. The short-enrichment fallback then serves the
+    original prompt — or, when context exists, the hook's verbose
+    'Project/Recent conversation/Current prompt' composition
+    (:161-166)."""
+    bag = build_keyword_bag(prompt, project)
+    parts = [bag] if bag else []
+    if context:
+        parts += extract_context_identifiers(context)
+    enriched = " ".join(parts).strip()
+    if len(enriched) >= MIN_ENRICHED_LEN:
+        return enriched
+    if context:
+        return (
+            f"Project: {project or 'unknown'}\n"
+            f"Recent conversation:\n{context}\n"
+            f"Current prompt: {prompt or ''}"
+        )
+    return prompt or ""
+
+
+def fallback_query(
+    prompt: str,
+    project: str = "",
+    context: str = "",
+    active_files: tuple[str, ...] = (),
+) -> str:
+    """The hook's verbose fallback ``QUERY_TEXT`` (memory-query.sh:
+    170-182): file context ('Files: ' + comma-joined basenames of
+    recently touched files, :133-136) and key terms ('Terms: ' +
+    comma-joined prompt identifiers, :139-140) prefix a
+    Project/Recent-conversation/Current-prompt composition when
+    context exists, or stack above the bare prompt otherwise.
+
+    REFERENCE QUIRK, reproduced: the hook assembles
+    ``FALLBACK_PREFIX="$FILE_CONTEXT\\n"`` inside double quotes, so
+    the separator is a LITERAL backslash-n, not a newline — bash
+    ``printf '%s'`` does not expand escapes in arguments."""
+    file_ctx = "Files: " + ",".join(active_files) if active_files else ""
+    terms = extract_identifiers(prompt)
+    key_terms = "Terms: " + ",".join(terms) if terms else ""
+    if context:
+        pre = ""
+        if file_ctx:
+            pre += file_ctx + "\\n"
+        if key_terms:
+            pre += key_terms + "\\n"
+        return (
+            f"{pre}\nProject: {project or 'unknown'}\n"
+            f"Recent conversation:\n{context}\nCurrent prompt: {prompt or ''}"
+        )
+    if file_ctx or key_terms:
+        return f"{file_ctx}\n{key_terms}\n{prompt or ''}"
+    return prompt or ""

@@ -318,6 +318,91 @@ def query_intent_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Intent-based prefix biasing (reference memory-query.sh:142-149)
+# ---------------------------------------------------------------------
+
+_INTENT_PREFIX_ORACLE = """
+WITH prompts AS (
+  SELECT lower(CASE CAST(doc_id % 7 AS INT)
+           WHEN 0 THEN 'fix '   WHEN 1 THEN 'how '   WHEN 2 THEN 'debug '
+           WHEN 3 THEN 'setup ' WHEN 4 THEN 'deploy ' WHEN 5 THEN 'crash '
+           ELSE 'ship ' END || text) AS low,
+         string_split(source, '/')[1] AS proj
+  FROM documents
+),
+matched AS (
+  SELECT proj,
+    CASE WHEN low LIKE 'fix%' OR low LIKE 'debug%' OR low LIKE 'error%'
+           OR low LIKE 'bug%' OR low LIKE 'broken%' OR low LIKE 'crash%'
+      THEN ['learning/' || proj, 'bug-fix/' || proj]
+    WHEN low LIKE 'how%' OR low LIKE 'setup%' OR low LIKE 'configure%'
+           OR low LIKE 'install%'
+      THEN ['decision/' || proj, 'learning/' || proj]
+    END AS prefixes
+  FROM prompts
+)
+SELECT scope, CAST(count(*) AS BIGINT) AS n_prompts
+FROM (SELECT unnest(prefixes) AS scope FROM matched WHERE prefixes IS NOT NULL)
+GROUP BY scope ORDER BY scope
+"""
+
+
+@register(
+    "intent_prefix_bias",
+    oracle=_INTENT_PREFIX_ORACLE,
+    doc="Intent-based prefix biasing at reference parity "
+    "(memory-query.sh:142-149 — the UserPromptSubmit hook's shell "
+    "case table: fix/debug/error/bug/broken/crash prompts bias "
+    "toward learning/ + bug-fix/ scopes, how/setup/configure/"
+    "install toward decision/ + learning/; starts-with match, "
+    "first rule wins). Run corpus-wide as classification of a "
+    "deterministic synthesized prompt panel (doc_id-keyed intent "
+    "word + text — the raw corpus never starts with the trigger "
+    "words, so this keeps the oracle non-vacuous): per derived "
+    "scope, how many prompts would queue a biased search. The "
+    "Spark plan is BUILT from functions/keywords.INTENT_PREFIX_"
+    "RULES — the same constant prompt_recall_search serves from — "
+    "so plan and serving grammar cannot drift.",
+    tags=("serving", "intent"),
+)
+def intent_prefix_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from memories_spark.functions.keywords import INTENT_PREFIX_RULES
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    word = (
+        F.when(F.expr("CAST(doc_id % 7 AS INT)") == 0, "fix ")
+        .when(F.expr("CAST(doc_id % 7 AS INT)") == 1, "how ")
+        .when(F.expr("CAST(doc_id % 7 AS INT)") == 2, "debug ")
+        .when(F.expr("CAST(doc_id % 7 AS INT)") == 3, "setup ")
+        .when(F.expr("CAST(doc_id % 7 AS INT)") == 4, "deploy ")
+        .when(F.expr("CAST(doc_id % 7 AS INT)") == 5, "crash ")
+        .otherwise("ship ")
+    )
+    low = F.lower(F.concat(word, F.col("text")))
+    proj = F.split(F.col("source"), "/").getItem(0)
+    prefixes = F.lit(None).cast("array<string>")
+    for starts, templates in reversed(INTENT_PREFIX_RULES):
+        cond = F.lit(False)
+        for s in starts:
+            cond = cond | low.startswith(s)
+        arr = F.array(
+            *[
+                F.concat(F.lit(t.replace("{project}", "")), proj)
+                for t in templates
+            ]
+        )
+        prefixes = F.when(cond, arr).otherwise(prefixes)
+    return (
+        docs.select(prefixes.alias("prefixes"))
+        .filter(F.col("prefixes").isNotNull())
+        .select(F.explode("prefixes").alias("scope"))
+        .groupBy("scope")
+        .agg(F.count("*").alias("n_prompts"))
+        .orderBy("scope")
+    )
+
+
+# ---------------------------------------------------------------------
 # C4: dominant category — mode() per cluster with deterministic ties
 # ---------------------------------------------------------------------
 

@@ -912,6 +912,8 @@ def dual_strategy_search(
     fallback_k: int = 5,
     fallback_threshold: float = 0.55,
     cap: int = 6,
+    context: str = "",
+    active_files: tuple[str, ...] = (),
     **search_kwargs,
 ) -> DataFrame:
     """Keyword-bag dual search (reference 5.3.0, the UserPromptSubmit
@@ -934,10 +936,19 @@ def dual_strategy_search(
     fallback from injecting low-similarity noise the dual pass
     filtered out. Returns (id, text, source, rrf_score, similarity,
     match_type, strategy); release with :func:`release_caches`.
-    """
-    from memories_spark.functions.keywords import enrich_query
 
-    enriched = enrich_query(prompt, project)
+    With ``context`` (recent-conversation text, :106-130), up to five
+    CamelCase/snake_case identifiers from it join the enriched bag
+    (:157-160) and the fallback runs the hook's verbose QUERY_TEXT
+    composition (Files/Terms/Project/Recent conversation/Current
+    prompt, :170-182) instead of the bare prompt.
+    """
+    from memories_spark.functions.keywords import (
+        enrich_query_with_context,
+        fallback_query,
+    )
+
+    enriched = enrich_query_with_context(prompt, project, context)
     branches: list[tuple[str, dict]] = [
         ("unscoped", {"k": k_unscoped, "threshold": threshold}),
     ]
@@ -996,11 +1007,14 @@ def dual_strategy_search(
         # the multi-branch plan (released with everything else)
         out = out.cache()
         caches.append(out)
-        # dual-strategy empty -> ONE fallback with the original prompt,
-        # k=5 / threshold=0.55 (memory-query.sh:32-35,248-250)
+        # dual-strategy empty -> ONE fallback with the verbose
+        # QUERY_TEXT (the bare prompt when no context/files were
+        # given), k=5 / threshold=0.55 (memory-query.sh:32-35,248-250)
         if not out.count():
             fb = hybrid_search(
-                engine, prompt, k=fallback_k,
+                engine,
+                fallback_query(prompt, project, context, active_files),
+                k=fallback_k,
                 threshold=fallback_threshold, **search_kwargs,
             )
             caches.extend(getattr(fb, "_ms_caches", ()))
@@ -1029,3 +1043,47 @@ def dual_strategy_search(
             except Exception:
                 pass  # JVM handle gone (session stopped) — nothing to free
         raise
+
+
+def prompt_recall_search(
+    engine: MemoriesEngine,
+    prompt: str,
+    project: str = "",
+    context: str = "",
+    active_files: tuple[str, ...] = (),
+    prefix_templates: tuple[str, ...] | None = None,
+    **search_kwargs,
+) -> DataFrame | None:
+    """The UserPromptSubmit hook's COMPLETE search-entry composition
+    (plugin/hooks/memory-query.sh): derives the Strategy-B scope list
+    — the per-client-family ``{project}`` templates (:27-30,211-219)
+    plus the intent-biased extras for fix/debug/error and
+    how/setup/configure prompts (:142-149,221-226) — enriches the
+    prompt with keyword-bag + conversation-context identifiers, and
+    runs :func:`dual_strategy_search` over the lot.
+
+    Returns ``None`` for prompts under 20 characters with no context
+    — the hook exits without searching (:188-190); everything else
+    returns the merged-capped DataFrame (release with
+    :func:`release_caches`)."""
+    from memories_spark.functions.keywords import (
+        DEFAULT_SOURCE_PREFIX_TEMPLATES,
+        scoped_search_prefixes,
+    )
+
+    if len(prompt or "") < 20 and not context:
+        return None
+    templates = (
+        DEFAULT_SOURCE_PREFIX_TEMPLATES
+        if prefix_templates is None
+        else prefix_templates
+    )
+    return dual_strategy_search(
+        engine,
+        prompt,
+        project=project,
+        scoped_prefixes=scoped_search_prefixes(project, prompt, templates),
+        context=context,
+        active_files=active_files,
+        **search_kwargs,
+    )

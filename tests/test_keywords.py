@@ -186,3 +186,137 @@ def test_dual_strategy_releases_everything(spark, tmp_path):
     leaked = cached_ids() - before
     assert not leaked, f"dual-strategy leaked blocks: {sorted(leaked)}"
     assert eng._snap_cur["refs"] == 0
+
+
+# --- intent-based prefix biasing + context enrichment (round 8) ---------
+
+
+def test_intent_prefix_case_table():
+    """Pin the reference's case table (memory-query.sh:142-149):
+    fix/debug/error/bug/broken/crash -> learning + bug-fix scopes;
+    how/setup/configure/install -> decision + learning scopes. The
+    shell `case pattern*` is a STARTS-WITH match on the lowercased
+    prompt, first rule wins."""
+    from memories_spark.functions.keywords import intent_prefixes
+
+    for p in ("fix the login", "debug this test", "error in the parser",
+              "bug when saving", "broken pipeline", "crash on startup",
+              "Fix The Login"):
+        assert intent_prefixes(p, "proj") == (
+            "learning/proj", "bug-fix/proj"), p
+    for p in ("how do I deploy", "setup the cluster", "configure tls",
+              "install the agent"):
+        assert intent_prefixes(p, "proj") == (
+            "decision/proj", "learning/proj"), p
+    # prefix (not word) semantics, exactly as the shell glob
+    assert intent_prefixes("fixture cleanup", "proj") == (
+        "learning/proj", "bug-fix/proj")
+    assert intent_prefixes("however we proceed", "proj") == (
+        "decision/proj", "learning/proj")
+    # first-match-wins in written order
+    assert intent_prefixes("fix how the setup works", "proj") == (
+        "learning/proj", "bug-fix/proj")
+    # no project => no intent searches (hook guards on -n "$PROJECT")
+    assert intent_prefixes("fix the login", "") == ()
+    # unmatched intents bias nothing
+    assert intent_prefixes("deploy the service", "proj") == ()
+    assert intent_prefixes("", "proj") == ()
+
+
+def test_scoped_prefix_queue_order():
+    """Strategy-B queue order (memory-query.sh:211-227): the
+    per-client-family {project} templates first, then the
+    intent-biased extras — duplicates preserved exactly as the hook
+    queues them (the unique-by-id merge makes them harmless)."""
+    from memories_spark.functions.keywords import scoped_search_prefixes
+
+    assert scoped_search_prefixes("proj", "deploy the service") == (
+        "claude-code/proj", "codex/proj", "learning/proj", "wip/proj")
+    assert scoped_search_prefixes("proj", "fix the login") == (
+        "claude-code/proj", "codex/proj", "learning/proj", "wip/proj",
+        "learning/proj", "bug-fix/proj")
+    assert scoped_search_prefixes("", "fix the login") == ()
+    # custom template set ({project} substitution + whitespace trim)
+    assert scoped_search_prefixes(
+        "p", "how to", templates=(" a/{project} ", "", "b/{project}")
+    ) == ("a/p", "b/p", "decision/p", "learning/p")
+
+
+def test_context_identifier_enrichment():
+    """Context identifiers (memory-query.sh:157-160): CamelCase and
+    snake_case ONLY — no SCREAMING_SNAKE alternative unlike the
+    prompt pass — sorted-unique, capped at 5, appended to the bag."""
+    from memories_spark.functions.keywords import (
+        enrich_query_with_context,
+        extract_context_identifiers,
+    )
+
+    ctx = ("we changed RetryPolicy and retry_queue; MAX_RETRIES stays; "
+           "also touched BackoffJitter and drain_loop and audit_log "
+           "and FooBar")
+    terms = extract_context_identifiers(ctx)
+    assert "MAX_RETRIES" not in terms  # SCREAMING excluded here
+    assert terms == sorted(terms) and len(terms) == 5
+    assert terms == ["BackoffJitter", "FooBar", "RetryPolicy",
+                     "audit_log", "drain_loop"]
+
+    enriched = enrich_query_with_context(
+        "tune the backoff settings", "proj", ctx)
+    for t in terms:
+        assert t in enriched, (t, enriched)
+    assert enriched.startswith("proj ")
+    # without context this is exactly enrich_query
+    assert enrich_query_with_context("tune the backoff", "proj") == \
+        enrich_query("tune the backoff", "proj")
+    # short enrichment + context -> the verbose hook composition
+    v = enrich_query_with_context("do", "", "just context words")
+    assert v.startswith("Project: unknown\nRecent conversation:\n")
+    assert v.endswith("Current prompt: do")
+
+
+def test_fallback_query_composition():
+    """The verbose fallback QUERY_TEXT (memory-query.sh:170-182):
+    Files/Terms comma-joined; REFERENCE QUIRK — the separator after
+    each prefix line is a LITERAL backslash-n (bash printf %s does
+    not expand escapes in arguments)."""
+    from memories_spark.functions.keywords import fallback_query
+
+    q = fallback_query(
+        "fix RetryPolicy in the drain_loop", "proj",
+        context="recent talk", active_files=("a.py", "b.py"))
+    assert q.startswith("Files: a.py,b.py\\nTerms: RetryPolicy,drain_loop\\n")
+    assert "\nProject: proj\nRecent conversation:\nrecent talk\n" in q
+    assert q.endswith("Current prompt: fix RetryPolicy in the drain_loop")
+    # no context: Files/Terms stack above the bare prompt
+    q2 = fallback_query("fix RetryPolicy", "", active_files=("a.py",))
+    assert q2 == "Files: a.py\nTerms: RetryPolicy\nfix RetryPolicy"
+    # nothing to enrich: the bare prompt
+    assert fallback_query("just words here") == "just words here"
+
+
+def test_prompt_recall_search_full_composition(spark, tmp_path):
+    """The full hook flow: an intent prompt ('fix ...') must reach
+    the bug-fix/{project} scope (a record visible ONLY through the
+    intent-biased search shows up), and sub-20-char prompts with no
+    context skip the search entirely (memory-query.sh:188-190)."""
+    from memories_spark.search import prompt_recall_search
+
+    eng = MemoriesEngine(spark, str(tmp_path / "store"))
+    eng.add(
+        [
+            _rec("login crash traced to session timeout handling",
+                 "bug-fix/proj"),
+            _rec("unrelated grocery list", "home/misc"),
+        ],
+        NOW,
+    )
+    assert prompt_recall_search(eng, "short prompt") is None
+    df = prompt_recall_search(
+        eng, "fix the login crash from session timeout", project="proj",
+        threshold=None, scoped_threshold=None, auto_intent=False, now=NOW,
+    )
+    rows = df.collect()
+    release_caches(df)
+    strategies = {r.strategy for r in rows}
+    assert any(s == "scoped:bug-fix/proj" for s in strategies) or any(
+        r.source == "bug-fix/proj" for r in rows), (strategies, rows)
