@@ -191,6 +191,66 @@ def enrich_query_with_context(
     return prompt or ""
 
 
+# ---------------------------------------------------------------------
+# SessionStart / subagent recall fan-out grammars
+# (memory-recall.sh:85-120, memory-subagent-recall.sh:59-95)
+# ---------------------------------------------------------------------
+
+
+def recall_query_for_prefix(prefix: str, project: str) -> str:
+    """The SessionStart hook's per-prefix canned query
+    (memory-recall.sh ``query_for_prefix``, :85-101): client-family
+    scopes ask for architecture/conventions, learning scopes for
+    fixes/gotchas, wip scopes for deferred work. Shell
+    ``pattern/*`` = starts-with on the substituted prefix."""
+    if prefix.startswith(("claude-code/", "codex/")):
+        return f"project {project} architecture decisions conventions patterns"
+    if prefix.startswith("learning/"):
+        return f"project {project} fixes gotchas learnings workarounds"
+    if prefix.startswith("wip/"):
+        return f"project {project} deferred work blockers open threads revisit later"
+    return f"project {project} conventions decisions patterns"
+
+
+def recall_limit_for_prefix(prefix: str) -> int:
+    """Per-prefix result budget (memory-recall.sh:110-114):
+    client-family scopes get 4, learning/wip get 2, anything else
+    the default 3."""
+    if prefix.startswith(("claude-code/", "codex/")):
+        return 4
+    if prefix.startswith(("learning/", "wip/")):
+        return 2
+    return 3
+
+
+def query_for_agent_type(agent_type: str, project: str) -> str:
+    """The SubagentStart hook's agent-type-tailored query
+    (memory-subagent-recall.sh ``query_for_agent_type``, :59-75):
+    ``Plan`` and ``Explore`` match exactly, reviewer agents by
+    substring (the shell ``*code-reviewer*|*review*`` glob), all
+    else falls to the generic architecture query."""
+    at = agent_type or ""
+    if at == "Plan":
+        return (
+            f"project {project} architecture decisions design constraints "
+            "deferred work"
+        )
+    if at == "Explore":
+        return f"project {project} structure conventions patterns file organization"
+    if "code-reviewer" in at or "review" in at:
+        return f"project {project} conventions code style patterns known issues"
+    return f"project {project} architecture decisions conventions patterns"
+
+
+def subagent_limit_for_prefix(prefix: str) -> int:
+    """Per-prefix budget for subagent recall
+    (memory-subagent-recall.sh:86-90): learning/wip get 2,
+    everything else (including client-family scopes) 3."""
+    if prefix.startswith(("learning/", "wip/")):
+        return 2
+    return 3
+
+
 def fallback_query(
     prompt: str,
     project: str = "",

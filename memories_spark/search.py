@@ -949,17 +949,41 @@ def dual_strategy_search(
     )
 
     enriched = enrich_query_with_context(prompt, project, context)
-    branches: list[tuple[str, dict]] = [
-        ("unscoped", {"k": k_unscoped, "threshold": threshold}),
+    branches: list[tuple[str, str, dict]] = [
+        ("unscoped", enriched, {"k": k_unscoped, "threshold": threshold}),
     ]
     for p in scoped_prefixes:
         if p:
             branches.append(
-                (f"scoped:{p}",
+                (f"scoped:{p}", enriched,
                  {"k": k_scoped, "threshold": scoped_threshold,
                   "source_prefix": p})
             )
+    return _fanout_search_merge(
+        engine, branches, cap,
+        fallback_query(prompt, project, context, active_files),
+        fallback_k, fallback_threshold, search_kwargs,
+    )
 
+
+def _fanout_search_merge(
+    engine: MemoriesEngine,
+    branches: list[tuple[str, str, dict]],
+    cap: int,
+    fb_query: str,
+    fallback_k: int,
+    fallback_threshold: float | None,
+    search_kwargs: dict,
+) -> DataFrame:
+    """The hooks' shared queue/merge machinery: run one
+    :func:`hybrid_search` per ``(strategy, query, opts)`` branch,
+    merge unique-by-id (FIRST branch wins the payload), sort by
+    ``coalesce(similarity, rrf_score, 0)`` descending, cap; an empty
+    merge triggers ONE unscoped fallback search. Both the
+    UserPromptSubmit dual strategy (memory-query.sh:230-250) and the
+    SessionStart/SubagentStart recall fan-outs
+    (memory-recall.sh:103-140, memory-subagent-recall.sh:77-110) are
+    this shape — only the branch derivation differs."""
     caches: list = []
     ckpts: list = []
     snaps: list = []
@@ -981,8 +1005,8 @@ def dual_strategy_search(
 
     try:
         frames = [
-            _run(enriched, opts, strategy, i)
-            for i, (strategy, opts) in enumerate(branches)
+            _run(query, opts, strategy, i)
+            for i, (strategy, query, opts) in enumerate(branches)
         ]
         merged = frames[0]
         for f in frames[1:]:
@@ -1007,14 +1031,11 @@ def dual_strategy_search(
         # the multi-branch plan (released with everything else)
         out = out.cache()
         caches.append(out)
-        # dual-strategy empty -> ONE fallback with the verbose
-        # QUERY_TEXT (the bare prompt when no context/files were
-        # given), k=5 / threshold=0.55 (memory-query.sh:32-35,248-250)
+        # merge empty -> ONE fallback search (memory-query.sh:248-250,
+        # memory-recall.sh:137-140, memory-subagent-recall.sh:107-110)
         if not out.count():
             fb = hybrid_search(
-                engine,
-                fallback_query(prompt, project, context, active_files),
-                k=fallback_k,
+                engine, fb_query, k=fallback_k,
                 threshold=fallback_threshold, **search_kwargs,
             )
             caches.extend(getattr(fb, "_ms_caches", ()))
@@ -1086,4 +1107,139 @@ def prompt_recall_search(
         context=context,
         active_files=active_files,
         **search_kwargs,
+    )
+
+
+# --- SessionStart / subagent recall fan-out (reference hooks) -----------
+
+
+def session_recall_search(
+    engine: MemoriesEngine,
+    project: str,
+    prefix_templates: tuple[str, ...] | None = None,
+    recall_limit: int = 8,
+    scoped_threshold: float | None = 0.35,
+    fallback_threshold: float | None = 0.55,
+    **search_kwargs,
+) -> DataFrame:
+    """The SessionStart hook's recall fan-out (memory-recall.sh:
+    85-140): one scoped search per ``{project}``-substituted prefix
+    template, each with its canned per-prefix query
+    (:func:`~memories_spark.functions.keywords.recall_query_for_prefix`)
+    and per-prefix budget (client-family 4, learning/wip 2, else 3;
+    :110-114) at threshold 0.35 (``MEMORIES_RECALL_SCOPED_THRESHOLD``,
+    :34); merged unique-by-id, similarity-sorted, capped at
+    ``MEMORIES_RECALL_LIMIT`` = 8 (:38,129-135). Empty merge ->
+    one unscoped 'project conventions' fallback, k=6, threshold 0.55
+    (:137-140). Release with :func:`release_caches`."""
+    from memories_spark.functions.keywords import (
+        DEFAULT_SOURCE_PREFIX_TEMPLATES,
+        recall_limit_for_prefix,
+        recall_query_for_prefix,
+    )
+
+    templates = (
+        DEFAULT_SOURCE_PREFIX_TEMPLATES
+        if prefix_templates is None
+        else prefix_templates
+    )
+    branches: list[tuple[str, str, dict]] = []
+    for t in templates:
+        t = t.strip()
+        if not t:
+            continue
+        prefix = t.replace("{project}", project)
+        branches.append(
+            (
+                f"scoped:{prefix}",
+                recall_query_for_prefix(prefix, project),
+                {
+                    "k": recall_limit_for_prefix(prefix),
+                    "threshold": scoped_threshold,
+                    "source_prefix": prefix,
+                },
+            )
+        )
+    return _fanout_search_merge(
+        engine, branches, recall_limit,
+        f"project {project} conventions decisions patterns",
+        6, fallback_threshold, search_kwargs,
+    )
+
+
+def deferred_work_recall(
+    engine: MemoriesEngine,
+    project: str,
+    k: int = 5,
+    threshold: float | None = 0.3,
+    **search_kwargs,
+) -> DataFrame:
+    """The SessionStart hook's dedicated deferred-work surfacing
+    (memory-recall.sh:153-160): ONE search for 'deferred incomplete
+    blocked todo revisit wip' scoped to ``wip/{project}``, k=5,
+    threshold 0.3 — rendered as its own '## Deferred Work' section,
+    separate from the merged recall. Release with
+    :func:`release_caches`."""
+    return hybrid_search(
+        engine,
+        "deferred incomplete blocked todo revisit wip",
+        k=k,
+        threshold=threshold,
+        source_prefix=f"wip/{project}",
+        **search_kwargs,
+    )
+
+
+def subagent_recall_search(
+    engine: MemoriesEngine,
+    agent_type: str,
+    project: str,
+    prefix_templates: tuple[str, ...] | None = None,
+    recall_limit: int = 6,
+    threshold: float | None = 0.35,
+    fallback_threshold: float | None = 0.55,
+    **search_kwargs,
+) -> DataFrame:
+    """The SubagentStart hook's recall fan-out
+    (memory-subagent-recall.sh:59-110): the agent-type-tailored query
+    (:func:`~memories_spark.functions.keywords.query_for_agent_type`)
+    runs once per ``{project}``-substituted prefix with per-prefix
+    budgets (learning/wip 2, else 3; :86-90) at threshold 0.35
+    (``MEMORIES_SUBAGENT_THRESHOLD``, :31); merged unique-by-id,
+    similarity-sorted, capped at ``MEMORIES_SUBAGENT_RECALL_LIMIT`` =
+    6 (:30,98-105). Empty merge -> one unscoped fallback with the
+    same agent-type query, k=5, threshold 0.55 (:107-110). Release
+    with :func:`release_caches`."""
+    from memories_spark.functions.keywords import (
+        DEFAULT_SOURCE_PREFIX_TEMPLATES,
+        query_for_agent_type,
+        subagent_limit_for_prefix,
+    )
+
+    templates = (
+        DEFAULT_SOURCE_PREFIX_TEMPLATES
+        if prefix_templates is None
+        else prefix_templates
+    )
+    query = query_for_agent_type(agent_type, project)
+    branches: list[tuple[str, str, dict]] = []
+    for t in templates:
+        t = t.strip()
+        if not t:
+            continue
+        prefix = t.replace("{project}", project)
+        branches.append(
+            (
+                f"scoped:{prefix}",
+                query,
+                {
+                    "k": subagent_limit_for_prefix(prefix),
+                    "threshold": threshold,
+                    "source_prefix": prefix,
+                },
+            )
+        )
+    return _fanout_search_merge(
+        engine, branches, recall_limit, query, 5, fallback_threshold,
+        search_kwargs,
     )
