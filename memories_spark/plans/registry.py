@@ -274,7 +274,14 @@ ORDER BY c_custkey
     "customers_without_orders",
     oracle=_NO_ORDERS_ORACLE,
     doc="Anti-join (reference T6: unretrieved memories, "
-    "usage_tracker.py:298-307).",
+    "usage_tracker.py:298-307). The build side is the DISTINCT "
+    "order-key set — corpus-sized at scale, so no forced broadcast: "
+    "the shuffled left_anti co-partitions both sides and AQE "
+    "downgrades to broadcast at runtime when the key set is small. "
+    "NOTE: vacuously empty on this generator's data (every customer "
+    "has orders); `dormant_customers` below is the non-vacuous "
+    "oracle for the same anti-join shape, and "
+    "tests/test_joins.py has the constructed-fixture positive case.",
     tags=("antijoin",),
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,7 +289,45 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = t["orders"].select("o_custkey").distinct()
     return (
         t["customer"]
-        .join(F.broadcast(keys), F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_DORMANT_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1999-01-01'
+)
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "dormant_customers",
+    oracle=_DORMANT_ORACLE,
+    doc="Non-vacuous T6 anti-join: customers with NO orders since "
+    "1999-01-01 (the dormant/churn-candidate set — 6/29/305 rows at "
+    "sf 0.001/0.01/0.1, so the oracle actually proves the anti-join "
+    "returns the right ROWS, unlike `customers_without_orders` "
+    "which is empty-by-construction on this generator). The date "
+    "predicate pushes to the orders scan before the distinct, and "
+    "the left_anti lets AQE pick broadcast only when the surviving "
+    "key set is small.",
+    tags=("antijoin",),
+)
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    keys = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        t["customer"]
+        .join(keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )

@@ -84,3 +84,38 @@ def test_range_no_duplicate_pairs(spark):
 def test_range_key_isolation(spark):
     pairs = _range(spark, [(2, _ts(12), 1)], [(1, _ts(9), _ts(14), 50)])
     assert pairs == []
+
+
+def test_anti_join_returns_orderless_customers(spark, tmp_path):
+    """Non-vacuous T6 gate: on the driver testdata every customer has
+    orders, so `customers_without_orders` passes emptily. This
+    constructed fixture proves the anti-join plan actually RETURNS
+    order-less customers (and only them) when they exist."""
+    import pyspark.sql.functions as F
+
+    from memories_spark.plans.registry import QUERIES
+
+    import os
+    import shutil
+
+    d = str(tmp_path / "sf")
+    shutil.copytree("/root/testdata/sf0.001", d)
+    for t in ("customer", "orders"):
+        p = f"{d}/{t}.parquet"
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    cust = spark.createDataFrame(
+        [(i, f"Customer#{i}") for i in range(1, 11)],
+        "c_custkey long, c_name string",
+    )
+    orders = spark.createDataFrame(
+        [(100 + k, k, "1997-03-0%d 00:00:00" % (k % 9 + 1)) for k in (1, 2, 4, 7, 9)],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    cust.write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    orders.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = [r.c_custkey for r in QUERIES["customers_without_orders"].fn(spark, d).collect()]
+    assert got == [3, 5, 6, 8, 10]
+    # the dormant variant with no post-cutoff orders returns everyone
+    # but the post-cutoff orderers; here all orders predate the cutoff
+    dormant = [r.c_custkey for r in QUERIES["dormant_customers"].fn(spark, d).collect()]
+    assert dormant == list(range(1, 11))
