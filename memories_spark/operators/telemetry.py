@@ -65,23 +65,44 @@ def _greedy_matcher(window_seconds: float):
                 {"client": str, "matched": bool}
             )
         tools = pdf[pdf["kind"] == 1].sort_values("ts", kind="stable")
-        matched = np.zeros(len(prompts), dtype=bool)
+        n = len(prompts)
+        matched = np.zeros(n, dtype=bool)
         pts = prompts["ts"].to_numpy()  # sorted datetime64
         window = np.timedelta64(int(window_seconds * 1_000_000), "us")
-        valid = ~pd.isna(pts)
+        # prompts with 0 <= t - p <= window form a contiguous ts range;
+        # each tool consumes the LATEST unmatched one (both boundaries
+        # inclusive, matching the reference's BETWEEN, :130-131). A
+        # plain backward scan is O(prompts) per tool once a long run of
+        # consumed slots builds up — quadratic on a single hot session
+        # — so `left` is a path-compressed "next unmatched slot at or
+        # left of i" pointer forest: amortized near-constant per tool,
+        # keeping one 10^5-10^6-event session linear. Semantics are
+        # IDENTICAL to the scan (the property suite pins it against
+        # the reference's pure-Python greedy).
+        left = np.arange(n, dtype=np.int64)  # left[i] == i: unmatched
+        invalid = pd.isna(pts)
+        for i in np.flatnonzero(invalid):
+            left[i] = i - 1  # NaT prompts never match (:118-120)
+
+        def find(i: int) -> int:
+            root = i
+            while root >= 0 and left[root] != root:
+                root = left[root]
+            while i >= 0 and left[i] != i and left[i] != root:
+                left[i], i = root, left[i]
+            return root
+
         for t in tools["ts"].to_numpy():
             if np.isnat(t):
                 continue  # unparseable tool ts never matches (:118-120)
-            # prompts with 0 <= t - p <= window form a contiguous ts
-            # range; the LATEST unmatched one is the first live slot
-            # scanning backwards from the upper bound (both boundaries
-            # inclusive, matching the reference's BETWEEN, :130-131)
             lo = int(np.searchsorted(pts, t - window, side="left"))
             hi = int(np.searchsorted(pts, t, side="right"))
-            for i in range(hi - 1, lo - 1, -1):
-                if not matched[i] and valid[i]:
-                    matched[i] = True
-                    break
+            if hi <= lo:
+                continue
+            j = find(hi - 1)
+            if j >= lo:
+                matched[j] = True
+                left[j] = j - 1
         return pd.DataFrame(
             {"client": prompts["client"].astype(str), "matched": matched}
         )
@@ -109,7 +130,14 @@ def summarize_active_search(
     broad_or_unscoped_searches, followup_rate_fp) — the rate is
     fixed-point micro-units of matched/required (1_000_000 when a
     client has no required prompts, the reference's vacuous 1.0,
-    :141)."""
+    :141).
+
+    Per-group size contract: ``applyInPandas`` materializes ONE
+    session per Arrow batch, so executor memory bounds the largest
+    single session, never the corpus — a 10^6-event session is a
+    ~30 MB batch, and the matcher itself is amortized-linear in the
+    session's events (soak-tested at 10^5 events in one session,
+    tests/test_telemetry.py)."""
     msearch = tools.filter(memory_search_filter(F.col("tool_name")))
 
     # tool-side counters are plain rollups — every memory_search

@@ -707,3 +707,54 @@ def test_incremental_topk_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert again == want
+
+
+def test_sessionize_stream_skewed_session_soak(spark, tmp_path):
+    """Round-8 soak for the stateful twin: ONE user delivers 10^5
+    events in a single micro-batch — 50k two-event sessions separated
+    by >gap. Pins the per-group contract: the matcher state stays one
+    open-session tuple (O(active users), never O(events)), the whole
+    hot key streams through applyInPandasWithState in one pass, and
+    49,999 closed sessions emit (the final pair stays open in
+    state)."""
+    from datetime import datetime, timedelta
+
+    from memories_spark.streaming import read_event_stream, sessionize_stream
+
+    src = str(tmp_path / "soak_in")
+    base = datetime(2024, 1, 1)
+    n_pairs = 50_000
+    events = []
+    for i in range(n_pairs):
+        t0 = base + timedelta(hours=i)
+        for j, t in enumerate((t0, t0 + timedelta(seconds=60))):
+            events.append(
+                {
+                    "event_id": 2 * i + j,
+                    "ts": t.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    "user_id": 1,
+                    "event_type": "click",
+                    "value": 1.0,
+                }
+            )
+    _write_events(src, "soak.json", events)
+    stream = (
+        spark.readStream.schema(read_event_stream(spark, src).schema)
+        .json(src)
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_soak")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql(
+        "SELECT count(*) AS n, sum(n_events) AS tot, min(n_events) AS lo, "
+        "max(n_events) AS hi FROM sessions_soak"
+    ).collect()[0]
+    assert rows.n == n_pairs - 1, rows
+    assert rows.lo == rows.hi == 2
+    assert rows.tot == 2 * (n_pairs - 1)

@@ -190,3 +190,49 @@ def test_matcher_matches_reference_on_random_sessions():
         assert len(out) == len(prompts)
 
     check()
+
+
+def test_skewed_session_soak_100k_events(spark):
+    """Round-8 soak: ONE pathological session with 10^5 events — 50k
+    required prompts packed inside a single follow-up window, then
+    50k searches each forced to consume through the growing run of
+    already-matched prompts. Pins two contracts: (a) the per-group
+    size contract (one session = one Arrow batch; 10^5 events stream
+    through applyInPandas within the suite's memory budget), and
+    (b) the matcher's amortized-linear complexity (the pre-round-8
+    backward scan is O(n^2) on this layout — ~1.25e9 steps — and
+    would time the suite out; the pointer-forest version finishes in
+    seconds). Expected result: every prompt matched, alternating
+    window arithmetic intact."""
+    import time
+    from datetime import timedelta
+
+    n = 50_000
+    base = _ts("2024-01-01 00:00:00")
+    # all prompts within 250s < window=300s of every tool
+    prompts = [(1, "codex", base + timedelta(microseconds=5 * i))
+               for i in range(n)]
+    tools = [
+        (1, "codex", base + timedelta(seconds=250, microseconds=5 * i),
+         "memory_search", "exact_project")
+        for i in range(n)
+    ]
+    pdf = spark.createDataFrame(
+        prompts, "session_id long, client string, ts timestamp")
+    tdf = spark.createDataFrame(
+        tools,
+        "session_id long, client string, ts timestamp, "
+        "tool_name string, source_prefix_quality string",
+    )
+    t0 = time.perf_counter()
+    out = _rows(summarize_active_search(pdf, tdf))
+    elapsed = time.perf_counter() - t0
+    c = out["codex"]
+    assert c["required_prompts"] == n
+    assert c["required_with_search"] == n
+    assert c["passive_risk_prompts"] == 0
+    assert c["memory_search_calls"] == n
+    assert c["followup_rate_fp"] == 1_000_000
+    assert out["(all)"]["required_prompts"] == n
+    # generous wall bound: quadratic would be minutes, linear is seconds
+    assert elapsed < 120, elapsed
