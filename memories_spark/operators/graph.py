@@ -61,19 +61,30 @@ def personalized_pagerank(
     single iteration (no mass to spread — and no driver crash on a
     NULL sum)."""
     spark = seeds.sparkSession
+    materialized = False
     if s_total is None:
+        # Materialize the seed list FIRST (it is tiny but its plan may
+        # be a deep retrieval pipeline), then take the mass sum from
+        # the materialized rows. Summing before materializing ran the
+        # whole seed pipeline twice — once for the `.first()` and again
+        # for the `p` projection below.
+        seeds = seeds.localCheckpoint(eager=True)
+        materialized = True
         s_total = seeds.agg(F.sum("sw_fp")).first()[0]
     if not s_total:
         return spark.createDataFrame([], "id long, r_fp long")
     adj = bidirectional(edges).cache()
     deg = adj.groupBy("from_id").agg(F.count("*").alias("deg")).cache()
-    # localCheckpoint (not cache): the seed plan may itself be a deep
-    # retrieval pipeline, and the loop below re-embeds `p` in every
-    # iteration's union — without truncating lineage the logical plan
-    # grows multiplicatively and can OOM the *driver* just printing it.
+    # `p` must be a materialized leaf: the loop below re-embeds it in
+    # every iteration's union — without truncating lineage the logical
+    # plan grows multiplicatively and can OOM the *driver* just
+    # printing it. When the seed list was checkpointed above, a plain
+    # projection over it is already such a leaf — no second job.
     p = seeds.select(
         F.col("id"), (F.col("sw_fp").cast("double") / F.lit(float(s_total))).alias("p")
-    ).localCheckpoint(eager=True)
+    )
+    if not materialized:
+        p = p.localCheckpoint(eager=True)
 
     # r0 = p, in fixed point
     r = p.select("id", F.round(F.col("p") * _UNIT).cast("long").alias("r_fp"))

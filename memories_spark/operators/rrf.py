@@ -58,40 +58,49 @@ def rrf_fuse(
 
     Returns ``(id, rrf_score, <name>_rank ...)``. Contributions are
     summed in exact fixed-point so the result is order-independent.
+
+    Plan shape: one ``union all`` of the (pre-truncated) signal lists
+    tagged with a signal ordinal, then ONE groupBy(id) — a single
+    shuffle regardless of signal count, and each signal's subplan
+    appears exactly once in the logical plan. The previous chain of
+    N-1 full-outer joins shuffled N times and re-embedded every
+    earlier signal's subtree per join, which at 5 signals multiplied
+    the logical plan (and its per-invocation analysis cost) ~4x.
+    Same rows, same values: sum-of-present == coalesce-chain, and
+    ``max(rank) filtered per signal`` == the join's rank column
+    (signal lists are unique per id).
     """
+    names = list(signals)
     parts = []
-    for name, (ranked, weight) in signals.items():
+    for ordinal, name in enumerate(names):
+        ranked, weight = signals[name]
         contrib = fixed_point(
             F.lit(float(weight)) / (F.col("rank") + F.lit(rrf_k)).cast("double"),
             SCORE_SCALE,
         )
         parts.append(
             ranked.select(
-                "id", contrib.alias("c"), F.col("rank").alias(f"{name}_rank")
+                "id",
+                contrib.alias("c"),
+                F.col("rank").alias("rank"),
+                F.lit(ordinal).alias("_sig"),
             )
         )
-
-    def outer(a: DataFrame, b: DataFrame) -> DataFrame:
-        a_c = [c for c in a.columns if c not in ("id",)]
-        b_c = [c for c in b.columns if c not in ("id",)]
-        joined = a.withColumnRenamed("c", "_ca").join(
-            b.withColumnRenamed("c", "_cb"), "id", "full_outer"
-        )
-        return joined.select(
-            "id",
-            (F.coalesce(F.col("_ca"), F.lit(0)) + F.coalesce(F.col("_cb"), F.lit(0))).alias("c"),
-            *[c for c in a_c if c != "c"],
-            *[c for c in b_c if c != "c"],
-        )
-
-    fused = reduce(outer, parts)
-    rank_cols = [c for c in fused.columns if c.endswith("_rank")]
+    unioned = reduce(DataFrame.unionByName, parts)
+    fused = unioned.groupBy("id").agg(
+        F.sum("c").alias("c"),
+        *[
+            F.max(F.when(F.col("_sig") == i, F.col("rank"))).alias(f"{name}_rank")
+            for i, name in enumerate(names)
+        ],
+    )
+    rank_cols = [f"{name}_rank" for name in names]
     out = fused.select(
         "id", unfix(F.col("c"), SCORE_SCALE).alias("rrf_score"), *rank_cols
     )
     if k is not None:
-        w = Window.orderBy(F.desc("rrf_score"), F.asc("id"))
-        out = out.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+        order = [F.desc("rrf_score"), F.asc("id")]
+        out = out.orderBy(*order).limit(k)
     return out
 
 

@@ -96,15 +96,25 @@ def _five_signals(spark: SparkSession, sf_dir: str) -> dict[str, tuple[DataFrame
     vector∪bm25 candidate set (memory_engine.py:1819-1858)."""
     t = load_tables(spark, sf_dir)
     # The ranked lists are <=30 rows but their subplans are corpus
-    # scans; each is reused (contribution + candidate set), so cache.
-    vec = _vec_ranked(t["embeddings"]).cache()
-    bm = _bm_ranked(t["documents"]).cache()
-    cand = vec.select("id").union(bm.select("id")).distinct().cache()
+    # scans, and each is referenced several times downstream
+    # (contribution + candidate set + aux ranks). localCheckpoint
+    # (not cache) materializes the tiny lists AND truncates lineage:
+    # with cache the final fused plan still embedded every corpus
+    # subtree once per reference (~120 KB of plan, re-analyzed on
+    # every invocation — the dominant cost of this query); with the
+    # checkpoint each corpus scan is planned and run exactly once and
+    # the fuse stage plans over three <=60-row leaf relations.
+    vec = _vec_ranked(t["embeddings"]).localCheckpoint(eager=True)
+    bm = _bm_ranked(t["documents"]).localCheckpoint(eager=True)
+    cand = vec.select("id").union(bm.select("id")).distinct()
     now = F.lit(_NOW).cast("timestamp")
 
     # ONE events scan + groupBy serves all three aux signals
-    # (anchors + feedback net fused); ca is reused, so cache it
-    ca = cand.join(_entity_stats(t["events"]), "id", "left").cache()
+    # (anchors + feedback net fused); ca feeds three rank lists, so
+    # materialize it once too
+    ca = cand.join(
+        _entity_stats(t["events"]), "id", "left"
+    ).localCheckpoint(eager=True)
     rec_scored = ca.select("id", half_life_decay(F.col("last_ts"), now, _RECENCY_HL).alias("s"))
     conf_scored = ca.select("id", half_life_decay(F.col("first_ts"), now, _CONFIDENCE_HL).alias("s"))
     fb_scored = ca.filter(F.col("net") > 0).select("id", "net")
