@@ -151,18 +151,23 @@ def main() -> None:
         else:
             _record_anchors(sf, timings)
             print(f"anchors recorded to {_ANCHORS_FILE}", file=sys.stderr)
+    # Key order is deliberate: the headline scalars (value / sf /
+    # canary_ratio) come LAST so a tail-truncated capture of this line
+    # (the round-7 driver kept only the final ~1.2 kB and lost the
+    # leading fields) still contains them; a full capture parses the
+    # same either way.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": sf,
-                "canary_ratio": canary_ratio,
                 "anchor_ratios": ratios,
                 "drift_warnings": drifted,
                 "work_stats": work_stats,
+                "value": total,
+                "sf": sf,
+                "canary_ratio": canary_ratio,
             }
         )
     )

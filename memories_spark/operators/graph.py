@@ -92,11 +92,14 @@ def personalized_pagerank(
     base = p.select("id", F.round(F.lit(1.0 - alpha) * F.col("p") * _UNIT).cast("long").alias("term"))
 
     for _ in range(iterations):
-        # Materialize each iteration eagerly AND truncate lineage: the
-        # dangling-mass scalar needs an action anyway, and the rank
-        # vector feeds back into the next iteration — a cache alone
-        # keeps the full logical plan, which compounds per iteration.
-        # On a real cluster this is a reliable checkpoint instead.
+        # Truncate lineage each iteration (the rank vector feeds back
+        # into the next iteration's union — a cache alone keeps the
+        # full logical plan, which compounds per iteration) but do it
+        # LAZILY: the marked RDD is computed once inside the single
+        # final job (both its consumers — contrib and the dangling
+        # aggregate — read the persisted partitions), so the loop no
+        # longer pays one sequential eager job per iteration. On a
+        # real cluster this is a reliable checkpoint instead.
         with_deg = (
             r.alias("r")
             .join(deg.alias("d"), F.col("r.id") == F.col("d.from_id"), "left")
@@ -105,7 +108,7 @@ def personalized_pagerank(
                 F.col("r.r_fp").alias("r_fp"),
                 F.coalesce(F.col("d.deg"), F.lit(0)).alias("deg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # The rank vector is tiny (seeds + expanding frontier) next to
         # the edge table: broadcast it into the edge join — no shuffle

@@ -110,17 +110,22 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w_fp"),
         )
     )
-    per_purchase = joined.groupBy("pid").agg(
-        F.count("*").alias("n_touches"), F.sum("w_fp").alias("sum_w")
-    )
-    credits = joined.join(per_purchase, "pid").select(
+    # Per-purchase normalization as a PARTITIONED window instead of
+    # groupBy + self-join: one pass over the touch-purchase pairs
+    # (partitioned by pid — bounded per purchase, scale-safe) instead
+    # of computing the pair join twice and shuffling it a second time
+    # for the re-join. Same exact integer math, same groups.
+    wpid = Window.partitionBy("pid")
+    n_touches = F.count("*").over(wpid)
+    sum_w = F.sum("w_fp").over(wpid)
+    credits = joined.select(
         "touch_type",
-        F.round(F.col("value") / F.col("n_touches") * F.lit(1e6))
+        F.round(F.col("value") / n_touches * F.lit(1e6))
         .cast("long")
         .alias("linear_fp"),
         F.round(
             F.col("value")
-            * (F.col("w_fp").cast("double") / F.col("sum_w"))
+            * (F.col("w_fp").cast("double") / sum_w)
             * F.lit(1e6)
         )
         .cast("long")

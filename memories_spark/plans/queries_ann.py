@@ -28,7 +28,7 @@ from memories_spark.functions.hashing import fixed_point, fixed_point_sql
 from memories_spark.functions.topk import ranked_topk
 from memories_spark.functions.vectors import cosine_expr, cosine_sql
 from memories_spark.plans.registry import register
-from memories_spark.sources.tables import load_tables
+from memories_spark.sources.tables import load_tables, read_parquet_memoized
 
 # ---------------------------------------------------------------------
 # Persisted ANN index builds
@@ -269,8 +269,8 @@ def ensure_ivf_trained_index(spark: SparkSession, sf_dir: str) -> str:
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     idx = ensure_ivf_trained_index(spark, sf_dir)
-    cent = spark.read.parquet(os.path.join(idx, "centroids"))
-    assign = spark.read.parquet(os.path.join(idx, "assign"))
+    cent = read_parquet_memoized(spark, os.path.join(idx, "centroids"))
+    assign = read_parquet_memoized(spark, os.path.join(idx, "assign"))
 
     # query-side: distances of ONE vector to 16 trained centroids
     qd = _dists_to(_pts(emb.filter(F.col("vec_id") == 0)), cent)
@@ -388,7 +388,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     idx = ensure_ivfpq_index(spark, sf_dir)
-    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    codes = read_parquet_memoized(spark, os.path.join(idx, "codes"))
     cents = emb.filter(F.col("vec_id").isin(_CENTROID_IDS)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -569,8 +569,8 @@ def ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     idx = ensure_ivfpq_index(spark, sf_dir)
-    assign = spark.read.parquet(os.path.join(idx, "assign"))
-    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    assign = read_parquet_memoized(spark, os.path.join(idx, "assign"))
+    codes = read_parquet_memoized(spark, os.path.join(idx, "codes"))
     cents = emb.filter(F.col("vec_id").isin(_CENTROID_IDS)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -856,8 +856,8 @@ ORDER BY c.nprobe
 def ann_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     idx = ensure_ivf_trained_index(spark, sf_dir)
-    cent = spark.read.parquet(os.path.join(idx, "centroids"))
-    assign = spark.read.parquet(os.path.join(idx, "assign"))
+    cent = read_parquet_memoized(spark, os.path.join(idx, "centroids"))
+    assign = read_parquet_memoized(spark, os.path.join(idx, "assign"))
 
     # the query's cells ranked by distance (16 rows)
     qd = _dists_to(_pts(emb.filter(F.col("vec_id") == 0)), cent)

@@ -98,23 +98,27 @@ def _five_signals(spark: SparkSession, sf_dir: str) -> dict[str, tuple[DataFrame
     # The ranked lists are <=30 rows but their subplans are corpus
     # scans, and each is referenced several times downstream
     # (contribution + candidate set + aux ranks). localCheckpoint
-    # (not cache) materializes the tiny lists AND truncates lineage:
-    # with cache the final fused plan still embedded every corpus
-    # subtree once per reference (~120 KB of plan, re-analyzed on
-    # every invocation — the dominant cost of this query); with the
-    # checkpoint each corpus scan is planned and run exactly once and
-    # the fuse stage plans over three <=60-row leaf relations.
-    vec = _vec_ranked(t["embeddings"]).localCheckpoint(eager=True)
-    bm = _bm_ranked(t["documents"]).localCheckpoint(eager=True)
+    # (not cache) truncates lineage at construction: with cache the
+    # final fused plan embedded every corpus subtree once per
+    # reference (~120 KB of plan, re-analyzed on every invocation —
+    # the dominant cost of this query); with the checkpoint the fuse
+    # stage plans over three <=60-row leaf relations. eager=False so
+    # nothing runs at construction: the single final action computes
+    # each marked RDD once (persisted on first computation, read back
+    # by every other consumer), and the independent vector/BM25/events
+    # subtrees run as concurrently-schedulable stages of ONE job
+    # instead of three sequential eager jobs (guide §2.6).
+    vec = _vec_ranked(t["embeddings"]).localCheckpoint(eager=False)
+    bm = _bm_ranked(t["documents"]).localCheckpoint(eager=False)
     cand = vec.select("id").union(bm.select("id")).distinct()
     now = F.lit(_NOW).cast("timestamp")
 
     # ONE events scan + groupBy serves all three aux signals
     # (anchors + feedback net fused); ca feeds three rank lists, so
-    # materialize it once too
+    # it is a marked checkpoint too
     ca = cand.join(
         _entity_stats(t["events"]), "id", "left"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     rec_scored = ca.select("id", half_life_decay(F.col("last_ts"), now, _RECENCY_HL).alias("s"))
     conf_scored = ca.select("id", half_life_decay(F.col("first_ts"), now, _CONFIDENCE_HL).alias("s"))
     fb_scored = ca.filter(F.col("net") > 0).select("id", "net")
@@ -491,7 +495,9 @@ def graph_merge_reserved(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
             (F.lit(1.0) / (F.col("rank") + 60).cast("double")).alias("dscore"),
         )
-        .localCheckpoint(eager=True)
+        # lazy: materialized by the PPR seed-sizing job right below —
+        # an eager job here would run back-to-back with it
+        .localCheckpoint(eager=False)
     )
     seeds = direct.select(
         F.col("doc_id").alias("id"),
@@ -519,10 +525,8 @@ def graph_merge_reserved(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("match_type"),
         )
     )
-    wd = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    dtop = dmerged.withColumn("rn", F.row_number().over(wd)).filter(
-        F.col("rn") <= _MERGE_K - _RESERVED
-    )
+    merge_order = [F.desc("score"), F.asc("doc_id")]
+    dtop = ranked_topk(dmerged, merge_order, _MERGE_K - _RESERVED, rank_col="rn")
 
     gonly = (
         ppr.filter(F.col("r_fp") > 0)
@@ -534,7 +538,7 @@ def graph_merge_reserved(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("graph").alias("match_type"),
         )
     )
-    gtop = gonly.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") <= _RESERVED)
+    gtop = ranked_topk(gonly, merge_order, _RESERVED, rank_col="rn")
 
     return (
         dtop.unionByName(gtop)

@@ -760,13 +760,15 @@ def _read_bm25_index(spark: SparkSession, idx: str) -> dict:
     """Query-term-pruned reads of the persisted term-stats index."""
     import os as _os
 
+    from memories_spark.sources.tables import read_parquet_memoized
+
     return {
-        "terms": spark.read.parquet(_os.path.join(idx, "terms")).filter(
+        "terms": read_parquet_memoized(spark, _os.path.join(idx, "terms")).filter(
             F.col("term").isin(_BM25_QUERY)
         ),
-        "doc_stats": spark.read.parquet(_os.path.join(idx, "doc_stats")),
-        "corpus": spark.read.parquet(_os.path.join(idx, "corpus")),
-        "term_idf": spark.read.parquet(_os.path.join(idx, "term_idf")).filter(
+        "doc_stats": read_parquet_memoized(spark, _os.path.join(idx, "doc_stats")),
+        "corpus": read_parquet_memoized(spark, _os.path.join(idx, "corpus")),
+        "term_idf": read_parquet_memoized(spark, _os.path.join(idx, "term_idf")).filter(
             F.col("term").isin(_BM25_QUERY)
         ),
     }

@@ -84,17 +84,25 @@ def _stat_key(path: str) -> tuple[str, int, int] | None:
     return (path, st.st_mtime_ns, st.st_size)
 
 
-def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = f"{sf_dir}/{name}.parquet"
+def read_parquet_memoized(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the schema memo: repeat reads of an
+    unchanged path (testdata tables, immutable persisted indexes) skip
+    the footer-inference round trip. Rows are always read from parquet
+    at execution — this memoizes metadata only."""
     key = _stat_key(path)
     schema = _SCHEMA_MEMO.get(key) if key is not None else None
     if schema is not None:
-        df = spark.read.schema(schema).parquet(path)
-    else:
-        df = spark.read.parquet(path)
-        if key is not None:
-            _SCHEMA_MEMO[key] = df.schema
-    return _restore_timestamps(name, df)
+        return spark.read.schema(schema).parquet(path)
+    df = spark.read.parquet(path)
+    if key is not None:
+        _SCHEMA_MEMO[key] = df.schema
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _restore_timestamps(
+        name, read_parquet_memoized(spark, f"{sf_dir}/{name}.parquet")
+    )
 
 
 class LazyTables(Mapping):
