@@ -35,11 +35,21 @@ BAND_ROWS = 2  # 4 bands x 2 rows
 # --- MinHash + LSH ----------------------------------------------------
 
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, sig: array<string> of NUM_HASHES minima) in ONE pass.
+    """(id, sig: array<long> of NUM_HASHES minima) in ONE pass.
 
     Tokens-as-shingles (w=1): right for short-text corpora where
     vocabulary overlap IS the duplication signal; swap in
     word_shingles_expr(text, n) for long documents.
+
+    Each hash is the first 60 bits of the md5 as a BIGINT (the same
+    trick rareterm_jaccard_join uses): min over longs is a
+    fixed-width aggregation buffer, so the per-doc reduction runs as
+    a HashAggregate — min over the 32-char hex strings forced a
+    SortAggregate, i.e. a full sort of the exploded token table —
+    and the shuffled signature rows carry 8 longs instead of 8
+    strings (~4x narrower). The oracle (minhash_pairs_sql) hashes
+    IDENTICALLY, so signature equality — the only thing est_sim and
+    banding consume — is engine-identical by construction.
 
     Scale shape: each exploded token row computes all NUM_HASHES md5s
     as columns, so the shuffle carries one row per (doc, token) — not
@@ -53,7 +63,15 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     hashed = toks.select(
         "id",
         *[
-            F.md5(F.concat(F.lit(f"{s}:"), F.col("tok"))).alias(f"h{s}")
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{s}:"), F.col("tok"))), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias(f"h{s}")
             for s in range(NUM_HASHES)
         ],
     )
@@ -66,16 +84,19 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def _band_keys(df: DataFrame, id_col: str) -> DataFrame:
-    """Explode a ``sig`` array column into (id_col, band, key) rows."""
+    """Explode a ``sig`` array column into (id_col, band, key) rows.
+
+    The key is a struct of the band's BAND_ROWS signature longs —
+    struct equality in the band self-join, 8 bytes per position
+    instead of a concatenated string."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws(
-                "|",
+            F.struct(
                 *[
-                    F.col("sig").getItem(b * BAND_ROWS + r)
+                    F.col("sig").getItem(b * BAND_ROWS + r).alias(f"p{r}")
                     for r in range(BAND_ROWS)
-                ],
+                ]
             ).alias("key"),
         )
         for b in range(NUM_HASHES // BAND_ROWS)
@@ -175,12 +196,14 @@ def minhash_pairs_sql(docs_view: str, id_col: str, text_col: str) -> str:
 WITH toks AS ({toks}),
 seeds AS (SELECT unnest(range({NUM_HASHES})) AS seed),
 sig AS (
-  SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS h
+  SELECT id, seed,
+         min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || tok), 1, 15) AS BIGINT)) AS h
   FROM toks CROSS JOIN seeds GROUP BY id, seed
 ),
 band_keys AS (
   SELECT id, CAST(seed // {BAND_ROWS} AS INT) AS band,
-         string_agg(CAST(seed AS VARCHAR) || '@' || h, '|' ORDER BY CAST(seed AS VARCHAR) || '@' || h) AS key
+         string_agg(CAST(seed AS VARCHAR) || '@' || CAST(h AS VARCHAR), '|'
+                    ORDER BY seed) AS key
   FROM sig GROUP BY 1, 2
 ),
 cand AS (

@@ -78,24 +78,54 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    # Basket cap: bound the per-customer self-join fan-out to 100*99/2
-    # pairs regardless of how large a hub customer's basket is.
+    # Basket cap: bound the per-customer pair fan-out to 100*99/2
+    # pairs regardless of how large a hub customer's basket is. The
+    # window's WindowGroupLimit pre-filters to <=100 rows per customer
+    # map-side before the shuffle (a groupBy+collect_list alone has no
+    # such partial bound, so a hub customer would ship its whole
+    # basket).
     cap_w = Window.partitionBy("c").orderBy(F.col("p").asc())
     bought = (
         raw.withColumn("rn", F.row_number().over(cap_w))
         .filter(F.col("rn") <= 100)
         .drop("rn")
-        # feeds THREE consumers (degrees + both sides of the pair
-        # self-join): persist so the fact-table join + distinct +
-        # basket-cap window run once — the materialized incidence
-        # list a production CF pipeline would checkpoint
+    )
+    # Collapse each capped basket to ONE row holding its sorted part
+    # array: the window left the data partitioned by c, so this
+    # groupBy adds no exchange, and co-purchase pairs are then
+    # enumerated map-side from each array (i<j over a sorted array ==
+    # the p < part_b self-join) — the former self-join re-shuffled the
+    # persisted incidence list twice and sort-merge-joined it
+    # (guide §2.4: remove shuffles outright). Persisted: degrees and
+    # pair generation both consume it — the materialized basket table
+    # a production CF pipeline would checkpoint.
+    baskets = (
+        bought.groupBy("c")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
         .persist()
     )
-    deg = bought.groupBy("p").agg(F.count("*").alias("n"))
-    b = bought.select(F.col("c").alias("bc"), F.col("p").alias("part_b"))
+    deg = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+    )
+    pair_expr = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ps"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                    lambda y: F.struct(
+                        x.alias("part_a"), y.alias("part_b")
+                    ),
+                ),
+            )
+        )
+    )
     co = (
-        bought.join(b, (F.col("c") == F.col("bc")) & (F.col("p") < F.col("part_b")))
-        .groupBy(F.col("p").alias("part_a"), "part_b")
+        baskets.select(pair_expr.alias("pr"))
+        .select(F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b"))
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= 3)
     )

@@ -488,27 +488,29 @@ def rareterm_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_strs = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice("toks", i, 3))
     )
-    sh = (
+    # One row per doc with its distinct shingle-hash SET as an array
+    # (distinct AFTER hashing, like the oracle, so per-doc set sizes
+    # agree cross-engine by construction). This is the table the whole
+    # query derives from: df counts and blocking explode it; the exact
+    # verify consumes the arrays directly — at 100 TB this is the
+    # materialized sketch table a production similarity join would
+    # write out.
+    arr = (
         toked.select(
             "doc_id",
-            F.explode(
-                # distinct AFTER hashing (the oracle does the same), so
-                # per-doc set sizes agree cross-engine by construction
-                F.array_distinct(
-                    F.transform(
-                        shingle_strs,
-                        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-                        .cast("long"),
-                    )
+            F.array_distinct(
+                F.transform(
+                    shingle_strs,
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+                    .cast("long"),
                 )
-            ).alias("s"),
+            ).alias("arr"),
         )
-        # the (doc, shingle-hash) table feeds FIVE consumers (df counts,
-        # blocking, sizes, both sides of the exact verify); persist so
-        # tokenize+shingle+hash runs once — at 100 TB this is the
-        # materialized stage a production similarity join would write
         .persist()
     )
+    # exploded (doc, shingle) rows feed df counts and both sides of
+    # the blocking self-join; persisting skips the 3x re-explode
+    sh = arr.select("doc_id", F.explode("arr").alias("s")).persist()
     f = sh.groupBy("s").agg(F.count("*").alias("df"))
     rare = sh.join(
         f.filter((F.col("df") >= 2) & (F.col("df") <= 8)).select("s"), "s"
@@ -522,28 +524,36 @@ def rareterm_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        cand.join(sh.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
-        .join(
-            sh.alias("y"),
-            (F.col("doc_b") == F.col("y.doc_id"))
-            & (F.col("x.s") == F.col("y.s")),
+    # Exact verify on the pair table: attach each side's shingle-set
+    # array and intersect in-row (hash-set intersection, no fan-out).
+    # The former shape exploded every candidate pair by |shingles(a)|
+    # rows through two joins and re-aggregated (~66M intermediate rows
+    # at sf0.1 for 190k pairs) plus two more per-doc size aggregations
+    # and their joins; the arrays carry both the intersection and the
+    # set sizes in one pass over the pairs (guide §2.3/§2.4 — fewer
+    # shuffles, decision data moved once).
+    # NOTE: arr is a per-document table — at 100x corpus a broadcast
+    # here OOMs. No hint: AQE picks the strategy (the candidate-pair
+    # side is the small one after blocking).
+    a = arr.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    b = arr.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    paired = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            .cast("long")
+            .alias("inter_sz"),
+            F.size("arr_a").cast("long").alias("sza"),
+            F.size("arr_b").cast("long").alias("szb"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter_sz"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     union_sz = F.col("sza") + F.col("szb") - F.col("inter_sz")
     jac = F.col("inter_sz").cast("double") / union_sz
     return (
-        # NOTE: sa/sb are per-document tables (one row per doc) — at 100x
-        # corpus a broadcast here OOMs. No hint: AQE picks the strategy
-        # (the candidate-pair side `inter` is the small one after blocking).
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.25)
+        paired.filter((F.col("inter_sz") > 0) & (jac >= 0.25))
         .select(
             "doc_a",
             "doc_b",

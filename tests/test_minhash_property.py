@@ -2,10 +2,12 @@
 independent pure-Python model on random tiny corpora.
 
 Everything is md5-based and deterministic, so the comparison is exact:
-signatures are per-seed minima of md5("<seed>:<token>") hex digests,
-est_sim is the fraction of matching signature positions, and the LSH
-banding must surface every pair that agrees on at least one band —
-for pairs it does surface, the estimate must equal the model's.
+signatures are per-seed minima of the first 60 bits of
+md5("<seed>:<token>") as integers (the fixed-width form the operator
+aggregates), est_sim is the fraction of matching signature positions,
+and the LSH banding must surface every pair that agrees on at least
+one band — for pairs it does surface, the estimate must equal the
+model's.
 """
 
 from __future__ import annotations
@@ -26,14 +28,14 @@ corpus_strategy = st.lists(
 )
 
 
-def _md5(s: str) -> str:
-    return hashlib.md5(s.encode()).hexdigest()
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
-def model_signature(tokens: list[str]) -> list[str]:
+def model_signature(tokens: list[str]) -> list[int]:
     distinct = list(dict.fromkeys(tokens))
     return [
-        min(_md5(f"{seed}:{t}") for t in distinct)
+        min(_h60(f"{seed}:{t}") for t in distinct)
         for seed in range(dedup_op.NUM_HASHES)
     ]
 
