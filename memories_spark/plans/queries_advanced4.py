@@ -535,6 +535,16 @@ def rareterm_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE: arr is a per-document table — at 100x corpus a broadcast
     # here OOMs. No hint: AQE picks the strategy (the candidate-pair
     # side is the small one after blocking).
+    # The pair table is a few MB, so AQE coalesces the post-distinct
+    # stage to ~1 partition — but each pair row costs an O(|set|)
+    # intersection downstream (the per-row work is ~1000x the shuffle
+    # bytes), so the verify must run at cluster width. Round-robin on
+    # purpose: a hash repartition on (doc_a, doc_b) is collapsed as
+    # redundant with the distinct's partitioning and the surviving
+    # ENSURE_REQUIREMENTS exchange gets size-coalesced to ~1
+    # partition; REPARTITION_BY_NUM is exempt from AQE coalescing
+    # (guide §2.5: bytes-based sizing misjudges compute-heavy rows).
+    cand = cand.repartition(spark.sparkContext.defaultParallelism)
     a = arr.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
     b = arr.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
     paired = (
@@ -552,7 +562,7 @@ def rareterm_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     union_sz = F.col("sza") + F.col("szb") - F.col("inter_sz")
     jac = F.col("inter_sz").cast("double") / union_sz
-    return (
+    survivors = (
         paired.filter((F.col("inter_sz") > 0) & (jac >= 0.25))
         .select(
             "doc_a",
@@ -561,8 +571,14 @@ def rareterm_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             union_sz.alias("union_sz"),
             F.round(jac, 6).alias("jaccard"),
         )
-        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        # The global sort below range-partitions, and the range
+        # partitioner SAMPLES its child first — an unmaterialized
+        # child would run the whole verify twice. The surviving pairs
+        # are tiny; the lazy checkpoint computes them once inside the
+        # final job and the sample pass reads the persisted rows.
+        .localCheckpoint(eager=False)
     )
+    return survivors.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------
