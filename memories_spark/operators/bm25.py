@@ -38,6 +38,11 @@ def tokenize_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """``(id, term, tf)`` postings from a document corpus — the only
     stage that touches raw text. Everything else in BM25 derives from
     this table, which is what the persisted lexical index stores."""
+    # NOT spread_for_compute'd (measured): tokenize is one regex split
+    # per row, and the BM25 stats fan-out runs its copies of this
+    # subtree as concurrent independent stages — adding an exchange
+    # here cost more (extra AQE round + shuffle) than the parallelism
+    # repaid (isolated postings noop A/B: 0.74s -> 1.08s at sf0.1).
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("term")
     )

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from memories_spark.functions.texttools import tokens_expr
+from memories_spark.operators.partitioning import spread_for_compute
 
 NUM_HASHES = 8
 BAND_ROWS = 2  # 4 bands x 2 rows
@@ -56,7 +57,9 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     NUM_HASHES of them — and every per-seed min gets a map-side
     partial aggregate. The result is one narrow row per doc.
     """
-    toks = docs.select(
+    # Spread a narrow corpus scan before the tokenize + 8-way md5
+    # bank — per-row cost dwarfs byte size (see partitioning.py).
+    toks = spread_for_compute(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok"),
     )

@@ -1,0 +1,49 @@
+"""Partition-shape helpers for compute-heavy narrow stages.
+
+A parquet scan's task count is ``ceil(bytes / maxPartitionBytes)`` —
+bytes, not compute. Stages whose per-row cost dwarfs their byte size
+(tokenize + explode, per-row md5 banks, 64-d cosine folds, regex
+batteries) therefore run on a handful of tasks whenever the input is
+a few small files, serializing seconds of CPU work on one core while
+the rest of the cluster idles (optimization guide §2.5 stragglers,
+§6.1 input splits). The same trap re-appears mid-plan: AQE coalesces
+a few-MB shuffle down to one partition even when each row still owes
+an expensive projection.
+
+``spread_for_compute`` round-robin-repartitions such an input up to
+cluster width. Round-robin specifically:
+
+- is NOT elided by the optimizer as redundant with a downstream
+  hash requirement (a hash ``repartition`` on the same keys as a
+  following aggregate is collapsed), and
+- is NOT coalesced by AQE (user-specified partition counts are
+  preserved),
+
+so the spread reliably survives into the physical plan. The helper
+is scale-adaptive, not a local[32] constant: when the input already
+has at least cluster-width partitions (any real multi-file table at
+production scale) it is a NO-OP — no shuffle is added. The shuffle it
+does add on narrow inputs moves exactly the bytes the stage was going
+to read anyway, once, and buys full-cluster parallelism for the
+expensive projection above it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Ensure ``df`` is at least cluster-width partitioned before a
+    compute-heavy narrow stage. No-op (and no shuffle) when the input
+    is already wide; round-robin repartition to
+    ``defaultParallelism * min_factor`` otherwise."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * min_factor
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - planning quirk; spread anyway
+        current = 1
+    if current >= target:
+        return df
+    return df.repartition(target)

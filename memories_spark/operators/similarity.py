@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from memories_spark.functions.vectors import cosine_expr, cosine_sql
+from memories_spark.operators.partitioning import spread_for_compute
 
 
 def topk_cosine(
@@ -44,7 +45,9 @@ def topk_cosine(
     per-query window top-k (ties broken by id ASC for determinism,
     reference-style — SURVEY §4 'tie-break parity').
     """
-    joined = corpus.crossJoin(F.broadcast(queries))
+    # Spread a narrow corpus scan before the |Q| x dim cosine folds
+    # (see partitioning.py) — no-op on wide inputs.
+    joined = spread_for_compute(corpus).crossJoin(F.broadcast(queries))
     if exclude_self:
         joined = joined.filter(F.col(id_col) != F.col(query_id_col))
     sim = F.round(cosine_expr(vec_col, query_vec_col), round_dp)

@@ -20,6 +20,7 @@ from memories_spark.functions.vectors import cosine_expr, cosine_sql
 from memories_spark.operators import bm25 as bm25_op
 from memories_spark.operators import graph as graph_op
 from memories_spark.operators import rrf as rrf_op
+from memories_spark.operators.partitioning import spread_for_compute
 from memories_spark.plans.queries_graph import _doc_edges, _EDGES_CTE, _SEEDS_CTE
 from memories_spark.functions.topk import ranked_topk
 from memories_spark.plans.registry import register
@@ -51,7 +52,7 @@ def _vec_ranked(emb: DataFrame, query_id: int = 0, limit: int = 30) -> DataFrame
     """Vector signal: cosine vs one query embedding, (id, rank)."""
     qv = emb.filter(F.col("vec_id") == query_id).select(F.col("embedding").alias("qv"))
     scored = (
-        emb.crossJoin(F.broadcast(qv))
+        spread_for_compute(emb).crossJoin(F.broadcast(qv))
         .filter(F.col("vec_id") != query_id)
         .select(
             F.col("vec_id").alias("id"),
@@ -364,7 +365,7 @@ def batch_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     scored = (
-        emb.crossJoin(F.broadcast(queries))
+        spread_for_compute(emb).crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from memories_spark.functions.texttools import tokens_sql
 from memories_spark.operators import chunking as chunk_op
 from memories_spark.operators import textstats as ts_op
+from memories_spark.operators.partitioning import spread_for_compute
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
@@ -38,18 +39,22 @@ def lang_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokenize ONCE into a real column: lang-ID, quality and counts all
     # consume the token array, and inlining the regex split per use
     # would re-split every row ~10x in the scan.
-    toked = docs.select(
+    toked = spread_for_compute(docs).select(
         "doc_id", "text", ts_op.tokens_expr("text").alias("toks")
     )
     toks = F.col("toks")
     counts = ts_op.token_counts("text", toks)
-    return toked.select(
+    out = toked.select(
         "doc_id",
         ts_op.predict_lang_expr("text", toks).alias("pred_lang"),
         F.round(ts_op.quality_score_expr("text", toks), 6).alias("quality"),
         counts["ws_tokens"].alias("ws_tokens"),
         counts["bpe_ish_tokens"].alias("bpe_ish_tokens"),
-    ).orderBy("doc_id")
+    )
+    # Lazy checkpoint: the global sort's range partitioner samples its
+    # child, which would re-run the whole regex battery a second time;
+    # materializing the (narrow) profile rows makes it run exactly once.
+    return out.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 _FP = ts_op.fingerprint_sql("text")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from memories_spark.functions.hashing import hex_frac_sql
 from memories_spark.functions.texttools import bounded_seq, tokens_sql, tokens_expr
+from memories_spark.operators.partitioning import spread_for_compute
 from memories_spark.plans.registry import register
 from memories_spark.sources.tables import load_tables
 
@@ -177,7 +178,7 @@ LIMIT 50
     tags=("text", "dedup", "training"),
 )
 def crossdoc_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir)["documents"]
+    docs = spread_for_compute(load_tables(spark, sf_dir)["documents"])
     toks = tokens_expr("text")
     n_wins = F.floor(F.size(toks) / _WIN).cast("int")
     wins = docs.select(

@@ -28,6 +28,7 @@ from memories_spark.functions.vectors import cosine_expr, cosine_sql
 from memories_spark.operators import bm25 as bm25_op
 from memories_spark.operators import rrf as rrf_op
 from memories_spark.operators import similarity as sim_op
+from memories_spark.operators.partitioning import spread_for_compute
 from memories_spark.sources.tables import load_tables
 
 
@@ -655,7 +656,7 @@ def _hybrid_rrf_plan(
         F.col("embedding").alias("query_vec")
     )
     vec_scored = (
-        emb.crossJoin(F.broadcast(query_vec))
+        spread_for_compute(emb).crossJoin(F.broadcast(query_vec))
         .filter(F.col("vec_id") != 0)
         .select(
             F.col("vec_id").alias("id"),
