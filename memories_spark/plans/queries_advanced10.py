@@ -69,6 +69,15 @@ LIMIT 20
 )
 def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
+    # ONE shuffle feeds the whole basket build: hash-partitioning by c
+    # alone satisfies the dedup's (c, p) clustering requirement (subset
+    # rule), the cap window's and the basket groupBy's — distinct() on
+    # (c, p) would shuffle on the pair key and force the window to
+    # re-shuffle by c right after (guide §2.1: remove shuffles the
+    # partitioning already covers). Trade-off: the repartition ships
+    # raw (c, p) pairs before dedup, so repeat purchases travel — on
+    # order-line data duplicates are rare; flip back to distinct-first
+    # if a corpus has heavy repeat-purchase fan-in.
     raw = (
         t["lineitem"]
         .join(
@@ -76,7 +85,8 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             t["lineitem"]["l_orderkey"] == F.col("o_orderkey"),
         )
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .repartition("c")
+        .dropDuplicates(["c", "p"])
     )
     # Basket cap: bound the per-customer pair fan-out to 100*99/2
     # pairs regardless of how large a hub customer's basket is. The
