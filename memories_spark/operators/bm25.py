@@ -49,7 +49,9 @@ def tokenize_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
 
 
-def stats_from_terms(terms: DataFrame) -> dict[str, DataFrame]:
+def stats_from_terms(
+    terms: DataFrame, doc_stats: DataFrame | None = None
+) -> dict[str, DataFrame]:
     """Derive the global BM25 statistics from a ``(id, term, tf)``
     postings table (extra columns are ignored). Split out from
     :func:`build_term_stats` so the persisted lexical index can
@@ -69,7 +71,8 @@ def stats_from_terms(terms: DataFrame) -> dict[str, DataFrame]:
     (epsilon-floored, vocabulary-wide).
     """
     terms = terms.select("id", "term", "tf")
-    doc_stats = terms.groupBy("id").agg(F.sum("tf").alias("dl"))
+    if doc_stats is None:
+        doc_stats = terms.groupBy("id").agg(F.sum("tf").alias("dl"))
     # dl are BIGINTs: the sum is exact, so avg is engine-identical.
     corpus = doc_stats.agg(
         F.count("*").cast("double").alias("n"),
@@ -102,8 +105,24 @@ def stats_from_terms(terms: DataFrame) -> dict[str, DataFrame]:
 
 
 def build_term_stats(docs: DataFrame, id_col: str, text_col: str) -> dict[str, DataFrame]:
-    """Tokenize + derive in one lazy plan (see :func:`stats_from_terms`)."""
-    return stats_from_terms(tokenize_terms(docs, id_col, text_col))
+    """Tokenize + derive in one lazy plan (see :func:`stats_from_terms`).
+
+    ``dl`` (per-doc length) equals ``sum(tf)`` over the postings,
+    which is just the token count — so when the raw text is in hand,
+    doc lengths come from a shallow one-scan projection instead of
+    the tokenize→explode→groupBy subtree. That removes one of the
+    four postings-subtree consumers from the plan (smaller logical
+    plan → cheaper per-invocation Catalyst analysis, one fewer
+    tokenize stage at execution). The ``dl > 0`` filter keeps it
+    value-identical: a doc with zero tokens has no postings rows and
+    is therefore absent from the aggregated version too (and from
+    ``corpus``'s N/avgdl).
+    """
+    doc_stats = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens_expr(text_col)).cast("long").alias("dl"),
+    ).filter(F.col("dl") > 0)
+    return stats_from_terms(tokenize_terms(docs, id_col, text_col), doc_stats)
 
 
 def bm25_scores(

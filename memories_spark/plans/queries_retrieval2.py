@@ -12,6 +12,8 @@ simply absent from the time-based signals, like memories without a
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -109,17 +111,37 @@ def _five_signals(spark: SparkSession, sf_dir: str) -> dict[str, tuple[DataFrame
     # by every other consumer), and the independent vector/BM25/events
     # subtrees run as concurrently-schedulable stages of ONE job
     # instead of three sequential eager jobs (guide §2.6).
-    vec = _vec_ranked(t["embeddings"]).localCheckpoint(eager=False)
-    bm = _bm_ranked(t["documents"]).localCheckpoint(eager=False)
+    # Under AQE a "lazy" localCheckpoint still executes every stage
+    # but the last at construction, so chaining the three signal
+    # checkpoints on the main thread serializes their jobs (bm's
+    # ~1.2 s BM25 pipeline gated vec's and the events scan's).
+    # Submit them from a small thread pool instead: Spark's scheduler
+    # runs jobs from separate threads concurrently, so the three
+    # independent subtrees overlap and construction pays max() not
+    # sum() (guide §2.6 / §7.3). Table readers are constructed on
+    # the main thread first (LazyTables isn't meant for concurrent
+    # first-touch).
+    emb, docs, events = t["embeddings"], t["documents"], t["events"]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_vec = pool.submit(
+            lambda: _vec_ranked(emb).localCheckpoint(eager=False)
+        )
+        f_bm = pool.submit(
+            lambda: _bm_ranked(docs).localCheckpoint(eager=False)
+        )
+        # ONE events scan + groupBy serves all three aux signals
+        # (anchors + feedback net fused); checkpointing it directly
+        # (instead of after the candidate join) lets it overlap too —
+        # the join below then reads two materialized leaves.
+        f_ent = pool.submit(
+            lambda: _entity_stats(events).localCheckpoint(eager=False)
+        )
+        vec, bm, ent = f_vec.result(), f_bm.result(), f_ent.result()
     cand = vec.select("id").union(bm.select("id")).distinct()
     now = F.lit(_NOW).cast("timestamp")
 
-    # ONE events scan + groupBy serves all three aux signals
-    # (anchors + feedback net fused); ca feeds three rank lists, so
-    # it is a marked checkpoint too
-    ca = cand.join(
-        _entity_stats(t["events"]), "id", "left"
-    ).localCheckpoint(eager=False)
+    # ca feeds three rank lists, so it is a marked checkpoint too
+    ca = cand.join(ent, "id", "left").localCheckpoint(eager=False)
     rec_scored = ca.select("id", half_life_decay(F.col("last_ts"), now, _RECENCY_HL).alias("s"))
     conf_scored = ca.select("id", half_life_decay(F.col("first_ts"), now, _CONFIDENCE_HL).alias("s"))
     fb_scored = ca.filter(F.col("net") > 0).select("id", "net")
