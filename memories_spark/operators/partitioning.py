@@ -37,10 +37,19 @@ def spread_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
     """Ensure ``df`` is at least cluster-width partitioned before a
     compute-heavy narrow stage. No-op (and no shuffle) when the input
     is already wide; round-robin repartition to
-    ``defaultParallelism * min_factor`` otherwise."""
+    ``defaultParallelism * min_factor`` otherwise.
+
+    The width probe (``df.rdd.getNumPartitions``) is only safe on
+    shuffle-free plans: under AQE, converting to an RDD materializes
+    every non-result stage, so probing a shuffle-bearing input would
+    EXECUTE its upstream stages at construction. Such inputs are
+    already shuffle-partitioned (cluster-wide by definition), so they
+    are returned untouched without probing."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
     try:
+        if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+            return df  # shuffle-partitioned already; probing would run it
         current = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - planning quirk; spread anyway
         current = 1
