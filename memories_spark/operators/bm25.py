@@ -101,7 +101,23 @@ def stats_from_terms(
         .otherwise(F.col("raw_idf"))
         .alias("idf"),
     )
-    return {"terms": terms, "doc_stats": doc_stats, "term_idf": term_idf, "corpus": corpus}
+    # raw_idf/avg_idf are exported so the INLINE scoring path can
+    # apply the epsilon floor per posting row instead of joining the
+    # pre-floored vocabulary table: the floor is when(raw < 0, eps*a,
+    # raw) either way (bit-identical), but deferring it takes the
+    # vocabulary-mean aggregation OFF the scoring join's critical
+    # path — avg_idf becomes a sibling broadcast branch that overlaps
+    # with the postings join instead of gating it (guide §2.6: the
+    # broadcast-exchange future runs concurrently). The persisted
+    # lexical index keeps consuming term_idf (its on-disk layout).
+    return {
+        "terms": terms,
+        "doc_stats": doc_stats,
+        "term_idf": term_idf,
+        "corpus": corpus,
+        "raw_idf": with_idf,
+        "avg_idf": avg_idf,
+    }
 
 
 def build_term_stats(docs: DataFrame, id_col: str, text_col: str) -> dict[str, DataFrame]:
@@ -149,22 +165,42 @@ def bm25_scores(
 
     qdf = spark.createDataFrame([(t,) for t in query_terms], "term string")
     qcount = qdf.groupBy("term").agg(F.count("*").alias("qtf"))
-    qidf = term_idf.join(F.broadcast(qcount), "term")
 
-    contrib = (
-        terms.join(F.broadcast(qidf), "term")
-        .join(doc_stats, "id")
-        .crossJoin(F.broadcast(stats["corpus"].select("avgdl")))
-        .select(
-            "id",
-            fixed_point(
-                F.col("qtf")
-                * F.col("idf")
-                * (F.col("tf") * (K1 + 1))
-                / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
-                SCORE_SCALE,
-            ).alias("c"),
+    if "raw_idf" in stats:
+        # Inline stats: floor the IDF per contribution row instead of
+        # pre-floored vocabulary join — when(raw < 0, eps*a, raw) is
+        # the identical expression, but the vocabulary-mean branch
+        # (avg_idf) now broadcasts into the FINAL projection rather
+        # than gating the query-term join, so the two full-vocabulary
+        # aggregations overlap with the postings join instead of
+        # running serially ahead of it.
+        qidf = stats["raw_idf"].join(F.broadcast(qcount), "term")
+        idf_expr = (
+            F.when(F.col("raw_idf") < 0, F.lit(EPSILON) * F.col("a"))
+            .otherwise(F.col("raw_idf"))
         )
+        extra = [F.broadcast(stats["avg_idf"])]
+    else:
+        # Persisted-index stats: term_idf is a pre-floored on-disk
+        # table pruned to the query terms — nothing to defer.
+        qidf = term_idf.join(F.broadcast(qcount), "term")
+        idf_expr = F.col("idf")
+        extra = []
+
+    contrib = terms.join(F.broadcast(qidf), "term").join(doc_stats, "id").crossJoin(
+        F.broadcast(stats["corpus"].select("avgdl"))
+    )
+    for aux in extra:
+        contrib = contrib.crossJoin(aux)
+    contrib = contrib.select(
+        "id",
+        fixed_point(
+            F.col("qtf")
+            * idf_expr
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+            SCORE_SCALE,
+        ).alias("c"),
     )
     return contrib.groupBy("id").agg(unfix(F.sum("c"), SCORE_SCALE).alias("score"))
 

@@ -7,13 +7,20 @@ mass redistributed to the personalization vector. Adjacency is the
 ``related_to`` edge set made bidirectional with dangling targets
 dropped (memory_engine.py:1490-1508).
 
-Spark shape: a fixed-iteration driver loop of (join edges → groupBy
-sum). Each iteration is one shuffle on node id; the edge DataFrame is
-cached across iterations. At cluster scale you'd checkpoint every few
-iterations to truncate lineage — with exactly 3 iterations lineage
-stays shallow. All mass arithmetic is in fixed-point BIGINT (scale
-12) so the result is bit-identical regardless of partitioning or
-engine (see functions/hashing.py).
+Spark shape: a fixed-iteration loop of exactly ONE Spark job per
+iteration — the (cached) degree-annotated adjacency joins a broadcast
+of the current rank vector and the contributions aggregate by
+destination. The rank vector itself lives on the driver between
+iterations: it was ALWAYS driver-sized (every previous shape
+broadcast it into the edge join, and a broadcast collects to the
+driver first), so keeping it there removes the per-iteration
+checkpoint/aggregate jobs whose ~50 ms driver gaps dominated the
+query at bench scale (~27 sequential jobs → 5). All mass arithmetic
+stays in Catalyst expressions — the per-seed constants are evaluated
+by the optimizer over LocalRelations (ConvertToLocalRelation), the
+per-edge terms inside the one distributed job — so the result is
+bit-identical to the previous all-DataFrame shape regardless of
+partitioning or engine (see functions/hashing.py).
 
 Clustering (reference find_similar_clusters union-find,
 memory_engine.py:2274-2342) is re-expressed as *bounded* min-label
@@ -23,6 +30,8 @@ it deterministic and oracle-expressible.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -56,50 +65,81 @@ def personalized_pagerank(
 
     ``s_total`` (the seed-mass sum) may be passed in when the caller
     already computed it — the serving path folds it into its single
-    sizing job — otherwise ONE aggregate job fetches it here. Empty
-    or all-zero seeds return an empty rank vector without running a
-    single iteration (no mass to spread — and no driver crash on a
-    NULL sum)."""
+    sizing job — otherwise it is the exact integer sum of the (one)
+    seed-collect job's rows. Empty or all-zero seeds return an empty
+    rank vector without running a single iteration (no mass to spread
+    — and no driver crash on a NULL sum).
+
+    Scale envelope (unchanged from the all-DataFrame shape): the rank
+    vector — seeds plus the expanding frontier — must fit on the
+    driver. Every prior version already required this (the vector was
+    broadcast into the edge join each iteration, and a broadcast
+    relation is collected to the driver before shipping); this
+    version just keeps it there between iterations instead of paying
+    checkpoint + re-collect jobs. The ADJACENCY is never collected —
+    it stays distributed and is the only thing that scales with the
+    corpus."""
     spark = seeds.sparkSession
-    materialized = False
+
+    # Small driver-local tables enter plans through the Arrow path
+    # (pandas -> LocalRelation): a plain createDataFrame(list)
+    # parallelizes into a PYTHON-evaluated RDD, so every reference —
+    # broadcast builds, tiny unions, each downstream consumer of the
+    # returned vector — would spawn Python worker tasks. The Arrow
+    # conversion yields a true LocalTableScan: JVM-only, zero tasks,
+    # broadcastable without a job, and exact (int64/float64 cross the
+    # boundary bit-for-bit).
+    def _local_df(rows: list, schema: str) -> DataFrame:
+        names = [f.split()[0] for f in schema.split(",")]
+        pdf = pd.DataFrame(rows, columns=names)
+        for name, typ in (f.split() for f in schema.split(",")):
+            pdf[name] = pdf[name].astype("int64" if typ == "long" else "float64")
+        return spark.createDataFrame(pdf, schema)
+
+    # ONE job materializes the seed pipeline (it is tiny but its plan
+    # may be a deep retrieval pipeline) and yields both the rows and —
+    # as an exact integer sum, identical to F.sum over any
+    # partitioning — the seed mass.
+    seed_rows = seeds.select("id", "sw_fp").collect()
     if s_total is None:
-        # Materialize the seed list FIRST (it is tiny but its plan may
-        # be a deep retrieval pipeline), then take the mass sum from
-        # the materialized rows. Summing before materializing ran the
-        # whole seed pipeline twice — once for the `.first()` and again
-        # for the `p` projection below.
-        seeds = seeds.localCheckpoint(eager=True)
-        materialized = True
-        s_total = seeds.agg(F.sum("sw_fp")).first()[0]
+        s_total = sum(row.sw_fp for row in seed_rows if row.sw_fp is not None)
     if not s_total:
-        return spark.createDataFrame([], "id long, r_fp long")
+        return _local_df([], "id long, r_fp long")
+
     adj = bidirectional(edges).cache()
     deg = adj.groupBy("from_id").agg(F.count("*").alias("deg")).cache()
-    # `p` must be a materialized leaf: the loop below re-embeds it in
-    # every iteration's union — without truncating lineage the logical
-    # plan grows multiplicatively and can OOM the *driver* just
-    # printing it. When the seed list was checkpointed above, a plain
-    # projection over it is already such a leaf — no second job.
-    p = seeds.select(
-        F.col("id"), (F.col("sw_fp").cast("double") / F.lit(float(s_total))).alias("p")
-    )
-    if not materialized:
-        p = p.localCheckpoint(eager=True)
 
+    # p / r0 / base are lazy projections over the seed LocalRelation —
+    # ConvertToLocalRelation folds them driver-side at optimization
+    # time, so they cost no job and no collect; the expressions are
+    # the previous in-plan ones verbatim (same F.round half-up, same
+    # double division), so every constant is bit-identical.
+    seeds_local = _local_df(
+        [(int(row.id), int(row.sw_fp)) for row in seed_rows], "id long, sw_fp long"
+    )
+    p = seeds_local.select(
+        "id",
+        (F.col("sw_fp").cast("double") / F.lit(float(s_total))).alias("p"),
+    )
+    base = p.select(
+        "id", F.round(F.lit(1.0 - alpha) * F.col("p") * _UNIT).cast("long").alias("term")
+    )
     # r0 = p, in fixed point
     r = p.select("id", F.round(F.col("p") * _UNIT).cast("long").alias("r_fp"))
 
-    base = p.select("id", F.round(F.lit(1.0 - alpha) * F.col("p") * _UNIT).cast("long").alias("term"))
-
-    for _ in range(iterations):
-        # Truncate lineage each iteration (the rank vector feeds back
-        # into the next iteration's union — a cache alone keeps the
-        # full logical plan, which compounds per iteration) but do it
-        # LAZILY: the marked RDD is computed once inside the single
-        # final job (both its consumers — contrib and the dangling
-        # aggregate — read the persisted partitions), so the loop no
-        # longer pays one sequential eager job per iteration. On a
-        # real cluster this is a reliable checkpoint instead.
+    for i in range(iterations):
+        # ONE action per iteration, with the exact plan algebra of the
+        # previous shape — (rank ⋈ deg) feeding contrib + the dangling
+        # scalar, base ∪ contrib ∪ dangling → groupBy(id) → exact
+        # integer sum — except the rank vector enters as a driver-local
+        # LocalRelation instead of a lazy checkpoint, whose
+        # construction-time stage materialization under AQE was the
+        # per-iteration job cascade (~27 sequential jobs with ~50 ms
+        # driver gaps). Term expressions unchanged: same operand
+        # order, same F.round, bit-identical longs. with_deg is
+        # referenced twice (contrib + dangling aggregate); both
+        # re-derive it from the local rank vector and the CACHED
+        # degree table, which replaces the old checkpoint.
         with_deg = (
             r.alias("r")
             .join(deg.alias("d"), F.col("r.id") == F.col("d.from_id"), "left")
@@ -108,11 +148,7 @@ def personalized_pagerank(
                 F.col("r.r_fp").alias("r_fp"),
                 F.coalesce(F.col("d.deg"), F.lit(0)).alias("deg"),
             )
-            .localCheckpoint(eager=False)
         )
-        # The rank vector is tiny (seeds + expanding frontier) next to
-        # the edge table: broadcast it into the edge join — no shuffle
-        # of the adjacency at any iteration.
         contrib = (
             adj.alias("a")
             .join(
@@ -131,11 +167,6 @@ def personalized_pagerank(
                 .alias("term"),
             )
         )
-        # Dangling mass stays IN the plan as a 1-row broadcast scalar
-        # (no .first() driver round-trip per iteration — that was one
-        # extra Spark job each): with_deg is checkpointed above, so
-        # referencing it twice (contrib + this aggregate) re-reads the
-        # materialized rows, not the lineage.
         dang = with_deg.filter(F.col("deg") == 0).agg(
             F.coalesce(F.sum("r_fp"), F.lit(0)).cast("long").alias("dang_fp")
         )
@@ -150,22 +181,25 @@ def personalized_pagerank(
             .cast("long")
             .alias("term"),
         )
-        r = (
+        rows = (
             base.unionByName(contrib)
             .unionByName(dangling)
             .groupBy("id")
             .agg(F.sum("term").alias("r_fp"))
+            .collect()
         )
-    # Materialize the final rank vector (tiny: seeds + 3-hop frontier)
-    # and release the adjacency/degree caches — callers reference the
-    # result several times (merge, scalars, graph-only branch) and a
-    # long-lived session would otherwise accumulate cached edge tables
-    # across searches. Iteration checkpoints are freed by the context
-    # cleaner once their DataFrames go out of scope here.
-    out = r.localCheckpoint(eager=True)
+        r = _local_df(
+            sorted((row.id, row.r_fp) for row in rows), "id long, r_fp long"
+        )
+    # The final rank vector is a small driver-local leaf — like the
+    # eager checkpoint it replaces, callers can reference it many
+    # times (merge, scalars, graph-only branch) without re-running
+    # anything, and joins against it broadcast. Release the
+    # adjacency/degree caches — a long-lived session must not
+    # accumulate cached edge tables across searches.
     adj.unpersist()
     deg.unpersist()
-    return out
+    return r
 
 
 def ppr_sql(

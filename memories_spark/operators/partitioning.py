@@ -30,7 +30,22 @@ expensive projection above it.
 
 from __future__ import annotations
 
+import logging
+import re
+
 from pyspark.sql import DataFrame
+
+log = logging.getLogger(__name__)
+
+#: Shuffle exchanges only — ``BroadcastExchange`` prints its broadcast
+#: mode (``HashedRelationBroadcastMode``/``IdentityBroadcastMode``),
+#: never a partitioning, so it does not match. A bare "Exchange"
+#: substring match wrongly treated broadcast-join-bearing narrow
+#: inputs as already shuffle-partitioned and skipped the spread.
+_SHUFFLE_EXCHANGE = re.compile(
+    r"\bExchange (hashpartitioning|rangepartitioning|"
+    r"RoundRobinPartitioning|SinglePartition)"
+)
 
 
 def spread_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
@@ -41,17 +56,26 @@ def spread_for_compute(df: DataFrame, min_factor: int = 1) -> DataFrame:
 
     The width probe (``df.rdd.getNumPartitions``) is only safe on
     shuffle-free plans: under AQE, converting to an RDD materializes
-    every non-result stage, so probing a shuffle-bearing input would
+    every non-result stage, so probing a SHUFFLE-bearing input would
     EXECUTE its upstream stages at construction. Such inputs are
     already shuffle-partitioned (cluster-wide by definition), so they
-    are returned untouched without probing."""
+    are returned untouched without probing. A plan whose only
+    exchanges are broadcasts IS probed (and spread when narrow): the
+    probe materializes just the broadcast builds — small by
+    definition, and paid at execution anyway."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * min_factor
     try:
-        if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        if _SHUFFLE_EXCHANGE.search(
+            df._jdf.queryExecution().executedPlan().toString()
+        ):
             return df  # shuffle-partitioned already; probing would run it
         current = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover - planning quirk; spread anyway
+    except Exception:  # noqa: BLE001 - py4j wraps planner errors opaquely
+        # Planner/py4j failure: fall back to spreading (the repartition
+        # is always semantically safe), but say so — a silent fallback
+        # here could mask a real planning regression.
+        log.warning("spread_for_compute width probe failed; spreading", exc_info=True)
         current = 1
     if current >= target:
         return df

@@ -408,16 +408,27 @@ def batch_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(w) / (rank + F.lit(rrf_op.RRF_K)).cast("double"))
         * F.lit(float(10**rrf_op.SCORE_SCALE))
     ).cast("long")
-    v = vec_ranked.select("query_id", "doc_id", contrib(F.col("rank"), 0.7).alias("vc"),
-                          F.col("rank").alias("vector_rank"))
-    b = qb.select("query_id", "doc_id", contrib(F.col("rank"), 0.3).alias("bc"),
-                  F.col("rank").alias("bm25_rank"))
-    fused = v.join(b, ["query_id", "doc_id"], "full_outer").select(
-        "query_id",
-        "doc_id",
-        (F.coalesce("vc", F.lit(0)) + F.coalesce("bc", F.lit(0))).alias("c"),
-        "vector_rank",
-        "bm25_rank",
+    v = vec_ranked.select("query_id", "doc_id", contrib(F.col("rank"), 0.7).alias("c"),
+                          F.col("rank").alias("rank"), F.lit(0).alias("_sig"))
+    b = qb.select("query_id", "doc_id", contrib(F.col("rank"), 0.3).alias("c"),
+                  F.col("rank").alias("rank"), F.lit(1).alias("_sig"))
+    # Fuse via union + ONE groupBy instead of a full-outer join (the
+    # rrf_fuse equivalence: sum-of-present == coalesce chain, max over
+    # a tagged rank == the join's rank column, absent side == NULL),
+    # and establish hash(query_id) partitioning FIRST: it satisfies
+    # the groupBy's (query_id, doc_id) clustering (subset rule) AND
+    # the top-5 window's required distribution, so fusion + final
+    # ranking run off a single exchange — the full-outer shape paid
+    # two join exchanges plus a separate window exchange (guide §2.4).
+    fused = (
+        v.unionByName(b)
+        .repartition("query_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("c").alias("c"),
+            F.max(F.when(F.col("_sig") == 0, F.col("rank"))).alias("vector_rank"),
+            F.max(F.when(F.col("_sig") == 1, F.col("rank"))).alias("bm25_rank"),
+        )
     )
     wf = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("doc_id"))
     return (

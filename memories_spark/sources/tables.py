@@ -88,7 +88,15 @@ def read_parquet_memoized(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` with the schema memo: repeat reads of an
     unchanged path (testdata tables, immutable persisted indexes) skip
     the footer-inference round trip. Rows are always read from parquet
-    at execution — this memoizes metadata only."""
+    at execution — this memoizes metadata only.
+
+    For DIRECTORY paths the stat key is the directory's own
+    mtime/size, which does not change if part files are rewritten in
+    place with the same names — callers must only pass immutable
+    directories. Both call sites qualify by construction: the
+    testdata tables are read-only, and persisted index directories
+    are content-hash named (a corpus or format change produces a NEW
+    directory; see queries_ann._ensure_index) and never rewritten."""
     key = _stat_key(path)
     schema = _SCHEMA_MEMO.get(key) if key is not None else None
     if schema is not None:

@@ -1,7 +1,11 @@
-"""Capture .explain("formatted") for bench queries into plans/r08/."""
+"""Capture .explain("formatted") for bench queries into plans/<round>/.
+
+Round dir from $PLANS_ROUND (default r09)."""
 import os, sys, time
 sys.path.insert(0, "/root/repo")
 os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROUND = os.environ.get("PLANS_ROUND", "r09")
+os.makedirs(f"/root/repo/plans/{ROUND}", exist_ok=True)
 from memories_spark.session import get_spark
 from memories_spark.plans.registry import QUERIES
 
@@ -22,6 +26,6 @@ for n in names:
             QUERIES[n].fn(spark, sf).explain("formatted")
         plan = buf.getvalue()
     dt = time.perf_counter() - t0
-    with open(f"/root/repo/plans/r08/{n}_{suffix}.txt", "w") as f:
+    with open(f"/root/repo/plans/{ROUND}/{n}_{suffix}.txt", "w") as f:
         f.write(plan)
     print(f"{dt:6.2f}s  {len(plan):8d}B  {n}", flush=True)
