@@ -18,6 +18,13 @@ from memories_spark.sources.tables import load_tables
 # Item-item cosine similarity (collaborative filtering)
 # ---------------------------------------------------------------------
 
+#: Pair-aggregation width multiplier (x defaultParallelism): unique-ish
+#: co-purchase pairs make hash-agg state ~48 B per INPUT row, so tasks
+#: must be sized by keys, not bytes (see item_item_cosine). 8x keeps
+#: per-task maps ~tens of MB at sf1-like densities; scales with the
+#: cluster because it multiplies defaultParallelism.
+_PAIR_AGG_FACTOR = 8
+
 _CF_ORACLE = """
 WITH raw AS (
   SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
@@ -119,22 +126,39 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p")
         .agg(F.count("*").alias("n"))
     )
-    pair_expr = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ps"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
-                    lambda y: F.struct(
-                        x.alias("part_a"), y.alias("part_b")
-                    ),
-                ),
-            )
-        )
-    )
+    # Pair enumeration as two stacked generators (posexplode, then
+    # explode of a slice): i<j over the sorted array == the p < part_b
+    # self-join, exactly as before, but slice/size/explode all run
+    # under whole-stage codegen. The previous shape built each
+    # basket's full pair list through nested higher-order functions
+    # (transform-in-transform + struct + flatten), and HOF lambdas are
+    # evaluated INTERPRETED — at ~C(100,2) struct allocations per hub
+    # basket the interpreted eval dominated the whole query (guide
+    # §1.2 "per-task work": measured 3-7x slower than the generator
+    # form on the same baskets, worse under memory pressure; 115 s
+    # outliers at sf1).
+    #
+    # Both sides of the pair aggregation are widened to a multiple of
+    # cluster width (guide §2.5/§5): co-purchase pairs are ~99%
+    # unique, so the per-task hash-agg STATE is ~48 bytes per input
+    # row — at sf1's 131 M pairs over the basket table's own 32
+    # partitions each partial-agg task built a ~200 MB map and fell
+    # back to sort+spill (isolated noop: 59-75 s for the aggregation
+    # alone). Sizing tasks by AGGREGATION KEYS rather than input
+    # bytes (which AQE's advisory size can't see) keeps every map
+    # in-memory: measured 59 s -> ~8 s on the same machine. The
+    # factor scales with defaultParallelism, not a local constant.
+    fanout = baskets.sparkSession.sparkContext.defaultParallelism * _PAIR_AGG_FACTOR
     co = (
-        baskets.select(pair_expr.alias("pr"))
-        .select(F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b"))
+        baskets.repartition(fanout)
+        .select(F.posexplode("ps").alias("i", "part_a"), "ps")
+        .select(
+            "part_a",
+            F.explode(
+                F.slice("ps", F.col("i") + F.lit(2), F.size("ps"))
+            ).alias("part_b"),
+        )
+        .repartition(fanout, "part_a", "part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_both"))
         .filter(F.col("n_both") >= 3)
